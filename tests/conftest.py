@@ -1,0 +1,14 @@
+import os
+
+# Run the test suite on a virtual 8-device CPU mesh in float64, so sharding
+# logic is exercised without real multi-chip hardware and numerics match the
+# f64 CPU reference.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
