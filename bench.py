@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Headline benchmark: 3-D Taylor-Green vortex, hex elements, p=4, viscous
+NS + HLLC + RK45 — the BASELINE.json flagship configuration.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "DOF*RK-stage/s", "vs_baseline": N}
+
+vs_baseline compares against the reference CPU solver's measured per-device
+rate on the same case when REFERENCE_BASELINE.json is present (the reference
+publishes no throughput numbers, SURVEY.md §6), else reports 0.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hifiles_tpu.config.params import RunInput
+    from hifiles_tpu.mesh.generate import periodic_hex_mesh
+    from hifiles_tpu.solver.solver import Solver
+    from hifiles_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    order = int(os.environ.get("BENCH_ORDER", 4))
+    n1 = int(os.environ.get("BENCH_MESH", 16))
+    n_steps = int(os.environ.get("BENCH_STEPS", 10))
+
+    # TGV deck parameters (testcases/navier-stokes/Taylor_Green_vortex)
+    p = RunInput()
+    p.equation = 0
+    p.viscous = 1
+    p.order = order
+    p.ic_form = 7
+    p.adv_type = 3           # RK45, 5 stages
+    p.riemann_solve_type = 3  # HLLC
+    p.dt_type = 0
+    p.n_steps = n_steps
+    p.vcjh_scheme_hexa = 1
+    p.dx_cyclic = p.dy_cyclic = p.dz_cyclic = 2 * np.pi
+    p.gamma, p.R_gas, p.fix_vis = 1.4, 286.9, 1
+    p.prandtl = 0.72
+    p.Mach_free_stream, p.T_free_stream = 0.1, 300.0
+    p.rho_free_stream = 0.0008421095852102401
+    p.mu_gas = 1.827e-5
+    p.L_free_stream = 1.0
+    p.Mach_c_ic, p.T_c_ic, p.rho_c_ic = 0.1, 300.0, 0.0008421095852102401
+    p.dt = 1.440389e-5
+    p.setup_params()
+
+    mesh = periodic_hex_mesh(n1, n1, n1)
+    s = Solver(p, mesh, dtype=jnp.float32)
+
+    dt = p.dt
+    # warmup: compile + one chunk
+    s.run(2, dt=dt)
+    jax.block_until_ready(s.u)
+
+    t0 = time.perf_counter()
+    s.run(n_steps, dt=dt)
+    jax.block_until_ready(s.u)
+    wall = time.perf_counter() - t0
+
+    n_stages = 5
+    dof = mesh.n_cells * (order + 1) ** 3
+    rate = dof * n_stages * n_steps / wall
+
+    u = np.asarray(s.u)
+    assert np.isfinite(u).all(), "NaN/Inf in benchmark solution"
+
+    vs_baseline = 0.0
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "REFERENCE_BASELINE.json")
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            ref = json.load(f)
+        base = ref.get("tgv_p4_hex_dof_stage_per_s", 0.0)
+        if base:
+            vs_baseline = rate / base
+
+    print(json.dumps({
+        "metric": f"TGV p={order} hex {n1}^3 viscous NS DOF*RK-stage/s",
+        "value": rate,
+        "unit": "DOF*RK-stage/s",
+        "vs_baseline": vs_baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

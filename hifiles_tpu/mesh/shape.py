@@ -1,0 +1,196 @@
+"""Shape-function mappings: reference element -> physical space.
+
+calc_pos / calc_d_pos analogs (ref:src/eles.cpp calc_pos via per-type
+eval_nodal_s_basis, e.g. ref:src/eles_quads.cpp:1022-1113).  Vectorized over
+both evaluation points and elements.
+
+Shape-point layouts follow the reference's tensor ordering for quads/hexes
+(Gambit corner order is remapped at read time, ref:src/mesh_reader.cpp:203-246)
+and the direct Gambit order for simplices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import HEX, PRISM, QUAD, TET, TRI
+from ..ops.basis import dlagrange_matrix, lagrange_matrix
+
+
+def _equi_1d(n: int) -> np.ndarray:
+    """Equispaced shape nodes on [-1,1] (ref:src/eles_quads.cpp:172-180)."""
+    return -1.0 + 2.0 * np.arange(n) / (n - 1)
+
+
+def quad_shape_basis(locs: np.ndarray, n_spts: int) -> np.ndarray:
+    """(n_pts, n_spts) nodal shape basis for quads
+    (ref:src/eles_quads.cpp:1022-1063)."""
+    locs = np.atleast_2d(locs)
+    n1 = int(round(np.sqrt(n_spts)))
+    if n1 * n1 == n_spts:
+        nodes = _equi_1d(n1)
+        Lx = lagrange_matrix(locs[:, 0], nodes)
+        Ly = lagrange_matrix(locs[:, 1], nodes)
+        out = np.empty((locs.shape[0], n_spts))
+        for j in range(n1):       # index = i + n1*j (x-fastest)
+            for i in range(n1):
+                out[:, i + n1 * j] = Lx[:, i] * Ly[:, j]
+        return out
+    if n_spts == 8:
+        x, y = locs[:, 0], locs[:, 1]
+        return np.stack([
+            -0.25 * (1 - x) * (1 - y) * (1 + x + y),
+            -0.25 * (1 + x) * (1 - y) * (1 - x + y),
+            -0.25 * (1 + x) * (1 + y) * (1 - x - y),
+            -0.25 * (1 - x) * (1 + y) * (1 + x - y),
+            0.5 * (1 - x) * (1 + x) * (1 - y),
+            0.5 * (1 + x) * (1 + y) * (1 - y),
+            0.5 * (1 - x) * (1 + x) * (1 + y),
+            0.5 * (1 - x) * (1 + y) * (1 - y)], axis=1)
+    raise NotImplementedError(f"quad shape basis with {n_spts} points")
+
+
+def quad_shape_dbasis(locs: np.ndarray, n_spts: int) -> np.ndarray:
+    """(n_pts, n_spts, 2) derivatives (ref:src/eles_quads.cpp:1067-1113)."""
+    locs = np.atleast_2d(locs)
+    n1 = int(round(np.sqrt(n_spts)))
+    if n1 * n1 == n_spts:
+        nodes = _equi_1d(n1)
+        Lx = lagrange_matrix(locs[:, 0], nodes)
+        Ly = lagrange_matrix(locs[:, 1], nodes)
+        Dx = dlagrange_matrix(locs[:, 0], nodes)
+        Dy = dlagrange_matrix(locs[:, 1], nodes)
+        out = np.empty((locs.shape[0], n_spts, 2))
+        for j in range(n1):
+            for i in range(n1):
+                out[:, i + n1 * j, 0] = Dx[:, i] * Ly[:, j]
+                out[:, i + n1 * j, 1] = Lx[:, i] * Dy[:, j]
+        return out
+    if n_spts == 8:
+        x, y = locs[:, 0], locs[:, 1]
+        d = np.empty((locs.shape[0], 8, 2))
+        d[:, 0, 0] = -0.25 * (-1 + y) * (2 * x + y)
+        d[:, 1, 0] = 0.25 * (-1 + y) * (y - 2 * x)
+        d[:, 2, 0] = 0.25 * (1 + y) * (2 * x + y)
+        d[:, 3, 0] = -0.25 * (1 + y) * (y - 2 * x)
+        d[:, 4, 0] = x * (-1 + y)
+        d[:, 5, 0] = -0.5 * (1 + y) * (-1 + y)
+        d[:, 6, 0] = -x * (1 + y)
+        d[:, 7, 0] = 0.5 * (1 + y) * (-1 + y)
+        d[:, 0, 1] = -0.25 * (-1 + x) * (x + 2 * y)
+        d[:, 1, 1] = 0.25 * (1 + x) * (2 * y - x)
+        d[:, 2, 1] = 0.25 * (1 + x) * (x + 2 * y)
+        d[:, 3, 1] = -0.25 * (-1 + x) * (2 * y - x)
+        d[:, 4, 1] = 0.5 * (1 + x) * (-1 + x)
+        d[:, 5, 1] = -y * (1 + x)
+        d[:, 6, 1] = -0.5 * (1 + x) * (-1 + x)
+        d[:, 7, 1] = y * (-1 + x)
+        return d
+    raise NotImplementedError(f"quad shape dbasis with {n_spts} points")
+
+
+def hex_shape_basis(locs: np.ndarray, n_spts: int) -> np.ndarray:
+    """Tensor-product trilinear/tri-quadratic hex shape basis.
+
+    Tensor index = i + n1*j + n1*n1*k (x-fastest), matching the c2v remap
+    (ref:src/mesh_reader.cpp:240-243, ref:src/mesh.cpp:536-574)."""
+    locs = np.atleast_2d(locs)
+    n1 = int(round(n_spts ** (1.0 / 3.0)))
+    if n1**3 == n_spts:
+        nodes = _equi_1d(n1)
+        L = [lagrange_matrix(locs[:, ax], nodes) for ax in range(3)]
+        out = np.empty((locs.shape[0], n_spts))
+        for k in range(n1):
+            for j in range(n1):
+                for i in range(n1):
+                    out[:, i + n1 * j + n1 * n1 * k] = (
+                        L[0][:, i] * L[1][:, j] * L[2][:, k])
+        return out
+    raise NotImplementedError(f"hex shape basis with {n_spts} points")
+
+
+def hex_shape_dbasis(locs: np.ndarray, n_spts: int) -> np.ndarray:
+    locs = np.atleast_2d(locs)
+    n1 = int(round(n_spts ** (1.0 / 3.0)))
+    if n1**3 == n_spts:
+        nodes = _equi_1d(n1)
+        L = [lagrange_matrix(locs[:, ax], nodes) for ax in range(3)]
+        D = [dlagrange_matrix(locs[:, ax], nodes) for ax in range(3)]
+        out = np.empty((locs.shape[0], n_spts, 3))
+        for k in range(n1):
+            for j in range(n1):
+                for i in range(n1):
+                    m = i + n1 * j + n1 * n1 * k
+                    out[:, m, 0] = D[0][:, i] * L[1][:, j] * L[2][:, k]
+                    out[:, m, 1] = L[0][:, i] * D[1][:, j] * L[2][:, k]
+                    out[:, m, 2] = L[0][:, i] * L[1][:, j] * D[2][:, k]
+        return out
+    raise NotImplementedError(f"hex shape dbasis with {n_spts} points")
+
+
+def tri_shape_basis(locs: np.ndarray, n_spts: int) -> np.ndarray:
+    """Linear/quadratic triangle shape basis on the reference tri with
+    vertices (-1,-1), (1,-1), (-1,1) (ref:src/eles_tris.cpp nodal shape
+    basis).  Barycentric: l0 = -(r+s)/2, l1 = (1+r)/2, l2 = (1+s)/2."""
+    locs = np.atleast_2d(locs)
+    r, s = locs[:, 0], locs[:, 1]
+    l0 = -0.5 * (r + s)
+    l1 = 0.5 * (1 + r)
+    l2 = 0.5 * (1 + s)
+    if n_spts == 3:
+        return np.stack([l0, l1, l2], axis=1)
+    if n_spts == 6:
+        return np.stack([
+            l0 * (2 * l0 - 1), l1 * (2 * l1 - 1), l2 * (2 * l2 - 1),
+            4 * l0 * l1, 4 * l1 * l2, 4 * l0 * l2], axis=1)
+    raise NotImplementedError(f"tri shape basis with {n_spts} points")
+
+
+def tri_shape_dbasis(locs: np.ndarray, n_spts: int) -> np.ndarray:
+    locs = np.atleast_2d(locs)
+    r, s = locs[:, 0], locs[:, 1]
+    l0 = -0.5 * (r + s)
+    l1 = 0.5 * (1 + r)
+    l2 = 0.5 * (1 + s)
+    # dl0 = (-1/2, -1/2), dl1 = (1/2, 0), dl2 = (0, 1/2)
+    z = np.zeros_like(r)
+    h = 0.5 * np.ones_like(r)
+    d = {0: (-h, -h), 1: (h, z), 2: (z, h)}
+    if n_spts == 3:
+        out = np.empty((locs.shape[0], 3, 2))
+        for m in range(3):
+            out[:, m, 0], out[:, m, 1] = d[m]
+        return out
+    if n_spts == 6:
+        out = np.empty((locs.shape[0], 6, 2))
+        for m, lm in enumerate((l0, l1, l2)):
+            out[:, m, 0] = (4 * lm - 1) * d[m][0]
+            out[:, m, 1] = (4 * lm - 1) * d[m][1]
+        pairs = [(0, 1), (1, 2), (0, 2)]
+        for e, (a, b) in enumerate(pairs):
+            la = (l0, l1, l2)[a]
+            lb = (l0, l1, l2)[b]
+            out[:, 3 + e, 0] = 4 * (d[a][0] * lb + la * d[b][0])
+            out[:, 3 + e, 1] = 4 * (d[a][1] * lb + la * d[b][1])
+        return out
+    raise NotImplementedError(f"tri shape dbasis with {n_spts} points")
+
+
+def shape_basis(ctype: int, locs: np.ndarray, n_spts: int) -> np.ndarray:
+    if ctype == QUAD:
+        return quad_shape_basis(locs, n_spts)
+    if ctype == HEX:
+        return hex_shape_basis(locs, n_spts)
+    if ctype == TRI:
+        return tri_shape_basis(locs, n_spts)
+    raise NotImplementedError(f"shape basis for ctype {ctype}")
+
+
+def shape_dbasis(ctype: int, locs: np.ndarray, n_spts: int) -> np.ndarray:
+    if ctype == QUAD:
+        return quad_shape_dbasis(locs, n_spts)
+    if ctype == HEX:
+        return hex_shape_dbasis(locs, n_spts)
+    if ctype == TRI:
+        return tri_shape_dbasis(locs, n_spts)
+    raise NotImplementedError(f"shape dbasis for ctype {ctype}")

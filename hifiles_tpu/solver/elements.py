@@ -1,0 +1,282 @@
+"""Element blocks: batched geometry transforms + face gather tables.
+
+This replaces the reference's eles/inters pointer machinery
+(ref:src/eles.cpp:4015-4393 set_transforms, ref:src/int_inters.cpp:67-121
+pointer wiring) with precomputed index arrays:
+
+  * every element flux point is a flat "slot" s = ele * Pf + fpt
+  * interior faces store left/right slot ids, the right side rotated by the
+    reference's lut (ref:src/inters.cpp:153-262)
+  * a slot-level inverse map turns the per-face common fluxes back into the
+    per-slot normal transformed flux with a single gather (no scatter)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+from .. import HEX, QUAD, TRI
+from ..mesh.core import FaceConnectivity, MeshData
+from ..mesh.shape import shape_basis, shape_dbasis
+from ..ops.operators import ElementOps
+
+
+def _adjugate(J: np.ndarray) -> np.ndarray:
+    """adj(J) with adj(J) @ J = det(J) I; matches the reference's JGinv
+    (ref:src/eles.cpp:4103-4135)."""
+    d = J.shape[-1]
+    if d == 2:
+        a, b = J[..., 0, 0], J[..., 0, 1]
+        c, e = J[..., 1, 0], J[..., 1, 1]
+        out = np.empty_like(J)
+        out[..., 0, 0] = e
+        out[..., 0, 1] = -b
+        out[..., 1, 0] = -c
+        out[..., 1, 1] = a
+        return out
+    if d == 3:
+        out = np.empty_like(J)
+        for i in range(3):
+            for j in range(3):
+                r = [k for k in range(3) if k != j]
+                c = [k for k in range(3) if k != i]
+                minor = (J[..., r[0], c[0]] * J[..., r[1], c[1]]
+                         - J[..., r[0], c[1]] * J[..., r[1], c[0]])
+                out[..., i, j] = (-1.0) ** (i + j) * minor
+        return out
+    raise ValueError(d)
+
+
+def face_lut(face_nv: int, n_fpts: int, rot_tag: int, order: int) -> np.ndarray:
+    """fpt permutation matching a rotated neighbor face
+    (ref:src/inters.cpp:153-262)."""
+    if face_nv == 2:  # segment (2-D edge)
+        return np.arange(n_fpts)[::-1].copy()
+    if face_nv == 4:  # quad face (3-D)
+        n = order + 1
+        i, j = np.divmod(np.arange(n_fpts), n)
+        if rot_tag == 0:
+            return (n - 1 - j) + n * i
+        if rot_tag == 1:
+            return n_fpts - ((n - 1 - j) + n * i) - 1
+        if rot_tag == 2:
+            return n * j + i
+        if rot_tag == 3:
+            return n_fpts - (n * j + i) - 1
+    if face_nv == 3:  # tri face (3-D)
+        n = order + 1
+        lut = np.empty(n_fpts, dtype=np.int64)
+        if rot_tag == 0:
+            for j in range(n):
+                for i in range(n - j):
+                    i0 = j * n - (j - 1) * j // 2 + i
+                    lut[i0] = i * n - (i - 1) * i // 2 + j
+            return lut
+        if rot_tag == 1:
+            for j in range(n):
+                for i in range(n - j):
+                    i0 = j * n - (j - 1) * j // 2 + i
+                    lut[i0] = n * (n + 1) // 2 - 1 - (i + j) * (i + j + 1) // 2 - j
+            return lut
+        if rot_tag == 2:
+            for j in range(n):
+                for i in range(n - j):
+                    i0 = j * n - (j - 1) * j // 2 + i
+                    lut[i0] = j * n - (j - 1) * j // 2 + (n - 1 - j - i)
+            return lut
+    raise ValueError(f"face_lut(face_nv={face_nv}, rot={rot_tag})")
+
+
+@dataclasses.dataclass
+class ElementBlock:
+    """One element type's geometry + connectivity, ready for the jitted
+    residual.  All arrays numpy; the residual factory casts to jnp."""
+
+    ops: ElementOps
+    n_eles: int
+    # volume geometry
+    pos_upts: np.ndarray      # (E, U, d)
+    detjac_upts: np.ndarray   # (E, U)
+    jginv_upts: np.ndarray    # (E, U, d, d)
+    # face geometry (flattened slots, S = E * Pf)
+    pos_fpts: np.ndarray      # (S, d)
+    tdA_fpts: np.ndarray      # (S,)
+    norm_fpts: np.ndarray     # (S, d)
+    detjac_fpts: np.ndarray   # (S,)
+    jginv_fpts: np.ndarray    # (S, d, d)
+    # face connectivity
+    int_slot_l: np.ndarray    # (Fi, nfp)
+    int_slot_r: np.ndarray    # (Fi, nfp)
+    bdy_slot: np.ndarray      # (Fb, nfp)
+    bdy_bcid: np.ndarray      # (Fb,)
+    slot_src: np.ndarray      # (S,) index into concat fluxes ((Fi+Fb)*nfp)
+    slot_sign: np.ndarray     # (S,) +1 / -1
+    # error-norm machinery
+    pos_vol_cubpts: np.ndarray    # (E, C, d)
+    detjac_vol_cubpts: np.ndarray  # (E, C)
+    # elements' reference length (for CFL dt), ref:src/eles_quads.cpp:1287-1301
+    h_ref: np.ndarray         # (E,)
+
+    @property
+    def n_upts(self):
+        return self.ops.n_upts
+
+    @property
+    def n_fpts(self):
+        return self.ops.n_fpts
+
+
+def build_element_block(mesh: MeshData, conn: FaceConnectivity,
+                        ops: ElementOps, check_geometry: bool = True,
+                        delta_cyclic: np.ndarray | None = None) -> ElementBlock:
+    """Assemble an ElementBlock for a single-element-type mesh."""
+    ct = ops.ele_type
+    sel = np.where(mesh.ctype == ct)[0]
+    if sel.size != mesh.n_cells:
+        raise NotImplementedError("mixed-type meshes: use per-type blocks")
+    E = sel.size
+    d = ops.n_dims
+    n_spts = int(mesh.c2n_v[0])
+    if not np.all(mesh.c2n_v == n_spts):
+        raise NotImplementedError("heterogeneous shape-point counts per block")
+
+    spts = mesh.xv[mesh.c2v[:, :n_spts]]          # (E, n_spts, d)
+
+    # --- volume transforms (ref:src/eles.cpp:4035-4148)
+    sb_u = shape_basis(ct, ops.loc_upts, n_spts)          # (U, n_spts)
+    db_u = shape_dbasis(ct, ops.loc_upts, n_spts)         # (U, n_spts, d)
+    pos_upts = np.einsum("us,esd->eud", sb_u, spts)
+    J_u = np.einsum("usj,esi->euij", db_u, spts)          # dx_i/dxi_j
+    detjac_upts = np.linalg.det(J_u)
+    if np.any(detjac_upts <= 0):
+        raise ValueError("Negative Jacobian at solution points")
+    jginv_upts = _adjugate(J_u)
+
+    # --- face transforms (ref:src/eles.cpp:4215-4393)
+    sb_f = shape_basis(ct, ops.tloc_fpts, n_spts)
+    db_f = shape_dbasis(ct, ops.tloc_fpts, n_spts)
+    pos_fpts = np.einsum("ps,esd->epd", sb_f, spts)       # (E, Pf, d)
+    J_f = np.einsum("psj,esi->epij", db_f, spts)
+    detjac_fpts = np.linalg.det(J_f)
+    if np.any(detjac_fpts <= 0):
+        raise ValueError("Negative Jacobian at flux points")
+    jginv_fpts = _adjugate(J_f)
+    # physical scaled normal = tnorm^T . adj(J) (ref:src/eles.cpp:4300-4312)
+    scaled_norm = np.einsum("pi,epij->epj", ops.tnorm_fpts, jginv_fpts)
+    tdA = np.linalg.norm(scaled_norm, axis=-1)            # (E, Pf)
+    norm = scaled_norm / tdA[..., None]
+
+    # --- volume cubature geometry for error norms (ref:src/eles.cpp:5076-5136)
+    sb_c = shape_basis(ct, ops.loc_vol_cubpts, n_spts)
+    db_c = shape_dbasis(ct, ops.loc_vol_cubpts, n_spts)
+    pos_cub = np.einsum("cs,esd->ecd", sb_c, spts)
+    J_c = np.einsum("csj,esi->ecij", db_c, spts)
+    detjac_cub = np.linalg.det(J_c)
+
+    # --- h_ref: min edge length (ref:src/eles_quads.cpp:1287-1301)
+    if ct == QUAD:
+        corners = spts[:, _quad_corners(n_spts)]
+        edges = [(0, 1), (1, 3), (3, 2), (2, 0)]
+    elif ct == HEX:
+        corners = spts[:, _hex_corners(n_spts)]
+        edges = [(0, 1), (1, 3), (3, 2), (2, 0), (4, 5), (5, 7), (7, 6),
+                 (6, 4), (0, 4), (1, 5), (2, 6), (3, 7)]
+    elif ct == TRI:
+        corners = spts[:, :3]
+        edges = [(0, 1), (1, 2), (2, 0)]
+    else:
+        raise NotImplementedError
+    h_ref = np.min(np.stack(
+        [np.linalg.norm(corners[:, a] - corners[:, b], axis=-1)
+         for a, b in edges]), axis=0)
+
+    # --- face slot tables
+    Pf = ops.n_fpts
+    nfp_face = Pf // ops.n_faces
+    order = ops.order
+
+    def slots(ele, locf, perm=None):
+        j = np.arange(nfp_face) if perm is None else perm
+        return ele * Pf + locf * nfp_face + j
+
+    Fi = conn.int_ele_l.size
+    int_slot_l = np.empty((Fi, nfp_face), dtype=np.int64)
+    int_slot_r = np.empty((Fi, nfp_face), dtype=np.int64)
+    for f in range(Fi):
+        int_slot_l[f] = slots(conn.int_ele_l[f], conn.int_locf_l[f])
+        lut = face_lut(int(conn.int_nv[f]), nfp_face, int(conn.int_rot[f]),
+                       order)
+        int_slot_r[f] = slots(conn.int_ele_r[f], conn.int_locf_r[f], lut)
+
+    Fb = conn.bdy_ele.size
+    bdy_slot = np.empty((Fb, nfp_face), dtype=np.int64)
+    for f in range(Fb):
+        bdy_slot[f] = slots(conn.bdy_ele[f], conn.bdy_locf[f])
+
+    # geometric sanity: paired fpts must coincide (mod cyclic offset);
+    # catches lut/rotation-tag bugs at setup time
+    if check_geometry and Fi:
+        pf = pos_fpts.reshape(-1, d)
+        gap = np.abs(pf[int_slot_l] - pf[int_slot_r])
+        if delta_cyclic is not None:
+            dc = np.asarray(delta_cyclic)[:d]
+            for ax in range(d):
+                if np.isfinite(dc[ax]):
+                    gap[..., ax] = np.minimum(gap[..., ax],
+                                              np.abs(gap[..., ax] - dc[ax]))
+        if gap.max() > 1e-8 * max(1.0, np.abs(mesh.xv).max()):
+            bad = np.unravel_index(np.argmax(gap.max(axis=(1, 2))), (Fi,))
+            raise AssertionError(
+                f"face fpt mismatch at interior face {bad[0]}: "
+                f"max gap {gap.max():.3e}")
+
+    # --- inverse slot map: one gather instead of scatter in the hot loop
+    S = E * Pf
+    slot_src = -np.ones(S, dtype=np.int64)
+    slot_sign = np.zeros(S)
+    base = np.arange(Fi * nfp_face).reshape(Fi, nfp_face)
+    slot_src[int_slot_l] = base
+    slot_sign[int_slot_l.ravel()] = 1.0
+    slot_src[int_slot_r] = base
+    slot_sign[int_slot_r.ravel()] = -1.0
+    if Fb:
+        bbase = Fi * nfp_face + np.arange(Fb * nfp_face).reshape(Fb, nfp_face)
+        slot_src[bdy_slot] = bbase
+        slot_sign[bdy_slot.ravel()] = 1.0
+    if np.any(slot_src < 0):
+        raise AssertionError("uncovered flux-point slots; face tables broken")
+
+    return ElementBlock(
+        ops=ops, n_eles=E,
+        pos_upts=pos_upts, detjac_upts=detjac_upts, jginv_upts=jginv_upts,
+        pos_fpts=pos_fpts.reshape(S, d), tdA_fpts=tdA.reshape(S),
+        norm_fpts=norm.reshape(S, d), detjac_fpts=detjac_fpts.reshape(S),
+        jginv_fpts=jginv_fpts.reshape(S, d, d),
+        int_slot_l=int_slot_l, int_slot_r=int_slot_r,
+        bdy_slot=bdy_slot, bdy_bcid=conn.bdy_bcid.copy(),
+        slot_src=slot_src, slot_sign=slot_sign,
+        pos_vol_cubpts=pos_cub, detjac_vol_cubpts=detjac_cub, h_ref=h_ref)
+
+
+def _quad_corners(n_spts):
+    n1 = int(round(np.sqrt(n_spts)))
+    if n1 * n1 == n_spts:
+        # tensor ordering corners: bl, br, tl, tr
+        return [0, n1 - 1, n_spts - n1, n_spts - 1]
+    if n_spts == 8:
+        return [0, 1, 3, 2]
+    raise NotImplementedError
+
+
+def _hex_corners(n_spts):
+    n1 = int(round(n_spts ** (1 / 3)))
+    if n1**3 == n_spts:
+        s = n1 * n1 * (n1 - 1)
+        return [0, n1 - 1, n1 * (n1 - 1), n1 * n1 - 1,
+                s, s + n1 - 1, s + n1 * (n1 - 1), n_spts - 1]
+    if n_spts == 20:
+        return [0, 1, 3, 2, 4, 5, 7, 6]
+    raise NotImplementedError

@@ -1,0 +1,228 @@
+"""The jitted FR residual: one RK-stage spatial operator.
+
+TPU-native reformulation of CalcResidual (ref:src/solver.cpp:50-223): every
+stage is a batched tensor contraction over all elements of a type, face
+exchange is a pair of gathers over precomputed slot tables, and the common
+flux returns to element storage through a single inverse gather — no
+scatters, no pointers, fully fusable by XLA.
+
+Fast path (default): the discontinuous normal flux never visits the flux
+points; it is folded into ``opp_div_fused`` (see ops/operators.py).  Parity
+path (``fused=False``) applies opp_1/opp_2/opp_3 in the reference's exact
+order for bit-level comparisons.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.euler import inviscid_flux
+from ..models.viscous import adv_diff_viscous_flux, viscous_flux
+from ..ops import riemann
+from .elements import ElementBlock
+
+
+@dataclasses.dataclass(frozen=True)
+class ResidualConfig:
+    """Static numeric parameters closed over by the jitted residual."""
+    equation: int = 0
+    viscous: bool = False
+    riemann_solve_type: int = 0
+    gamma: float = 1.4
+    prandtl: float = 0.72
+    prandtl_t: float = 0.9
+    mu_inf: float = 0.0
+    rt_inf: float = 1.0
+    c_sth: float = 0.0
+    fix_vis: int = 1
+    ldg_tau: float = 0.0
+    ldg_beta: float = 0.5
+    rans: bool = False
+    wave_speed: tuple = (0.0, 0.0, 0.0)
+    lambda_lf: float = 1.0
+    diff_coeff: float = 0.0
+    fused: bool = True
+    n_fields: int = 4
+    # TPU matmul precision: f32 dots default to one bf16 MXU pass, which is
+    # far too coarse for FR operators (observed ~6e-4 error per RK step).
+    # HIGHEST uses enough bf16 passes for full f32 accuracy.
+    precision: str = "highest"
+
+
+class BlockArrays:
+    """ElementBlock constants cast to the compute dtype as jnp arrays."""
+
+    def __init__(self, block: ElementBlock, dtype):
+        ops = block.ops
+        f = lambda a: jnp.asarray(a, dtype=dtype)
+        i = lambda a: jnp.asarray(a, dtype=jnp.int32)
+        self.n_eles = block.n_eles
+        self.n_upts = ops.n_upts
+        self.n_fpts = ops.n_fpts
+        self.n_dims = ops.n_dims
+        self.opp_0 = f(ops.opp_0)
+        self.opp_1_cat = f(ops.opp_1_cat)
+        self.opp_2_cat = f(ops.opp_2_cat)
+        self.opp_3 = f(ops.opp_3)
+        self.opp_div_fused = f(ops.opp_div_fused)
+        self.tnorm = f(ops.tnorm_fpts)
+        self.detjac_upts = f(block.detjac_upts)
+        self.inv_detjac_upts = f(1.0 / block.detjac_upts)
+        self.jginv_upts = f(block.jginv_upts)
+        self.tdA = f(block.tdA_fpts)
+        self.norm = f(block.norm_fpts)
+        self.inv_detjac_fpts = f(1.0 / block.detjac_fpts)
+        self.jginv_fpts = f(block.jginv_fpts)
+        self.int_slot_l = i(block.int_slot_l)
+        self.int_slot_r = i(block.int_slot_r)
+        self.bdy_slot = i(block.bdy_slot)
+        self.slot_src = i(block.slot_src)
+        self.slot_sign = f(block.slot_sign)
+
+
+def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
+                     bc_fns=None):
+    """Build residual(u) -> rhs with u (E, U, F), rhs = -div_tconf/detjac.
+
+    ``bc_fns`` is a bc.BCFunctions supplying the boundary common fluxes and
+    LDG common solutions (None when the mesh is fully periodic).
+    """
+    B = BlockArrays(block, dtype)
+    d = B.n_dims
+    E, U, Pf = B.n_eles, B.n_upts, B.n_fpts
+    nF = cfg.n_fields
+    has_bdy = block.bdy_slot.size > 0
+    prec = jax.lax.Precision[cfg.precision.upper()]
+
+    def phys_flux(u):
+        """(E, U, F, d) physical inviscid flux."""
+        if cfg.equation == 0:
+            return inviscid_flux(u, cfg.gamma, d)
+        ws = jnp.asarray(cfg.wave_speed[:d], dtype=u.dtype)
+        return u[..., None] * ws  # (E,U,1,d)
+
+    def common_inv_flux(u_l, u_r, norm):
+        if cfg.equation == 0:
+            return riemann.solve(cfg.riemann_solve_type, u_l, u_r, norm,
+                                 gamma=cfg.gamma, n_dims=d)
+        ws = jnp.asarray(cfg.wave_speed[:d], dtype=u_l.dtype)
+        return riemann.lax_friedrichs_flux(u_l, u_r, norm, ws, cfg.lambda_lf)
+
+    def phys_visc_flux(u, grad):
+        if cfg.equation == 0:
+            return viscous_flux(
+                u, grad, gamma=cfg.gamma, prandtl=cfg.prandtl,
+                mu_inf=cfg.mu_inf, rt_inf=cfg.rt_inf, c_sth=cfg.c_sth,
+                fix_vis=cfg.fix_vis, n_dims=d, rans=cfg.rans,
+                prandtl_t=cfg.prandtl_t)
+        return adv_diff_viscous_flux(grad, cfg.diff_coeff)
+
+    def residual(u):
+        # 1. extrapolate solution to flux points (opp_0 GEMM,
+        #    ref:src/eles.cpp:1360-1411)
+        disu_f = jnp.einsum("pu,euf->epf", B.opp_0, u,
+                            preferred_element_type=dtype, precision=prec)
+        disu_f_flat = disu_f.reshape(E * Pf, nF)
+
+        # 2. face gathers
+        u_l = disu_f_flat[B.int_slot_l]            # (Fi, nfp, F)
+        u_r = disu_f_flat[B.int_slot_r]
+        norm_l = B.norm[B.int_slot_l]              # (Fi, nfp, d)
+        if has_bdy:
+            u_bl = disu_f_flat[B.bdy_slot]
+            norm_b = B.norm[B.bdy_slot]
+
+        # 3. viscous gradient path (opp_4/opp_5/opp_6,
+        #    ref:src/eles.cpp:1823-2052)
+        if cfg.viscous:
+            # uncorrected transformed gradient (opp_4 == opp_2)
+            tgrad = jnp.einsum("kgu,euf->ekfg", B.opp_2_cat.reshape(U, d, U),
+                               u, preferred_element_type=dtype, precision=prec)
+            # LDG common solution & delta at every slot
+            u_c_int = riemann.ldg_common_solution(u_l, u_r, norm_l,
+                                                  cfg.ldg_beta)
+            if has_bdy:
+                u_c_bdy = bc_fns.ldg_solution(u_bl, norm_b)
+                u_c_all = jnp.concatenate(
+                    [u_c_int.reshape(-1, nF), u_c_bdy.reshape(-1, nF)])
+            else:
+                u_c_all = u_c_int.reshape(-1, nF)
+            delta_flat = u_c_all[B.slot_src] - disu_f_flat     # (S, F)
+            delta = delta_flat.reshape(E, Pf, nF)
+            # gradient correction: opp_5[d] = opp_3 * tnorm[:, d]
+            corr = jnp.einsum("kp,pd,epf->ekfd", B.opp_3, B.tnorm, delta,
+                              preferred_element_type=dtype, precision=prec)
+            tgrad = tgrad + corr
+            # physical gradient at upts: (1/det) JGinv^T . tgrad
+            grad_u = jnp.einsum("euml,eufm->eufl", B.jginv_upts, tgrad,
+                                precision=prec) \
+                * B.inv_detjac_upts[..., None, None]
+            # extrapolate corrected transformed gradient to fpts (opp_6)
+            tgrad_f = jnp.einsum("pu,eufd->epfd", B.opp_0, tgrad,
+                                 preferred_element_type=dtype,
+                                 precision=prec).reshape(E * Pf, nF, d)
+            # jginv_fpts/detjac_fpts are stored flat over slots (S, d, d)
+            grad_f_flat = jnp.einsum("sml,sfm->sfl", B.jginv_fpts, tgrad_f,
+                                     precision=prec) \
+                * B.inv_detjac_fpts[:, None, None]
+
+        # 4. physical total flux at upts -> transformed flux
+        f = phys_flux(u)                           # (E, U, F, d)
+        if cfg.viscous:
+            f = f + phys_visc_flux(u, grad_u)
+        tdisf = jnp.einsum("eulm,eufm->eufl", B.jginv_upts, f,
+                           precision=prec)
+        tdisf_cat = tdisf.transpose(0, 3, 1, 2).reshape(E, d * U, nF)
+
+        # 5. common interface fluxes (Riemann / LDG,
+        #    ref:src/int_inters.cpp:160-344)
+        fn_int = common_inv_flux(u_l, u_r, norm_l)
+        if cfg.viscous:
+            gl = grad_f_flat[B.int_slot_l]
+            gr = grad_f_flat[B.int_slot_r]
+            fv_l = phys_visc_flux(u_l, gl)
+            fv_r = phys_visc_flux(u_r, gr)
+            fn_int = fn_int + riemann.ldg_common_flux(
+                u_l, u_r, fv_l, fv_r, norm_l, cfg.ldg_tau, cfg.ldg_beta)
+        if has_bdy:
+            fn_bdy = bc_fns.inv_common_flux(u_bl, norm_b)
+            if cfg.viscous:
+                fn_bdy = fn_bdy + bc_fns.visc_common_flux(
+                    u_bl, grad_f_flat[B.bdy_slot], norm_b)
+            fn_all = jnp.concatenate([fn_int.reshape(-1, nF),
+                                      fn_bdy.reshape(-1, nF)])
+        else:
+            fn_all = fn_int.reshape(-1, nF)
+
+        # 6. slot-level normal transformed continuous flux
+        #    (sign * tdA * fn, ref:src/int_inters.cpp:217-220)
+        norm_tconf_flat = (fn_all[B.slot_src]
+                           * (B.slot_sign * B.tdA)[:, None])
+        norm_tconf = norm_tconf_flat.reshape(E, Pf, nF)
+
+        # 7. divergence (+ correction lift)
+        if cfg.fused:
+            div = jnp.einsum("ku,euf->ekf", B.opp_div_fused, tdisf_cat,
+                             preferred_element_type=dtype, precision=prec)
+            div = div + jnp.einsum("kp,epf->ekf", B.opp_3, norm_tconf,
+                                   preferred_element_type=dtype, precision=prec)
+        else:
+            div = jnp.einsum("ku,euf->ekf", B.opp_2_cat, tdisf_cat,
+                             preferred_element_type=dtype, precision=prec)
+            norm_tdisf = jnp.einsum("pu,euf->epf", B.opp_1_cat, tdisf_cat,
+                                    preferred_element_type=dtype, precision=prec)
+            div = div + jnp.einsum("kp,epf->ekf", B.opp_3,
+                                   norm_tconf - norm_tdisf,
+                                   preferred_element_type=dtype, precision=prec)
+
+        # rhs of du/dt = -div_tconf/detjac (+ sources later,
+        # ref:src/eles.cpp:1102-1104)
+        return -div * B.inv_detjac_upts[..., None]
+
+    return residual

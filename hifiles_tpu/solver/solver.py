@@ -1,0 +1,188 @@
+"""Solver orchestration: config + mesh -> jitted time stepping + diagnostics.
+
+The TPU-native analog of the reference driver (ref:src/HiFiLES.cpp:41-343):
+setup happens once on the host in numpy; the time loop is a jitted
+``lax.scan`` over fused RK steps on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import HEX, QUAD, TRI
+from ..config.params import RunInput
+from ..mesh.core import FaceConnectivity, MeshData, build_faces
+from ..models.euler import max_wavespeed
+from ..ops.operators import build_tensor_ops
+from .elements import ElementBlock, build_element_block
+from .ics import analytic_solution, initial_condition
+from .residual import ResidualConfig, make_residual_fn
+from .step import N_STAGES, make_step_fn
+
+
+class Solver:
+    """Single-element-type, single-device solver (multi-chip via
+    parallel/sharding.py wraps this)."""
+
+    def __init__(self, run_input: RunInput, mesh: MeshData,
+                 dtype=jnp.float64, fused: bool = True):
+        from ..utils import enable_persistent_cache
+        enable_persistent_cache()
+        self.p = run_input
+        self.mesh = mesh
+        self.dtype = dtype
+        self.n_dims = mesh.n_dims
+        self.n_fields = run_input.n_fields_for(self.n_dims)
+
+        # boundary flags: group id -> BCFLAG
+        if mesh.bc_names and not run_input.bc_list:
+            run_input.read_boundary_params(mesh.bc_names) \
+                if run_input._deck is not None else None
+        if run_input.bc_list:
+            bc_flags = {i: bc.flag for i, bc in enumerate(run_input.bc_list)}
+        else:
+            # built-in periodic meshes declare a single Cyclic group
+            from ..config.params import CYCLIC
+            bc_flags = {0: CYCLIC}
+        delta_cyclic = np.array([run_input.dx_cyclic, run_input.dy_cyclic,
+                                 run_input.dz_cyclic])[:self.n_dims]
+
+        self.conn = build_faces(mesh, bc_flags, delta_cyclic)
+
+        ctype = int(mesh.ctype[0])
+        if ctype == QUAD:
+            ops = build_tensor_ops(
+                QUAD, run_input.order, run_input.upts_type_quad,
+                run_input.vcjh_scheme_quad, run_input.eta_quad)
+        elif ctype == HEX:
+            ops = build_tensor_ops(
+                HEX, run_input.order, run_input.upts_type_hexa,
+                run_input.vcjh_scheme_hexa, run_input.eta_hexa)
+        else:
+            raise NotImplementedError(f"ctype {ctype} solver block")
+        self.ops = ops
+        self.block = build_element_block(mesh, self.conn, ops,
+                                         delta_cyclic=delta_cyclic)
+
+        self.rcfg = ResidualConfig(
+            equation=run_input.equation, viscous=bool(run_input.viscous),
+            riemann_solve_type=run_input.riemann_solve_type,
+            gamma=run_input.gamma, prandtl=run_input.prandtl,
+            prandtl_t=run_input.prandtl_t,
+            mu_inf=0.0 if np.isnan(run_input.mu_inf) else run_input.mu_inf,
+            rt_inf=1.0 if np.isnan(run_input.rt_inf) else run_input.rt_inf,
+            c_sth=0.0 if np.isnan(run_input.c_sth) else run_input.c_sth,
+            fix_vis=run_input.fix_vis, ldg_tau=run_input.ldg_tau,
+            ldg_beta=run_input.ldg_beta, rans=bool(run_input.RANS),
+            wave_speed=tuple(run_input.wave_speed),
+            lambda_lf=run_input.lambda_lf, diff_coeff=run_input.diff_coeff,
+            fused=fused, n_fields=self.n_fields)
+
+        bc_fns = None
+        if self.block.bdy_slot.size:
+            from .bc import make_bc_functions
+            bc_fns = make_bc_functions(run_input, self.block, self.rcfg,
+                                       dtype)
+
+        self.residual_fn = make_residual_fn(self.block, self.rcfg, dtype,
+                                            bc_fns)
+        self._step = make_step_fn(self.residual_fn, run_input.adv_type)
+        self.n_stages = N_STAGES[run_input.adv_type]
+
+        # initial condition at solution points (ref:src/solver.cpp:321-340)
+        u0 = initial_condition(run_input, self.block.pos_upts, self.n_fields)
+        self.u = jnp.asarray(u0, dtype=dtype)
+        self.reg = jnp.zeros_like(self.u)
+        self.time = 0.0
+
+        self._run_chunk = jax.jit(self._make_run_chunk(), static_argnums=2,
+                                  donate_argnums=0)
+
+    # ------------------------------------------------------------------
+    def _make_run_chunk(self):
+        step = self._step
+
+        def run_chunk(state, dt, n_steps):
+            def body(carry, _):
+                u, r = carry
+                u, r = step(u, r, dt)
+                return (u, r), None
+            state, _ = jax.lax.scan(body, state, None, length=n_steps)
+            return state
+
+        return run_chunk
+
+    # ------------------------------------------------------------------
+    def compute_dt(self) -> float:
+        """Global CFL time step (ref:src/solver.cpp:484-549,
+        ref:src/eles.cpp:1267-1356)."""
+        p = self.p
+        if p.dt_type == 0:
+            return p.dt
+        lam = np.asarray(max_wavespeed(self.u, p.gamma, self.n_dims))
+        lam_inv = lam.max(axis=1)   # per element
+        dt_inv = p.CFL * self.block.h_ref / lam_inv / (2 * p.order + 1)
+        if p.viscous:
+            from ..models.viscous import sutherland_mu
+            u = np.asarray(self.u)
+            rho = u[..., 0]
+            ke = 0.5 * np.sum(u[..., 1:1 + self.n_dims]**2, axis=-1) / rho
+            inte = (u[..., self.n_dims + 1] - ke) / rho
+            mu = np.asarray(sutherland_mu(inte, p.gamma, p.mu_inf, p.rt_inf,
+                                          p.c_sth, p.fix_vis))
+            lam_visc = (max(4.0 / 3.0, p.gamma / p.prandtl)
+                        * mu / rho).max(axis=1)
+            dt_visc = (p.CFL * 0.25 * self.block.h_ref**2 / lam_visc
+                       / (2 * p.order + 1))
+            dt_ele = np.minimum(dt_inv, dt_visc)
+        else:
+            dt_ele = dt_inv
+        return float(dt_ele.min())
+
+    def run(self, n_steps: int, dt: float | None = None):
+        if dt is None:
+            dt = self.compute_dt()
+        state = self._run_chunk((self.u, self.reg), jnp.asarray(dt, self.dtype),
+                                n_steps)
+        self.u, self.reg = state
+        self.time += dt * n_steps
+        return self.u
+
+    # ------------------------------------------------------------------
+    def compute_error(self, norm_type: int | None = None) -> np.ndarray:
+        """Volume-cubature error vs the analytic test case
+        (ref:src/eles.cpp:5076-5136, ref:src/output.cpp:2052-2164).
+
+        Returns (2, n_fields): [solution error, gradient error]; final norms
+        are sqrt() for L2 outside (the reference prints sqrt of the global
+        reduction)."""
+        p = self.p
+        norm_type = norm_type if norm_type is not None else p.error_norm_type
+        ops = self.ops
+        u = np.asarray(self.u, dtype=np.float64)
+        disu_cub = np.einsum("cu,euf->ecf", ops.opp_vol_cubpts, u)
+        sol_a, grad_a = analytic_solution(p, self.block.pos_vol_cubpts,
+                                          self.time, self.n_fields)
+        err = disu_cub - sol_a
+        w = ops.w_vol_cubpts[None, :] * self.block.detjac_vol_cubpts
+        out = np.zeros((2, self.n_fields))
+        if norm_type == 1:
+            out[0] = np.einsum("ec,ecf->f", w, np.abs(err))
+        else:
+            out[0] = np.einsum("ec,ecf->f", w, err * err)
+        # gradient error only needed for viscous test cases; fill later
+        return out
+
+    def residual_norm(self, norm_type: int = 2) -> np.ndarray:
+        """Norm of the steady residual (ref:src/output.cpp:2166-2263)."""
+        r = np.asarray(self.residual_fn(self.u))
+        if norm_type == 1:
+            return np.abs(r).sum(axis=(0, 1))
+        if norm_type == 2:
+            return np.sqrt((r * r).sum(axis=(0, 1)))
+        return np.abs(r).max(axis=(0, 1))
