@@ -31,7 +31,7 @@ import dataclasses
 
 import numpy as np
 
-from .. import HEX, QUAD
+from .. import HEX, QUAD, TRI
 from .basis import (dlagrange_matrix, lagrange_matrix, tensor_legendre_norms,
                     vandermonde_tensor)
 from .correction import dcorrection_1d
@@ -88,6 +88,9 @@ class ElementOps:
 
         Covers opp_p / opp_probe / opp_r / opp_inters_cubpts
         (ref:src/eles.cpp:3600-3710)."""
+        if self.ele_type == TRI:
+            from .simplex import dubiner_2d
+            return dubiner_2d(locs, self.order) @ self.inv_vandermonde
         return _nodal_interp_tensor(locs, self._loc_1d(), self.n_dims)
 
     def _loc_1d(self) -> np.ndarray:
@@ -298,6 +301,62 @@ def build_tensor_ops(ele_type: int, order: int, upts_rule: int = GAUSS,
         ele_type=ele_type, order=order, n_dims=n_dims, n_upts=U, n_fpts=Pf,
         n_faces=n_faces,
         n_fpts_per_face=np.full(n_faces, Pf // n_faces, dtype=np.int64),
+        loc_upts=loc_upts, tloc_fpts=tloc_fpts, tnorm_fpts=tnorm_fpts,
+        fpt_face=fpt_face, opp_0=opp_0, opp_1=opp_1, opp_2=opp_2, opp_3=opp_3,
+        loc_vol_cubpts=loc_cub, w_vol_cubpts=w_cub, opp_vol_cubpts=opp_cub,
+        vandermonde=V, inv_vandermonde=Vinv, modal_norms=norms,
+        opp_div_fused=opp_div_fused, upts_weights=w_upts)
+
+
+def build_tri_ops(order: int, upts_type: int = 0, fpts_type: int = 0,
+                  vcjh_scheme: int = 1, c_tri: float = 0.0) -> ElementOps:
+    """Operator set for TRI elements (ref:src/eles_tris.cpp:45-136).
+
+    Solution points: alpha-optimized (upts_type 1) or interior cubature
+    points (upts_type 0, which also carry weights); nodal basis defined via
+    the orthonormal Dubiner modal basis and its Vandermonde (Hesthaven eq.
+    3.3, ref:src/eles_tris.cpp:703-720).  Correction: DG lift (VCJH c!=0
+    filter matrix not yet implemented)."""
+    from .simplex import (dubiner_2d, grad_dubiner_2d, tri_alpha_points,
+                          tri_dg_lift, tri_fpts, tri_interior_cubature,
+                          tri_modes)
+
+    if vcjh_scheme != 1 and c_tri != 0.0:
+        raise NotImplementedError("tri VCJH filter (c_tri != 0); use DG")
+
+    U = (order + 1) * (order + 2) // 2
+    if upts_type == 0:
+        loc_upts, w_upts = tri_interior_cubature(order)
+    else:
+        loc_upts = tri_alpha_points(order)
+        w_upts = np.zeros(U)
+
+    loc_1d_fpts, _ = line_rule(fpts_type, order)
+    tloc_fpts, tnorm_fpts, fpt_face = tri_fpts(loc_1d_fpts, order)
+    Pf = tloc_fpts.shape[0]
+
+    V = dubiner_2d(loc_upts, order)
+    Vinv = np.linalg.inv(V)
+    # nodal basis value at x: phi(x) @ Vinv (columns = nodal functions)
+    opp_0 = dubiner_2d(tloc_fpts, order) @ Vinv
+    opp_1 = np.stack([opp_0 * tnorm_fpts[:, d:d + 1] for d in range(2)])
+    gV = grad_dubiner_2d(loc_upts, order)             # (U, U, 2)
+    opp_2 = np.stack([gV[..., d] @ Vinv for d in range(2)])
+    opp_3 = tri_dg_lift(loc_upts, loc_1d_fpts, order)
+
+    loc_cub, w_cub = tri_interior_cubature(min(order, 7))
+    opp_cub = dubiner_2d(loc_cub, order) @ Vinv
+
+    modes = np.array(tri_modes(order))
+    norms = np.ones(U)  # Dubiner basis is orthonormal
+
+    opp_2_cat = np.concatenate([opp_2[d] for d in range(2)], axis=1)
+    opp_1_cat = np.concatenate([opp_1[d] for d in range(2)], axis=1)
+    opp_div_fused = opp_2_cat - opp_3 @ opp_1_cat
+
+    return ElementOps(
+        ele_type=TRI, order=order, n_dims=2, n_upts=U, n_fpts=Pf, n_faces=3,
+        n_fpts_per_face=np.full(3, order + 1, dtype=np.int64),
         loc_upts=loc_upts, tloc_fpts=tloc_fpts, tnorm_fpts=tnorm_fpts,
         fpt_face=fpt_face, opp_0=opp_0, opp_1=opp_1, opp_2=opp_2, opp_3=opp_3,
         loc_vol_cubpts=loc_cub, w_vol_cubpts=w_cub, opp_vol_cubpts=opp_cub,

@@ -119,6 +119,11 @@ class ElementBlock:
     detjac_vol_cubpts: np.ndarray  # (E, C)
     # elements' reference length (for CFL dt), ref:src/eles_quads.cpp:1287-1301
     h_ref: np.ndarray         # (E,)
+    # over-integration (de-aliasing) geometry, set when enabled
+    # (ref:src/eles.cpp:4151-4213 set_transforms_over_int_cubtps)
+    jginv_over: np.ndarray | None = None    # (E, C2, d, d)
+    opp_over: np.ndarray | None = None      # (C2, U)
+    over_filter: np.ndarray | None = None   # (U, C2)
 
     @property
     def n_upts(self):
@@ -131,7 +136,8 @@ class ElementBlock:
 
 def build_element_block(mesh: MeshData, conn: FaceConnectivity,
                         ops: ElementOps, check_geometry: bool = True,
-                        delta_cyclic: np.ndarray | None = None) -> ElementBlock:
+                        delta_cyclic: np.ndarray | None = None,
+                        over_int_order: int | None = None) -> ElementBlock:
     """Assemble an ElementBlock for a single-element-type mesh."""
     ct = ops.ele_type
     sel = np.where(mesh.ctype == ct)[0]
@@ -249,8 +255,19 @@ def build_element_block(mesh: MeshData, conn: FaceConnectivity,
     if np.any(slot_src < 0):
         raise AssertionError("uncovered flux-point slots; face tables broken")
 
+    # --- over-integration geometry (ref:src/eles.cpp:4151-4213)
+    jginv_over = opp_over = over_filter = None
+    if over_int_order is not None:
+        from ..ops.stabilization import build_over_int_ops
+        loc_over, opp_over, over_filter = build_over_int_ops(
+            ops, over_int_order)
+        db_o = shape_dbasis(ct, loc_over, n_spts)
+        J_o = np.einsum("csj,esi->ecij", db_o, spts)
+        jginv_over = _adjugate(J_o)
+
     return ElementBlock(
         ops=ops, n_eles=E,
+        jginv_over=jginv_over, opp_over=opp_over, over_filter=over_filter,
         pos_upts=pos_upts, detjac_upts=detjac_upts, jginv_upts=jginv_upts,
         pos_fpts=pos_fpts.reshape(S, d), tdA_fpts=tdA.reshape(S),
         norm_fpts=norm.reshape(S, d), detjac_fpts=detjac_fpts.reshape(S),

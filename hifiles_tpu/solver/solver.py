@@ -39,10 +39,11 @@ class Solver:
         self.n_dims = mesh.n_dims
         self.n_fields = run_input.n_fields_for(self.n_dims)
 
-        # boundary flags: group id -> BCFLAG
-        if mesh.bc_names and not run_input.bc_list:
-            run_input.read_boundary_params(mesh.bc_names) \
-                if run_input._deck is not None else None
+        # boundary flags: group id -> BCFLAG (ref:src/mesh_reader.cpp:299-393
+        # builds bc_list from the mesh's boundary group names)
+        if (mesh.bc_names and not run_input.bc_list
+                and run_input._deck is not None):
+            run_input.read_boundary_params(mesh.bc_names)
         if run_input.bc_list:
             bc_flags = {i: bc.flag for i, bc in enumerate(run_input.bc_list)}
         else:
@@ -63,6 +64,12 @@ class Solver:
             ops = build_tensor_ops(
                 HEX, run_input.order, run_input.upts_type_hexa,
                 run_input.vcjh_scheme_hexa, run_input.eta_hexa)
+        elif ctype == TRI:
+            from ..ops.operators import build_tri_ops
+            ops = build_tri_ops(
+                run_input.order, run_input.upts_type_tri,
+                run_input.fpts_type_tri, run_input.vcjh_scheme_tri,
+                run_input.c_tri)
         else:
             raise NotImplementedError(f"ctype {ctype} solver block")
         self.ops = ops
