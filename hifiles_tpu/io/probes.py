@@ -1,0 +1,176 @@
+"""Probe subsystem (ref:src/probe_input.cpp): point-set generators
+(line / circle / cone / cube / explicit), owning-cell location (calc_p2c
+analogs, ref per-type calc_p2c e.g. ref:src/eles_quads.cpp:1303-1396),
+solution sampling (opp_probe, ref:src/eles.cpp:3625-3633), and HDF5 probe
+files with an unlimited time axis (ref:src/output.cpp:1549-1752).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..mesh.shape import shape_basis, shape_dbasis
+
+
+def probe_line(p0, p1, n: int) -> np.ndarray:
+    """(ref:src/probe_input.cpp:743-797 set_probe_line)."""
+    t = np.linspace(0.0, 1.0, n)[:, None]
+    return np.asarray(p0)[None, :] * (1 - t) + np.asarray(p1)[None, :] * t
+
+
+def probe_circle(center, radius, n: int, normal=(0, 0, 1)) -> np.ndarray:
+    """Points on a circle (ref:src/probe_input.cpp:798-933)."""
+    center = np.asarray(center, dtype=np.float64)
+    d = center.size
+    theta = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    if d == 2:
+        return center + radius * np.stack([np.cos(theta), np.sin(theta)],
+                                          axis=1)
+    nrm = np.asarray(normal, dtype=np.float64)
+    nrm /= np.linalg.norm(nrm)
+    a = np.array([1.0, 0.0, 0.0])
+    if abs(nrm @ a) > 0.9:
+        a = np.array([0.0, 1.0, 0.0])
+    t1 = np.cross(nrm, a)
+    t1 /= np.linalg.norm(t1)
+    t2 = np.cross(nrm, t1)
+    return (center[None] + radius * (np.cos(theta)[:, None] * t1[None]
+                                     + np.sin(theta)[:, None] * t2[None]))
+
+
+def probe_cone(p0, p1, r0: float, r1: float, n_layers: int,
+               n_per_layer: int) -> np.ndarray:
+    """Rings along the axis p0->p1 with linearly varying radius
+    (ref:src/probe_input.cpp:934-1063)."""
+    p0 = np.asarray(p0, dtype=np.float64)
+    p1 = np.asarray(p1, dtype=np.float64)
+    axis = p1 - p0
+    out = []
+    for i in range(n_layers):
+        t = i / max(n_layers - 1, 1)
+        out.append(probe_circle(p0 + t * axis, r0 + t * (r1 - r0),
+                                n_per_layer, normal=axis))
+    return np.concatenate(out)
+
+
+def probe_cube(origin, lengths, n_per_dim) -> np.ndarray:
+    """Regular lattice in a box (ref:src/probe_input.cpp:1064-1079)."""
+    origin = np.asarray(origin, dtype=np.float64)
+    lengths = np.asarray(lengths, dtype=np.float64)
+    axes = [np.linspace(0, L, n) for L, n in zip(lengths, n_per_dim)]
+    grids = np.meshgrid(*axes, indexing="ij")
+    return origin + np.stack([g.ravel() for g in grids], axis=1)
+
+
+def locate_points(mesh, pts: np.ndarray, tol: float = 1e-8):
+    """Find the owning element and reference coordinates of each point by
+    Newton-inverting the shape mapping over bounding-box candidates.
+
+    Returns (ele (n,), ref (n, d)); ele = -1 when a point is outside the
+    local mesh (ref:src/probe_input.cpp:1190-1204 set_loc_probepts)."""
+    n_spts = int(mesh.c2n_v[0])
+    ct = int(mesh.ctype[0])
+    spts = mesh.xv[mesh.c2v[:, :n_spts]]             # (E, n_spts, d)
+    lo = spts.min(axis=1) - tol
+    hi = spts.max(axis=1) + tol
+    d = mesh.n_dims
+    ele_out = -np.ones(pts.shape[0], dtype=np.int64)
+    ref_out = np.zeros((pts.shape[0], d))
+
+    def inside_ref(r):
+        if ct == 1:      # quad
+            return np.all(np.abs(r) <= 1 + 1e-6)
+        if ct == 4:      # hex
+            return np.all(np.abs(r) <= 1 + 1e-6)
+        if ct == 0:      # tri
+            return (r >= -1 - 1e-6).all() and r.sum() <= 1e-6
+        raise NotImplementedError
+
+    for ip, x in enumerate(pts):
+        cands = np.where(np.all((x >= lo) & (x <= hi), axis=1))[0]
+        for e in cands:
+            r = np.zeros(d) if ct != 0 else np.full(d, -1.0 / 3.0)
+            ok = False
+            for _ in range(30):
+                sb = shape_basis(ct, r[None], n_spts)[0]
+                pos = sb @ spts[e]
+                res = pos - x
+                if np.abs(res).max() < tol:
+                    ok = True
+                    break
+                J = np.einsum("sj,si->ij", shape_dbasis(ct, r[None],
+                                                        n_spts)[0], spts[e])
+                r = r - np.linalg.solve(J, res)
+                r = np.clip(r, -1.5, 1.5)
+            if ok and inside_ref(r):
+                ele_out[ip] = e
+                ref_out[ip] = r
+                break
+    return ele_out, ref_out
+
+
+class ProbeSet:
+    """A located probe set with its sampling operator."""
+
+    def __init__(self, solver, pts: np.ndarray, fields: list[str]):
+        self.pts = np.asarray(pts, dtype=np.float64)
+        self.fields = fields
+        self.ele, ref = locate_points(solver.mesh, self.pts)
+        self.owned = np.where(self.ele >= 0)[0]
+        # opp_probe: one interpolation row per owned probe
+        # (ref:src/eles.cpp:3625-3633)
+        self.opp = solver.ops.interp_to(ref[self.owned]) \
+            if self.owned.size else np.zeros((0, solver.ops.n_upts))
+        self.solver = solver
+
+    def sample(self) -> np.ndarray:
+        """(n_owned, n_out_fields) current probe values."""
+        s = self.solver
+        u = np.asarray(s.u, dtype=np.float64)
+        vals = np.einsum("pu,puf->pf", self.opp,
+                         u[self.ele[self.owned]])
+        nd = s.n_dims
+        out = []
+        for name in self.fields:
+            if name == "rho":
+                out.append(vals[:, 0])
+            elif name in ("u", "v", "w"):
+                ax = {"u": 0, "v": 1, "w": 2}[name]
+                out.append(vals[:, 1 + ax] / vals[:, 0])
+            elif name == "energy":
+                out.append(vals[:, nd + 1])
+            elif name == "pressure":
+                ke = 0.5 * np.sum(vals[:, 1:1 + nd] ** 2, axis=1) / vals[:, 0]
+                out.append((s.p.gamma - 1.0) * (vals[:, nd + 1] - ke))
+            else:
+                raise ValueError(f"unknown probe field '{name}'")
+        return np.stack(out, axis=1)
+
+
+class ProbeHDF5Writer:
+    """HDF5 probe file with unlimited, chunk-appended time axis
+    (ref:src/output.cpp:1549-1752, ref:src/probe_input.cpp:68-180)."""
+
+    def __init__(self, path: str, probe_set: ProbeSet):
+        import h5py
+        self.path = path
+        self.ps = probe_set
+        n = probe_set.owned.size
+        nf = len(probe_set.fields)
+        with h5py.File(path, "w") as f:
+            f.create_dataset("coords", data=probe_set.pts[probe_set.owned])
+            f.attrs["fields"] = np.array(probe_set.fields, dtype="S16")
+            f.create_dataset("time", (0,), maxshape=(None,), dtype="f8",
+                             chunks=(16,))
+            f.create_dataset("data", (0, n, nf), maxshape=(None, n, nf),
+                             dtype="f8", chunks=(16, max(n, 1), nf))
+
+    def append(self, time: float):
+        import h5py
+        vals = self.ps.sample()
+        with h5py.File(self.path, "a") as f:
+            nt = f["time"].shape[0]
+            f["time"].resize((nt + 1,))
+            f["time"][nt] = time
+            f["data"].resize((nt + 1,) + f["data"].shape[1:])
+            f["data"][nt] = vals

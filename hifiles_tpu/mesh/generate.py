@@ -53,6 +53,31 @@ def periodic_quad_mesh(nx: int, ny: int, x0: float = -1.0, x1: float = 1.0,
                     ic2icg=np.arange(C, dtype=np.int64))
 
 
+def channel_quad_mesh(nx: int, ny: int, x0: float, x1: float,
+                      y0: float, y1: float,
+                      bc_x: str = "Inflow", bc_X: str = "Outflow",
+                      bc_y: str | None = None) -> MeshData:
+    """Quad channel: named BC groups on x- (bc_x) and x+ (bc_X) boundaries;
+    y boundaries cyclic by default or a named group ``bc_y``."""
+    mesh = periodic_quad_mesh(nx, ny, x0, x1, y0, y1)
+    names = [bc_x, bc_X, bc_y if bc_y is not None else "Cyclic"]
+    bc_id = -np.ones_like(mesh.bc_id)
+    for j in range(ny):
+        for i in range(nx):
+            c = j * nx + i
+            if j == 0:
+                bc_id[c, 0] = 2
+            if i == nx - 1:
+                bc_id[c, 1] = 1
+            if j == ny - 1:
+                bc_id[c, 2] = 2
+            if i == 0:
+                bc_id[c, 3] = 0
+    mesh.bc_id = bc_id
+    mesh.bc_names = names
+    return mesh
+
+
 def periodic_hex_mesh(nx: int, ny: int, nz: int,
                       x0: float = -np.pi, x1: float = np.pi,
                       y0: float = -np.pi, y1: float = np.pi,

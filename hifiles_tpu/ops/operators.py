@@ -72,6 +72,9 @@ class ElementOps:
     # fused fast-path operators
     opp_div_fused: np.ndarray   # (U, U*d)
     upts_weights: np.ndarray    # (U,) quadrature weights at solution points
+    # per-flux-point quadrature weight on its face (for surface integrals,
+    # ref:src/eles.cpp:5704 compute_wall_forces at inters_cubpts)
+    fpt_weights: np.ndarray | None = None
 
     @property
     def opp_1_cat(self) -> np.ndarray:
@@ -297,8 +300,16 @@ def build_tensor_ops(ele_type: int, order: int, upts_rule: int = GAUSS,
     opp_1_cat = np.concatenate([opp_1[d] for d in range(n_dims)], axis=1)
     opp_div_fused = opp_2_cat - opp_3 @ opp_1_cat
 
+    # per-fpt face-quadrature weights (1-D rule per edge / tensor per face)
+    if n_dims == 2:
+        fpt_w = np.tile(w_1d, n_faces)
+    else:
+        w2 = np.outer(w_1d, w_1d).ravel()
+        fpt_w = np.tile(w2, n_faces)
+
     return ElementOps(
         ele_type=ele_type, order=order, n_dims=n_dims, n_upts=U, n_fpts=Pf,
+        fpt_weights=fpt_w,
         n_faces=n_faces,
         n_fpts_per_face=np.full(n_faces, Pf // n_faces, dtype=np.int64),
         loc_upts=loc_upts, tloc_fpts=tloc_fpts, tnorm_fpts=tnorm_fpts,
@@ -331,7 +342,7 @@ def build_tri_ops(order: int, upts_type: int = 0, fpts_type: int = 0,
         loc_upts = tri_alpha_points(order)
         w_upts = np.zeros(U)
 
-    loc_1d_fpts, _ = line_rule(fpts_type, order)
+    loc_1d_fpts, w_1d_fpts = line_rule(fpts_type, order)
     tloc_fpts, tnorm_fpts, fpt_face = tri_fpts(loc_1d_fpts, order)
     Pf = tloc_fpts.shape[0]
 
@@ -354,8 +365,13 @@ def build_tri_ops(order: int, upts_type: int = 0, fpts_type: int = 0,
     opp_1_cat = np.concatenate([opp_1[d] for d in range(2)], axis=1)
     opp_div_fused = opp_2_cat - opp_3 @ opp_1_cat
 
+    # face-quadrature weights including the reference-edge measure: the
+    # hypotenuse has reference length 2*sqrt(2) over parameter range 2
+    fpt_w = np.concatenate([w_1d_fpts, w_1d_fpts * np.sqrt(2.0), w_1d_fpts])
+
     return ElementOps(
         ele_type=TRI, order=order, n_dims=2, n_upts=U, n_fpts=Pf, n_faces=3,
+        fpt_weights=fpt_w,
         n_fpts_per_face=np.full(3, order + 1, dtype=np.int64),
         loc_upts=loc_upts, tloc_fpts=tloc_fpts, tnorm_fpts=tnorm_fpts,
         fpt_face=fpt_face, opp_0=opp_0, opp_1=opp_1, opp_2=opp_2, opp_3=opp_3,

@@ -199,27 +199,31 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
                 else:
                     e_r = energy(rho_l, v_r, p_l)
                 u_r = sel(f, pack(rho_l, v_r, e_r, u_l))
-            elif f == ISOTHERM_WALL:
-                # (ref:src/bdy_inters.cpp:705-794); wall-model variants use
-                # sol_spec 1/2 slip logic — plain no-slip here, wm later
-                T_r = P["T_static"]
+            elif f in (ISOTHERM_WALL, ADIABAT_WALL):
+                # (ref:src/bdy_inters.cpp:705-863).  With a wall model the
+                # inviscid/LDG states use slip logic (sol_spec 0/1) and the
+                # no-slip wall state is sol_spec 2 (ref::713-762, :802-830).
+                wm = P["use_wm"] > 0
                 if sol_spec == 0:
-                    v_r = 2.0 * P["vel"] - v_l
+                    v_plain = 2.0 * P["vel"] - v_l
+                    v_wm = v_l - 2.0 * vn_l[..., None] * norm
+                elif sol_spec == 1:
+                    v_plain = P["vel"] * jnp.ones_like(v_l)
+                    v_wm = v_l - vn_l[..., None] * norm
+                else:  # sol_spec == 2: no-slip wall state for the wall model
+                    v_plain = P["vel"] * jnp.ones_like(v_l)
+                    v_wm = v_plain
+                v_r = jnp.where(wm[..., None], v_wm, v_plain)
+                if f == ISOTHERM_WALL:
+                    # wall-temperature energy, except wm slip states
+                    # extrapolate temperature (ref::726-731, :744-749)
+                    e_iso = rho_l * (R_ref / (gamma - 1.0) * P["T_static"]) \
+                        + 0.5 * rho_l * jnp.sum(v_r * v_r, axis=-1)
+                    e_ext = energy(rho_l, v_r, p_l)
+                    use_ext = wm & (sol_spec in (0, 1))
+                    e_r = jnp.where(use_ext, e_ext, e_iso)
                 else:
-                    v_r = P["vel"] * jnp.ones_like(v_l)
-                e_r = rho_l * (R_ref / (gamma - 1.0) * T_r) \
-                    + 0.5 * rho_l * jnp.sum(v_r * v_r, axis=-1)
-                cand = pack(rho_l, v_r, e_r, u_l)
-                if rcfg.rans:
-                    cand = cand.at[..., n_dims + 2].set(0.0)
-                u_r = sel(f, cand)
-            elif f == ADIABAT_WALL:
-                # (ref:src/bdy_inters.cpp:797-863)
-                if sol_spec == 0:
-                    v_r = 2.0 * P["vel"] - v_l
-                else:
-                    v_r = P["vel"] * jnp.ones_like(v_l)
-                e_r = energy(rho_l, v_r, p_l)
+                    e_r = energy(rho_l, v_r, p_l)
                 cand = pack(rho_l, v_r, e_r, u_l)
                 if rcfg.rans:
                     cand = cand.at[..., n_dims + 2].set(0.0)
@@ -321,10 +325,38 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
                                grad_r)
         return grad_r
 
-    def visc_common_flux(u_l, grad_l, norm):
+    # --- wall-model input points: per wall-modeled boundary face, the
+    # solution point with the largest min-distance to the face
+    # (ref:src/eles.cpp:4873-4903 calc_wm_upts_dist)
+    has_wm = bool(np.any(P_np["use_wm"] > 0)) and run_input.wall_model > 0
+    if has_wm:
+        Pf = block.ops.n_fpts
+        wm_ele = np.zeros(block.bdy_bcid.size, dtype=np.int64)
+        wm_upt = np.zeros(block.bdy_bcid.size, dtype=np.int64)
+        wm_dist = np.ones(block.bdy_bcid.size)
+        for fi in range(block.bdy_bcid.size):
+            if P_np["use_wm"][fi, 0] <= 0:
+                continue
+            slots = block.bdy_slot[fi]
+            e = int(slots[0] // Pf)
+            fpt_pos = block.pos_fpts[slots]           # (nfp, d)
+            fpt_nrm = block.norm_fpts[slots]
+            # distance of each upt: min over face fpts of (x_f - x_u).n
+            dvec = fpt_pos[None, :, :] - solver_pos_upts(block, e)[:, None, :]
+            dist = np.einsum("ufd,fd->uf", dvec, fpt_nrm).min(axis=1)
+            wm_upt[fi] = int(np.argmax(dist))
+            wm_dist[fi] = float(dist.max())
+            wm_ele[fi] = e
+        wm_ele_j = jnp.asarray(wm_ele, dtype=jnp.int32)
+        wm_upt_j = jnp.asarray(wm_upt, dtype=jnp.int32)
+        wm_dist_j = jnp.asarray(wm_dist, dtype=dtype)
+        wm_mask = jnp.asarray(P_np["use_wm"] > 0)
+
+    def visc_common_flux(u_l, grad_l, norm, u_full=None):
         """Boundary viscous common flux: f_r . n - tau (u_r - u_l)
         (ref:src/bdy_inters.cpp:1029-1093, ldg_flux flux_spec=1).
-        Slip walls contribute no viscous flux."""
+        Slip walls contribute no viscous flux; wall-modeled faces replace it
+        with the modeled wall stress (ref::1095-1131)."""
         u_r = ldg_solution(u_l, norm)
         grad_r = boundary_gradients(u_r, grad_l, norm)
         if rcfg.equation == 1:
@@ -338,8 +370,24 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
         fn = jnp.einsum("...fd,...d->...f", f_r, norm) \
             - rcfg.ldg_tau * (u_r - u_l)
         no_visc = P["flag"] == SLIP_WALL
-        return jnp.where(no_visc[..., None], 0.0, fn)
+        fn = jnp.where(no_visc[..., None], 0.0, fn)
+        if has_wm and u_full is not None:
+            from ..models.wall_model import wall_stress_flux
+            u_wm = u_full[wm_ele_j, wm_upt_j]          # (Fb, F)
+            u_w = ghost_state(u_l, norm, sol_spec=2)   # no-slip wall state
+            fn_wm = wall_stress_flux(
+                jnp.broadcast_to(u_wm[:, None, :], u_l.shape), u_w,
+                wm_dist_j[:, None], norm, wall_model=run_input.wall_model,
+                gamma=gamma, prandtl=rcfg.prandtl, prandtl_t=rcfg.prandtl_t,
+                mu_inf=rcfg.mu_inf, rt_inf=rcfg.rt_inf, c_sth=rcfg.c_sth,
+                fix_vis=rcfg.fix_vis, kappa=rcfg.kappa, n_dims=n_dims)
+            fn = jnp.where(wm_mask[..., None], fn_wm, fn)
+        return fn
 
     return BCFunctions(inv_common_flux=inv_common_flux,
                        ldg_solution=ldg_solution,
                        visc_common_flux=visc_common_flux)
+
+
+def solver_pos_upts(block, e):
+    return block.pos_upts[e]

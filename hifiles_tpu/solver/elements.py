@@ -124,6 +124,32 @@ class ElementBlock:
     jginv_over: np.ndarray | None = None    # (E, C2, d, d)
     opp_over: np.ndarray | None = None      # (C2, U)
     over_filter: np.ndarray | None = None   # (U, C2)
+    # wall distance (ref:src/geometry.cpp:708-894, ref:src/eles.cpp:2701)
+    wall_dist_upts: np.ndarray | None = None   # (E, U)
+    wall_dist_fpts: np.ndarray | None = None   # (S,)
+
+    def compute_wall_distance(self, wall_pts: np.ndarray) -> None:
+        """Min distance from every solution/flux point to the no-slip wall
+        point cloud (the reference gathers global no-slip face points and
+        scans, ref:src/geometry.cpp:708-894)."""
+        if wall_pts.size == 0:
+            E, U, _ = self.pos_upts.shape
+            self.wall_dist_upts = np.full((E, U), 1e10)
+            self.wall_dist_fpts = np.full(self.pos_fpts.shape[0], 1e10)
+            return
+
+        def min_dist(pts):
+            flat = pts.reshape(-1, pts.shape[-1])
+            out = np.empty(flat.shape[0])
+            chunk = 4096
+            for i in range(0, flat.shape[0], chunk):
+                d2 = np.sum((flat[i:i + chunk, None, :]
+                             - wall_pts[None, :, :]) ** 2, axis=-1)
+                out[i:i + chunk] = np.sqrt(d2.min(axis=1))
+            return out.reshape(pts.shape[:-1])
+
+        self.wall_dist_upts = min_dist(self.pos_upts)
+        self.wall_dist_fpts = min_dist(self.pos_fpts)
 
     @property
     def n_upts(self):

@@ -53,6 +53,23 @@ class ResidualConfig:
     # far too coarse for FR operators (observed ~6e-4 error per RK step).
     # HIGHEST uses enough bf16 passes for full f32 accuracy.
     precision: str = "highest"
+    over_int: bool = False
+    # LES (ref:src/eles.cpp:2395-2646)
+    les: bool = False
+    sgs_model: int = 0
+    C_s: float = 0.0
+    filter_ratio: float = 2.0
+    filter_type: int = 2
+    kappa: float = 0.41
+    # SA constants (ref:src/input.cpp:669-681)
+    c_v1: float = 7.1
+    c_v2: float = 0.7
+    c_v3: float = 0.9
+    c_b1: float = 0.1355
+    c_b2: float = 0.622
+    c_w2: float = 0.3
+    c_w3: float = 2.0
+    omega: float = 2.0 / 3.0
 
 
 class BlockArrays:
@@ -84,6 +101,24 @@ class BlockArrays:
         self.bdy_slot = i(block.bdy_slot)
         self.slot_src = i(block.slot_src)
         self.slot_sign = f(block.slot_sign)
+        if block.jginv_over is not None:
+            self.jginv_over = f(block.jginv_over)
+            self.opp_over = f(block.opp_over)
+            self.over_filter = f(block.over_filter)
+        # LES geometric quantities: Deardorff cutoff length per point
+        # (ref:src/eles.cpp:2480-2481) and wall distance
+        ref_vol = {1: 4.0, 4: 8.0, 0: 2.0, 2: 4.0 / 3.0, 3: 4.0}[ops.ele_type]
+        vol = block.detjac_upts * ref_vol                    # (E, U)
+        self.delta_upts = f(vol ** (1.0 / ops.n_dims) / (ops.order + 1))
+        vol_f = block.detjac_fpts * ref_vol                  # (S,)
+        self.delta_slot = f(vol_f ** (1.0 / ops.n_dims) / (ops.order + 1))
+        if getattr(block, "wall_dist_upts", None) is not None:
+            self.wdist_upts = f(block.wall_dist_upts)
+            self.wdist_slot = f(block.wall_dist_fpts)
+        else:
+            self.wdist_upts = jnp.full_like(self.delta_upts, 1e10)
+            self.wdist_slot = jnp.full_like(self.delta_slot, 1e10)
+        self.les_filter = None
 
 
 def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
@@ -99,6 +134,12 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
     nF = cfg.n_fields
     has_bdy = block.bdy_slot.size > 0
     prec = jax.lax.Precision[cfg.precision.upper()]
+    use_similarity = cfg.les and cfg.sgs_model in (2, 4)
+    if use_similarity:
+        from ..ops.les_filter import build_les_filter
+        les_filter = jnp.asarray(
+            build_les_filter(block.ops, cfg.filter_type, cfg.filter_ratio),
+            dtype=dtype)
 
     def phys_flux(u):
         """(E, U, F, d) physical inviscid flux."""
@@ -114,13 +155,22 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
         ws = jnp.asarray(cfg.wave_speed[:d], dtype=u_l.dtype)
         return riemann.lax_friedrichs_flux(u_l, u_r, norm, ws, cfg.lambda_lf)
 
-    def phys_visc_flux(u, grad):
+    def phys_visc_flux(u, grad, delta=None, wdist=None):
         if cfg.equation == 0:
-            return viscous_flux(
+            fv = viscous_flux(
                 u, grad, gamma=cfg.gamma, prandtl=cfg.prandtl,
                 mu_inf=cfg.mu_inf, rt_inf=cfg.rt_inf, c_sth=cfg.c_sth,
                 fix_vis=cfg.fix_vis, n_dims=d, rans=cfg.rans,
                 prandtl_t=cfg.prandtl_t)
+            # eddy-viscosity SGS models add to the viscous flux
+            # (ref:src/eles.cpp:2330-2361)
+            if cfg.les and cfg.sgs_model in (0, 1, 2) and delta is not None:
+                from ..models.sgs import sgs_flux
+                fv = fv + sgs_flux(
+                    u, grad, cfg.filter_ratio * delta, wdist,
+                    sgs_model=cfg.sgs_model, C_s=cfg.C_s, gamma=cfg.gamma,
+                    prandtl_t=cfg.prandtl_t, n_dims=d, kappa=cfg.kappa)
+            return fv
         return adv_diff_viscous_flux(grad, cfg.diff_coeff)
 
     def residual(u):
@@ -137,6 +187,17 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
         if has_bdy:
             u_bl = disu_f_flat[B.bdy_slot]
             norm_b = B.norm[B.bdy_slot]
+
+        # similarity-model Leonard tensors and their extrapolated SGS flux
+        # (ref:src/eles.cpp:2091-2218, :2615-2644, extrapolate_sgsFlux
+        # ref:src/eles.cpp:2817)
+        if use_similarity:
+            from ..models.sgs import similarity_flux, similarity_terms
+            Lu, Le = similarity_terms(u, les_filter, d)
+            simf_upts = similarity_flux(u, Lu, Le, cfg.gamma, d)  # (E,U,F,d)
+            simf_fpts = jnp.einsum("pu,eufd->epfd", B.opp_0, simf_upts,
+                                   preferred_element_type=dtype,
+                                   precision=prec).reshape(E * Pf, nF, d)
 
         # 3. viscous gradient path (opp_4/opp_5/opp_6,
         #    ref:src/eles.cpp:1823-2052)
@@ -172,12 +233,29 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
                                      precision=prec) \
                 * B.inv_detjac_fpts[:, None, None]
 
-        # 4. physical total flux at upts -> transformed flux
-        f = phys_flux(u)                           # (E, U, F, d)
-        if cfg.viscous:
-            f = f + phys_visc_flux(u, grad_u)
-        tdisf = jnp.einsum("eulm,eufm->eufl", B.jginv_upts, f,
-                           precision=prec)
+        # 4. physical total flux at upts -> transformed flux.
+        # With de-aliasing on, the inviscid flux is evaluated at a richer
+        # cubature set and L2-projected back (ref:src/eles.cpp:1480-1545).
+        if cfg.over_int:
+            u_over = jnp.einsum("cu,euf->ecf", B.opp_over, u,
+                                preferred_element_type=dtype, precision=prec)
+            f_over = phys_flux(u_over)
+            tdisf_over = jnp.einsum("eclm,ecfm->ecfl", B.jginv_over, f_over,
+                                    precision=prec)
+            tdisf = jnp.einsum("uc,ecfl->eufl", B.over_filter, tdisf_over,
+                               preferred_element_type=dtype, precision=prec)
+            if cfg.viscous:
+                fv = phys_visc_flux(u, grad_u, B.delta_upts, B.wdist_upts)
+                tdisf = tdisf + jnp.einsum("eulm,eufm->eufl", B.jginv_upts,
+                                           fv, precision=prec)
+        else:
+            f = phys_flux(u)                       # (E, U, F, d)
+            if cfg.viscous:
+                f = f + phys_visc_flux(u, grad_u, B.delta_upts, B.wdist_upts)
+                if use_similarity:
+                    f = f + simf_upts
+            tdisf = jnp.einsum("eulm,eufm->eufl", B.jginv_upts, f,
+                               precision=prec)
         tdisf_cat = tdisf.transpose(0, 3, 1, 2).reshape(E, d * U, nF)
 
         # 5. common interface fluxes (Riemann / LDG,
@@ -186,15 +264,20 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
         if cfg.viscous:
             gl = grad_f_flat[B.int_slot_l]
             gr = grad_f_flat[B.int_slot_r]
-            fv_l = phys_visc_flux(u_l, gl)
-            fv_r = phys_visc_flux(u_r, gr)
+            fv_l = phys_visc_flux(u_l, gl, B.delta_slot[B.int_slot_l],
+                                  B.wdist_slot[B.int_slot_l])
+            fv_r = phys_visc_flux(u_r, gr, B.delta_slot[B.int_slot_r],
+                                  B.wdist_slot[B.int_slot_r])
+            if use_similarity:
+                fv_l = fv_l + simf_fpts[B.int_slot_l]
+                fv_r = fv_r + simf_fpts[B.int_slot_r]
             fn_int = fn_int + riemann.ldg_common_flux(
                 u_l, u_r, fv_l, fv_r, norm_l, cfg.ldg_tau, cfg.ldg_beta)
         if has_bdy:
             fn_bdy = bc_fns.inv_common_flux(u_bl, norm_b)
             if cfg.viscous:
                 fn_bdy = fn_bdy + bc_fns.visc_common_flux(
-                    u_bl, grad_f_flat[B.bdy_slot], norm_b)
+                    u_bl, grad_f_flat[B.bdy_slot], norm_b, u)
             fn_all = jnp.concatenate([fn_int.reshape(-1, nF),
                                       fn_bdy.reshape(-1, nF)])
         else:
@@ -221,8 +304,20 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
                                    norm_tconf - norm_tdisf,
                                    preferred_element_type=dtype, precision=prec)
 
-        # rhs of du/dt = -div_tconf/detjac (+ sources later,
-        # ref:src/eles.cpp:1102-1104)
-        return -div * B.inv_detjac_upts[..., None]
+        rhs = -div * B.inv_detjac_upts[..., None]
+
+        # SA-RANS source term (ref:src/eles.cpp:2650 calc_src_upts_SA,
+        # ref:src/source.cpp:33-105); enters the update as +src
+        # (ref:src/eles.cpp:1102: disu -= dt*(div/detjac - src))
+        if cfg.rans:
+            from ..models.sa import sa_source
+            src = sa_source(
+                u, grad_u, B.wdist_upts, gamma=cfg.gamma, mu_inf=cfg.mu_inf,
+                rt_inf=cfg.rt_inf, c_sth=cfg.c_sth, fix_vis=cfg.fix_vis,
+                kappa=cfg.kappa, c_v1=cfg.c_v1, c_v2=cfg.c_v2, c_v3=cfg.c_v3,
+                c_b1=cfg.c_b1, c_b2=cfg.c_b2, c_w2=cfg.c_w2, c_w3=cfg.c_w3,
+                omega=cfg.omega, n_dims=d)
+            rhs = rhs.at[..., d + 2].add(src)
+        return rhs
 
     return residual

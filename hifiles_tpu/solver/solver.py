@@ -73,8 +73,10 @@ class Solver:
         else:
             raise NotImplementedError(f"ctype {ctype} solver block")
         self.ops = ops
-        self.block = build_element_block(mesh, self.conn, ops,
-                                         delta_cyclic=delta_cyclic)
+        self.block = build_element_block(
+            mesh, self.conn, ops, delta_cyclic=delta_cyclic,
+            over_int_order=(run_input.over_int_order if run_input.over_int
+                            else None))
 
         self.rcfg = ResidualConfig(
             equation=run_input.equation, viscous=bool(run_input.viscous),
@@ -88,7 +90,28 @@ class Solver:
             ldg_beta=run_input.ldg_beta, rans=bool(run_input.RANS),
             wave_speed=tuple(run_input.wave_speed),
             lambda_lf=run_input.lambda_lf, diff_coeff=run_input.diff_coeff,
-            fused=fused, n_fields=self.n_fields)
+            fused=fused, n_fields=self.n_fields,
+            over_int=bool(run_input.over_int),
+            les=bool(run_input.LES), sgs_model=run_input.SGS_model,
+            C_s=run_input.C_s, filter_ratio=run_input.filter_ratio,
+            filter_type=run_input.filter_type, kappa=run_input.Kappa,
+            c_v1=run_input.c_v1, c_v2=run_input.c_v2, c_v3=run_input.c_v3,
+            c_b1=run_input.c_b1, c_b2=run_input.c_b2, c_w2=run_input.c_w2,
+            c_w3=run_input.c_w3, omega=run_input.omega)
+
+        # wall distance for SA / wall-damped Smagorinsky / wall models
+        # (ref:src/geometry.cpp:708-894)
+        if (run_input.RANS or run_input.wall_model
+                or (run_input.LES and run_input.SGS_model == 0)):
+            from ..config.params import ADIABAT_WALL, ISOTHERM_WALL
+            wall_slots = []
+            for f, bcid in enumerate(self.block.bdy_bcid):
+                flag = bc_flags.get(int(bcid), -1)
+                if flag in (ISOTHERM_WALL, ADIABAT_WALL):
+                    wall_slots.append(self.block.bdy_slot[f])
+            wall_pts = (self.block.pos_fpts[np.concatenate(wall_slots)]
+                        if wall_slots else np.empty((0, self.n_dims)))
+            self.block.compute_wall_distance(wall_pts)
 
         bc_fns = None
         if self.block.bdy_slot.size:
@@ -98,7 +121,30 @@ class Solver:
 
         self.residual_fn = make_residual_fn(self.block, self.rcfg, dtype,
                                             bc_fns)
-        self._step = make_step_fn(self.residual_fn, run_input.adv_type)
+
+        # SVV model: replace the solution with its filtered version once per
+        # step (ref:src/eles.cpp:2087-2089, stage-0 calc_sgs_terms)
+        self._pre_step = None
+        if run_input.LES and run_input.SGS_model == 3:
+            from ..ops.les_filter import build_les_filter
+            svv = jnp.asarray(build_les_filter(ops, run_input.filter_type,
+                                               run_input.filter_ratio),
+                              dtype=dtype)
+            self._pre_step = lambda u: jnp.einsum("ku,euf->ekf", svv, u)
+
+        post_stage = None
+        self.sensor_fn = None
+        if run_input.shock_cap:
+            from ..ops.stabilization import make_shock_capture_fn
+            capture = make_shock_capture_fn(
+                ops, run_input.s0, run_input.expf_fac, run_input.expf_order,
+                run_input.expf_cutoff, run_input.shock_det_field,
+                self.n_dims, dtype)
+            post_stage = lambda u: capture(u)[0]
+            self.sensor_fn = jax.jit(lambda u: capture(u)[1])
+
+        self._step = make_step_fn(self.residual_fn, run_input.adv_type,
+                                  post_stage=post_stage)
         self.n_stages = N_STAGES[run_input.adv_type]
 
         # initial condition at solution points (ref:src/solver.cpp:321-340)
@@ -114,9 +160,13 @@ class Solver:
     def _make_run_chunk(self):
         step = self._step
 
+        pre = self._pre_step
+
         def run_chunk(state, dt, n_steps):
             def body(carry, _):
                 u, r = carry
+                if pre is not None:
+                    u = pre(u)
                 u, r = step(u, r, dt)
                 return (u, r), None
             state, _ = jax.lax.scan(body, state, None, length=n_steps)

@@ -68,12 +68,14 @@ def rk_stage_times(adv_type: int) -> np.ndarray:
     raise ValueError(f"adv_type {adv_type} not implemented")
 
 
-def make_step_fn(residual_fn, adv_type: int, source_fn=None):
+def make_step_fn(residual_fn, adv_type: int, source_fn=None,
+                 post_stage=None):
     """Build step(u, reg, dt) -> (u, reg) advancing one full time step.
 
     ``residual_fn(u)`` returns -div_tconf/detjac; the RK function is
     F = div/detjac - src so rhs = -F = residual + src
-    (ref:src/eles.cpp:1095-1247).
+    (ref:src/eles.cpp:1095-1247).  ``post_stage(u) -> u`` runs after every
+    stage update (shock capture, ref:src/HiFiLES.cpp:211-218).
     """
     import jax.numpy as jnp
 
@@ -83,27 +85,29 @@ def make_step_fn(residual_fn, adv_type: int, source_fn=None):
             r = r + source_fn(u)
         return r
 
+    ps = post_stage if post_stage is not None else (lambda u: u)
+
     if adv_type == 0:
         def step(u, reg, dt):
-            return u + dt * rhs(u), reg
+            return ps(u + dt * rhs(u)), reg
         return step
 
     if adv_type == 1:  # SSP-RK24 (ref:src/eles.cpp:1117-1170)
         def step(u, reg, dt):
             u0 = u
             for _ in range(3):
-                u = u + dt / 3.0 * rhs(u)
-            u = 0.75 * u + 0.25 * u0 + dt / 4.0 * rhs(u)
+                u = ps(u + dt / 3.0 * rhs(u))
+            u = ps(0.75 * u + 0.25 * u0 + dt / 4.0 * rhs(u))
             return u, reg
         return step
 
     if adv_type == 2:  # SSP-RK34 (ref:src/eles.cpp:1172-1220)
         def step(u, reg, dt):
             u0 = u
-            u = u + dt / 2.0 * rhs(u)
-            u = u + dt / 2.0 * rhs(u)
-            u = u / 3.0 + 2.0 / 3.0 * u0 + dt / 6.0 * rhs(u)
-            u = u + dt / 2.0 * rhs(u)
+            u = ps(u + dt / 2.0 * rhs(u))
+            u = ps(u + dt / 2.0 * rhs(u))
+            u = ps(u / 3.0 + 2.0 / 3.0 * u0 + dt / 6.0 * rhs(u))
+            u = ps(u + dt / 2.0 * rhs(u))
             return u, reg
         return step
 
@@ -115,7 +119,7 @@ def make_step_fn(residual_fn, adv_type: int, source_fn=None):
             r = jnp.zeros_like(u) if reg is None else reg * 0.0
             for s in range(len(A)):
                 r = A[s] * r + dt * rhs(u)
-                u = u + Bc[s] * r
+                u = ps(u + Bc[s] * r)
             return u, r
         return step
 
