@@ -34,6 +34,7 @@ from ..models.euler import inviscid_flux
 from ..models.viscous import adv_diff_viscous_flux, viscous_flux
 from ..ops import riemann
 from ..solver.elements import build_element_block, face_lut
+from ..solver.kernels import adj_apply_cat, adjT_apply, opmat, opmat_md
 from ..solver.ics import initial_condition
 from ..solver.residual import ResidualConfig
 from ..solver.step import N_STAGES
@@ -245,7 +246,14 @@ class ShardedSolver:
         self.opp = dict(
             opp_0=f(ops.opp_0), opp_2_cat=f(ops.opp_2_cat),
             opp_3=f(ops.opp_3), opp_div_fused=f(ops.opp_div_fused),
-            tnorm=f(ops.tnorm_fpts))
+            tnorm=f(ops.tnorm_fpts),
+            opp_2_stack=f(np.stack([ops.opp_2[g]
+                                    for g in range(ops.n_dims)])),
+            opp_5_stack=f(np.stack(
+                [ops.opp_3 * ops.tnorm_fpts[None, :, g]
+                 for g in range(ops.n_dims)])),
+            opp_div_all=f(np.concatenate(
+                [ops.opp_div_fused, ops.opp_3], axis=1)))
 
         i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
         t = self.tables
@@ -353,10 +361,9 @@ class ShardedSolver:
             norm_h = geo["norm"][tab["halo_slot_l"]]
 
             if cfg.viscous:
-                tgrad = jnp.einsum("kgu,euf->ekfg",
-                                   opp["opp_2_cat"].reshape(U, d, U), u,
-                                   preferred_element_type=dtype,
-                                   precision=prec)
+                tgrad = jnp.stack(
+                    [opmat(opp["opp_2_stack"][g], u, dtype, prec)
+                     for g in range(d)], axis=-1)
                 u_c_int = riemann.ldg_common_solution(u_l, u_r, norm_l,
                                                       cfg.ldg_beta)
                 u_c_halo = riemann.ldg_common_solution(u_hl, u_hr, norm_h,
@@ -366,20 +373,15 @@ class ShardedSolver:
                     jnp.zeros((n_bdy * nfp, nF), dtype=dtype),
                     u_c_halo.reshape(-1, nF)])
                 delta = (u_c_all[tab["slot_src"]] - flat).reshape(El, Pf, nF)
-                corr = jnp.einsum("kp,pd,epf->ekfd", opp["opp_3"],
-                                  opp["tnorm"], delta,
-                                  preferred_element_type=dtype,
-                                  precision=prec)
-                tgrad = tgrad + corr
-                grad_u = jnp.einsum("euml,eufm->eufl", geo["jginv_upts"],
-                                    tgrad, precision=prec) \
-                    / geo["detjac_upts"][..., None, None]
-                tgrad_f = jnp.einsum("pu,eufd->epfd", opp["opp_0"],
-                                     tgrad, preferred_element_type=dtype,
-                                     precision=prec).reshape(El * Pf, nF, d)
-                grad_f = jnp.einsum("sml,sfm->sfl", geo["jginv_fpts"],
-                                    tgrad_f, precision=prec) \
-                    / geo["detjac_fpts"][:, None, None]
+                tgrad = tgrad + jnp.stack(
+                    [opmat(opp["opp_5_stack"][g], delta, dtype, prec)
+                     for g in range(d)], axis=-1)
+                grad_u = adjT_apply(geo["jginv_upts"], tgrad,
+                                    1.0 / geo["detjac_upts"])
+                tgrad_f = opmat_md(opp["opp_0"], tgrad, dtype,
+                                   prec).reshape(El * Pf, nF, d)
+                grad_f = adjT_apply(geo["jginv_fpts"], tgrad_f,
+                                    1.0 / geo["detjac_fpts"])
                 grad_recv = exchange(grad_f.reshape(El * Pf, nF * d), sends)
                 g_hl = grad_f[tab["halo_slot_l"]]
                 g_hr = (grad_recv[tab["halo_recv_idx"]].reshape(
@@ -388,9 +390,7 @@ class ShardedSolver:
             f = phys_flux(u)
             if cfg.viscous:
                 f = f + phys_visc_flux(u, grad_u)
-            tdisf = jnp.einsum("eulm,eufm->eufl", geo["jginv_upts"], f,
-                               precision=prec)
-            tdisf_cat = tdisf.transpose(0, 3, 1, 2).reshape(El, d * U, nF)
+            tdisf_cat = adj_apply_cat(geo["jginv_upts"], f)
 
             fn_int = common_inv_flux(u_l, u_r, norm_l)
             fn_halo = common_inv_flux(u_hl, u_hr, norm_h)
@@ -413,12 +413,8 @@ class ShardedSolver:
                           * (tab["slot_sign"] * geo["tdA"])[:, None]
                           ).reshape(El, Pf, nF)
 
-            div = jnp.einsum("ku,euf->ekf", opp["opp_div_fused"],
-                             tdisf_cat, preferred_element_type=dtype,
-                             precision=prec)
-            div = div + jnp.einsum("kp,epf->ekf", opp["opp_3"],
-                                   norm_tconf, preferred_element_type=dtype,
-                                   precision=prec)
+            rhs_cat = jnp.concatenate([tdisf_cat, norm_tconf], axis=1)
+            div = opmat(opp["opp_div_all"], rhs_cat, dtype, prec)
             return -div / geo["detjac_upts"][..., None]
 
         return residual

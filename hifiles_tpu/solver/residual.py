@@ -26,6 +26,7 @@ from ..models.euler import inviscid_flux
 from ..models.viscous import adv_diff_viscous_flux, viscous_flux
 from ..ops import riemann
 from .elements import ElementBlock
+from .kernels import adj_apply, adj_apply_cat, adjT_apply, opmat, opmat_md
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,6 +102,18 @@ class BlockArrays:
         self.bdy_slot = i(block.bdy_slot)
         self.slot_src = i(block.slot_src)
         self.slot_sign = f(block.slot_sign)
+        # face geometry pre-gathered at setup (constant across calls)
+        self.norm_int_l = f(block.norm_fpts[block.int_slot_l])
+        self.norm_bdy = f(block.norm_fpts[block.bdy_slot])
+        self.opp_2_stack = f(np.stack([ops.opp_2[g]
+                                       for g in range(ops.n_dims)]))
+        self.opp_5_stack = f(np.stack(
+            [ops.opp_3 * ops.tnorm_fpts[None, :, g]
+             for g in range(ops.n_dims)]))
+        # single fused divergence operator: [opp_div_fused | opp_3] applied
+        # to [tdisf_cat ; norm_tconf]
+        self.opp_div_all = f(np.concatenate([ops.opp_div_fused, ops.opp_3],
+                                            axis=1))
         if block.jginv_over is not None:
             self.jginv_over = f(block.jginv_over)
             self.opp_over = f(block.opp_over)
@@ -183,10 +196,10 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
         # 2. face gathers
         u_l = disu_f_flat[B.int_slot_l]            # (Fi, nfp, F)
         u_r = disu_f_flat[B.int_slot_r]
-        norm_l = B.norm[B.int_slot_l]              # (Fi, nfp, d)
+        norm_l = B.norm_int_l                      # (Fi, nfp, d) constant
         if has_bdy:
             u_bl = disu_f_flat[B.bdy_slot]
-            norm_b = B.norm[B.bdy_slot]
+            norm_b = B.norm_bdy
 
         # similarity-model Leonard tensors and their extrapolated SGS flux
         # (ref:src/eles.cpp:2091-2218, :2615-2644, extrapolate_sgsFlux
@@ -195,16 +208,16 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
             from ..models.sgs import similarity_flux, similarity_terms
             Lu, Le = similarity_terms(u, les_filter, d)
             simf_upts = similarity_flux(u, Lu, Le, cfg.gamma, d)  # (E,U,F,d)
-            simf_fpts = jnp.einsum("pu,eufd->epfd", B.opp_0, simf_upts,
-                                   preferred_element_type=dtype,
-                                   precision=prec).reshape(E * Pf, nF, d)
+            simf_fpts = opmat_md(B.opp_0, simf_upts, dtype,
+                                 prec).reshape(E * Pf, nF, d)
 
         # 3. viscous gradient path (opp_4/opp_5/opp_6,
         #    ref:src/eles.cpp:1823-2052)
         if cfg.viscous:
-            # uncorrected transformed gradient (opp_4 == opp_2)
-            tgrad = jnp.einsum("kgu,euf->ekfg", B.opp_2_cat.reshape(U, d, U),
-                               u, preferred_element_type=dtype, precision=prec)
+            # uncorrected transformed gradient (opp_4 == opp_2), one GEMM
+            # per reference dim (clean (U,U)x(U,E*F) contractions)
+            tgrad = jnp.stack([opmat(B.opp_2_stack[g], u, dtype, prec)
+                               for g in range(d)], axis=-1)
             # LDG common solution & delta at every slot
             u_c_int = riemann.ldg_common_solution(u_l, u_r, norm_l,
                                                   cfg.ldg_beta)
@@ -216,47 +229,39 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
                 u_c_all = u_c_int.reshape(-1, nF)
             delta_flat = u_c_all[B.slot_src] - disu_f_flat     # (S, F)
             delta = delta_flat.reshape(E, Pf, nF)
-            # gradient correction: opp_5[d] = opp_3 * tnorm[:, d]
-            corr = jnp.einsum("kp,pd,epf->ekfd", B.opp_3, B.tnorm, delta,
-                              preferred_element_type=dtype, precision=prec)
-            tgrad = tgrad + corr
+            # gradient correction: opp_5[g] = opp_3 * tnorm[:, g]
+            tgrad = tgrad + jnp.stack(
+                [opmat(B.opp_5_stack[g], delta, dtype, prec)
+                 for g in range(d)], axis=-1)
             # physical gradient at upts: (1/det) JGinv^T . tgrad
-            grad_u = jnp.einsum("euml,eufm->eufl", B.jginv_upts, tgrad,
-                                precision=prec) \
-                * B.inv_detjac_upts[..., None, None]
+            grad_u = adjT_apply(B.jginv_upts, tgrad, B.inv_detjac_upts)
             # extrapolate corrected transformed gradient to fpts (opp_6)
-            tgrad_f = jnp.einsum("pu,eufd->epfd", B.opp_0, tgrad,
-                                 preferred_element_type=dtype,
-                                 precision=prec).reshape(E * Pf, nF, d)
+            tgrad_f = opmat_md(B.opp_0, tgrad, dtype, prec).reshape(
+                E * Pf, nF, d)
             # jginv_fpts/detjac_fpts are stored flat over slots (S, d, d)
-            grad_f_flat = jnp.einsum("sml,sfm->sfl", B.jginv_fpts, tgrad_f,
-                                     precision=prec) \
-                * B.inv_detjac_fpts[:, None, None]
+            grad_f_flat = adjT_apply(B.jginv_fpts, tgrad_f,
+                                     B.inv_detjac_fpts)
 
         # 4. physical total flux at upts -> transformed flux.
         # With de-aliasing on, the inviscid flux is evaluated at a richer
         # cubature set and L2-projected back (ref:src/eles.cpp:1480-1545).
         if cfg.over_int:
-            u_over = jnp.einsum("cu,euf->ecf", B.opp_over, u,
-                                preferred_element_type=dtype, precision=prec)
+            u_over = opmat(B.opp_over, u, dtype, prec)
             f_over = phys_flux(u_over)
-            tdisf_over = jnp.einsum("eclm,ecfm->ecfl", B.jginv_over, f_over,
-                                    precision=prec)
-            tdisf = jnp.einsum("uc,ecfl->eufl", B.over_filter, tdisf_over,
-                               preferred_element_type=dtype, precision=prec)
+            tdisf_over = adj_apply(B.jginv_over, f_over)
+            tdisf = opmat_md(B.over_filter, tdisf_over, dtype, prec)
             if cfg.viscous:
                 fv = phys_visc_flux(u, grad_u, B.delta_upts, B.wdist_upts)
-                tdisf = tdisf + jnp.einsum("eulm,eufm->eufl", B.jginv_upts,
-                                           fv, precision=prec)
+                tdisf = tdisf + adj_apply(B.jginv_upts, fv)
+            tdisf_cat = jnp.concatenate(
+                [tdisf[..., l] for l in range(d)], axis=1)
         else:
             f = phys_flux(u)                       # (E, U, F, d)
             if cfg.viscous:
                 f = f + phys_visc_flux(u, grad_u, B.delta_upts, B.wdist_upts)
                 if use_similarity:
                     f = f + simf_upts
-            tdisf = jnp.einsum("eulm,eufm->eufl", B.jginv_upts, f,
-                               precision=prec)
-        tdisf_cat = tdisf.transpose(0, 3, 1, 2).reshape(E, d * U, nF)
+            tdisf_cat = adj_apply_cat(B.jginv_upts, f)
 
         # 5. common interface fluxes (Riemann / LDG,
         #    ref:src/int_inters.cpp:160-344)
@@ -289,12 +294,10 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
                            * (B.slot_sign * B.tdA)[:, None])
         norm_tconf = norm_tconf_flat.reshape(E, Pf, nF)
 
-        # 7. divergence (+ correction lift)
+        # 7. divergence (+ correction lift), one merged GEMM
         if cfg.fused:
-            div = jnp.einsum("ku,euf->ekf", B.opp_div_fused, tdisf_cat,
-                             preferred_element_type=dtype, precision=prec)
-            div = div + jnp.einsum("kp,epf->ekf", B.opp_3, norm_tconf,
-                                   preferred_element_type=dtype, precision=prec)
+            rhs_cat = jnp.concatenate([tdisf_cat, norm_tconf], axis=1)
+            div = opmat(B.opp_div_all, rhs_cat, dtype, prec)
         else:
             div = jnp.einsum("ku,euf->ekf", B.opp_2_cat, tdisf_cat,
                              preferred_element_type=dtype, precision=prec)

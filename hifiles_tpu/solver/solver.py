@@ -235,11 +235,16 @@ class Solver:
         # gradient error only needed for viscous test cases; fill later
         return out
 
-    def residual_norm(self, norm_type: int = 2) -> np.ndarray:
-        """Norm of the steady residual (ref:src/output.cpp:2166-2263)."""
-        r = np.asarray(self.residual_fn(self.u))
+    def residual_norm(self, norm_type: int = 2,
+                      r: np.ndarray | None = None) -> np.ndarray:
+        """Residual norm with the reference's normalization
+        (ref:src/output.cpp:2166-2247): L1 = sum|r|/n_pts,
+        L2 = sqrt(sum r^2)/n_pts, inf = max|r|."""
+        if r is None:
+            r = np.asarray(self.residual_fn(self.u))
+        n_pts = r.shape[0] * r.shape[1]
         if norm_type == 1:
-            return np.abs(r).sum(axis=(0, 1))
+            return np.abs(r).sum(axis=(0, 1)) / n_pts
         if norm_type == 2:
-            return np.sqrt((r * r).sum(axis=(0, 1)))
+            return np.sqrt((r * r).sum(axis=(0, 1))) / n_pts
         return np.abs(r).max(axis=(0, 1))
