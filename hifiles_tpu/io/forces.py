@@ -31,6 +31,8 @@ def compute_forces(solver) -> dict:
                 "vis_force": np.zeros(nd)}
 
     slots = block.bdy_slot[wall_faces]            # (Fw, nfp)
+    mask = (block.bdy_mask[wall_faces]
+            if block.bdy_mask is not None else np.ones(slots.shape))
     u = np.asarray(solver.u, dtype=np.float64)
     E, U, F = u.shape
 
@@ -41,7 +43,7 @@ def compute_forces(solver) -> dict:
     tdA = block.tdA_fpts[slots]
     fpt_in_ele = slots % solver.ops.n_fpts
     wq = solver.ops.fpt_weights[fpt_in_ele]
-    dA = wq * tdA                                  # physical surface measure
+    dA = wq * tdA * mask                           # physical surface measure
 
     rho = u_w[..., 0]
     vel = u_w[..., 1:1 + nd] / rho[..., None]

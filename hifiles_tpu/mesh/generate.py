@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .. import HEX, QUAD
+from .. import HEX, QUAD, TET
 from .core import MAX_F_PER_C, MAX_V_PER_C, MeshData
 
 
@@ -136,3 +136,80 @@ def periodic_hex_mesh(nx: int, ny: int, nz: int,
                     ctype=np.full(C, HEX, dtype=np.int64),
                     bc_id=bc_id, bc_names=["Cyclic"],
                     ic2icg=np.arange(C, dtype=np.int64))
+
+
+def periodic_tet_mesh(nx: int, ny: int, nz: int,
+                      x0: float = -np.pi, x1: float = np.pi,
+                      y0: float = -np.pi, y1: float = np.pi,
+                      z0: float = -np.pi, z1: float = np.pi) -> MeshData:
+    """Periodic tet box: each hex of the structured grid split into 6 tets
+    (Kuhn subdivision, translation-invariant so cyclic faces match)."""
+    hexm = periodic_hex_mesh(nx, ny, nz, x0, x1, y0, y1, z0, z1)
+    # hex c2v tensor slots: 0..7 = (i,j,k) bits (x fastest)
+    # Kuhn: sort of path permutations of (0..7); standard 6-tet split along
+    # main diagonal v0 -> v7
+    splits = [(0, 1, 3, 7), (0, 3, 2, 7), (0, 2, 6, 7),
+              (0, 6, 4, 7), (0, 4, 5, 7), (0, 5, 1, 7)]
+    C = hexm.n_cells * 6
+    c2v = -np.ones((C, MAX_V_PER_C), dtype=np.int64)
+    for h in range(hexm.n_cells):
+        for t, sp in enumerate(splits):
+            c2v[6 * h + t, :4] = hexm.c2v[h, list(sp)]
+    bc_id = -np.ones((C, MAX_F_PER_C), dtype=np.int64)
+    mesh = MeshData(n_dims=3, xv=hexm.xv.copy(), c2v=c2v,
+                    c2n_v=np.full(C, 4, dtype=np.int64),
+                    ctype=np.full(C, TET, dtype=np.int64),
+                    bc_id=bc_id, bc_names=["Cyclic"],
+                    ic2icg=np.arange(C, dtype=np.int64))
+    # tag boundary faces: any tet face whose 3 vertices lie on a box face
+    from .core import NUM_F_PER_C, corner_vlist_face
+    lo = np.array([x0, y0, z0])
+    hi = np.array([x1, y1, z1])
+    tol = 1e-10
+    for c in range(C):
+        for k in range(4):
+            vl = corner_vlist_face(TET, 4, k)
+            pts = mesh.xv[c2v[c, vl]]
+            for ax in range(3):
+                if (np.abs(pts[:, ax] - lo[ax]) < tol).all() or \
+                   (np.abs(pts[:, ax] - hi[ax]) < tol).all():
+                    bc_id[c, k] = 0
+    return mesh
+
+
+def periodic_prism_mesh(nx: int, ny: int, nz: int,
+                        x0: float = -np.pi, x1: float = np.pi,
+                        y0: float = -np.pi, y1: float = np.pi,
+                        z0: float = -np.pi, z1: float = np.pi) -> MeshData:
+    """Periodic prism box: each hex split into 2 z-extruded prisms along the
+    same xy diagonal (translation-invariant, so cyclic faces match)."""
+    from .. import PRISM
+    hexm = periodic_hex_mesh(nx, ny, nz, x0, x1, y0, y1, z0, z1)
+    # hex tensor slots: bottom quad (0,1,2,3)=(bl,br,tl,tr), top (4..7)
+    # prisms: bottom tri (bl,br,tr)+(top counterparts), (bl,tr,tl)+(top)
+    splits = [((0, 1, 3), (4, 5, 7)), ((0, 3, 2), (4, 7, 6))]
+    C = hexm.n_cells * 2
+    c2v = -np.ones((C, MAX_V_PER_C), dtype=np.int64)
+    for h in range(hexm.n_cells):
+        for t, (bot, top) in enumerate(splits):
+            c2v[2 * h + t, :3] = hexm.c2v[h, list(bot)]
+            c2v[2 * h + t, 3:6] = hexm.c2v[h, list(top)]
+    bc_id = -np.ones((C, MAX_F_PER_C), dtype=np.int64)
+    mesh = MeshData(n_dims=3, xv=hexm.xv.copy(), c2v=c2v,
+                    c2n_v=np.full(C, 6, dtype=np.int64),
+                    ctype=np.full(C, PRISM, dtype=np.int64),
+                    bc_id=bc_id, bc_names=["Cyclic"],
+                    ic2icg=np.arange(C, dtype=np.int64))
+    from .core import NUM_F_PER_C, corner_vlist_face
+    lo = np.array([x0, y0, z0])
+    hi = np.array([x1, y1, z1])
+    tol = 1e-10
+    for c in range(C):
+        for k in range(5):
+            vl = corner_vlist_face(PRISM, 6, k)
+            pts = mesh.xv[c2v[c, vl]]
+            for ax in range(3):
+                if (np.abs(pts[:, ax] - lo[ax]) < tol).all() or \
+                   (np.abs(pts[:, ax] - hi[ax]) < tol).all():
+                    bc_id[c, k] = 0
+    return mesh

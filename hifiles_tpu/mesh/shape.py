@@ -176,6 +176,83 @@ def tri_shape_dbasis(locs: np.ndarray, n_spts: int) -> np.ndarray:
     raise NotImplementedError(f"tri shape dbasis with {n_spts} points")
 
 
+def tet_shape_basis(locs: np.ndarray, n_spts: int) -> np.ndarray:
+    """Linear/quadratic tet shape basis on the reference tet with vertices
+    (-1,-1,-1), (1,-1,-1), (-1,1,-1), (-1,-1,1).  Barycentric:
+    l0 = -(1+r+s+t)/2, l1 = (1+r)/2, l2 = (1+s)/2, l3 = (1+t)/2.
+    Quadratic node ordering matches the Gambit remap
+    (ref:src/mesh_reader.cpp:219-223)."""
+    locs = np.atleast_2d(locs)
+    r, s, t = locs[:, 0], locs[:, 1], locs[:, 2]
+    L = [-0.5 * (1.0 + r + s + t), 0.5 * (1.0 + r), 0.5 * (1.0 + s),
+         0.5 * (1.0 + t)]
+    if n_spts == 4:
+        return np.stack(L, axis=1)
+    if n_spts == 10:
+        cols = [li * (2 * li - 1) for li in L]
+        edges = [(0, 1), (0, 2), (1, 2), (0, 3), (1, 3), (2, 3)]
+        cols += [4 * L[a] * L[b] for a, b in edges]
+        return np.stack(cols, axis=1)
+    raise NotImplementedError(f"tet shape basis with {n_spts} points")
+
+
+def tet_shape_dbasis(locs: np.ndarray, n_spts: int) -> np.ndarray:
+    locs = np.atleast_2d(locs)
+    r, s, t = locs[:, 0], locs[:, 1], locs[:, 2]
+    L = [-0.5 * (1.0 + r + s + t), 0.5 * (1.0 + r), 0.5 * (1.0 + s),
+         0.5 * (1.0 + t)]
+    h = 0.5 * np.ones_like(r)
+    z = np.zeros_like(r)
+    dL = [(-h, -h, -h), (h, z, z), (z, h, z), (z, z, h)]
+    if n_spts == 4:
+        out = np.empty((locs.shape[0], 4, 3))
+        for m in range(4):
+            for ax in range(3):
+                out[:, m, ax] = dL[m][ax]
+        return out
+    if n_spts == 10:
+        out = np.empty((locs.shape[0], 10, 3))
+        for m in range(4):
+            for ax in range(3):
+                out[:, m, ax] = (4 * L[m] - 1) * dL[m][ax]
+        edges = [(0, 1), (0, 2), (1, 2), (0, 3), (1, 3), (2, 3)]
+        for e, (a, b) in enumerate(edges):
+            for ax in range(3):
+                out[:, 4 + e, ax] = 4 * (dL[a][ax] * L[b] + L[a] * dL[b][ax])
+        return out
+    raise NotImplementedError(f"tet shape dbasis with {n_spts} points")
+
+
+def prism_shape_basis(locs: np.ndarray, n_spts: int) -> np.ndarray:
+    """Linear prism: tri barycentric x linear in z (bottom tri nodes 0,1,2,
+    top tri 3,4,5 per the Gambit order, ref:src/mesh_reader.cpp:230-233)."""
+    locs = np.atleast_2d(locs)
+    if n_spts != 6:
+        raise NotImplementedError(f"prism shape basis with {n_spts} points")
+    tri = tri_shape_basis(locs[:, :2], 3)
+    zm = 0.5 * (1.0 - locs[:, 2])
+    zp = 0.5 * (1.0 + locs[:, 2])
+    return np.concatenate([tri * zm[:, None], tri * zp[:, None]], axis=1)
+
+
+def prism_shape_dbasis(locs: np.ndarray, n_spts: int) -> np.ndarray:
+    locs = np.atleast_2d(locs)
+    if n_spts != 6:
+        raise NotImplementedError(f"prism shape dbasis with {n_spts} points")
+    tri = tri_shape_basis(locs[:, :2], 3)
+    dtri = tri_shape_dbasis(locs[:, :2], 3)
+    zm = 0.5 * (1.0 - locs[:, 2])
+    zp = 0.5 * (1.0 + locs[:, 2])
+    out = np.empty((locs.shape[0], 6, 3))
+    for m in range(3):
+        for ax in range(2):
+            out[:, m, ax] = dtri[:, m, ax] * zm
+            out[:, 3 + m, ax] = dtri[:, m, ax] * zp
+        out[:, m, 2] = -0.5 * tri[:, m]
+        out[:, 3 + m, 2] = 0.5 * tri[:, m]
+    return out
+
+
 def shape_basis(ctype: int, locs: np.ndarray, n_spts: int) -> np.ndarray:
     if ctype == QUAD:
         return quad_shape_basis(locs, n_spts)
@@ -183,6 +260,10 @@ def shape_basis(ctype: int, locs: np.ndarray, n_spts: int) -> np.ndarray:
         return hex_shape_basis(locs, n_spts)
     if ctype == TRI:
         return tri_shape_basis(locs, n_spts)
+    if ctype == TET:
+        return tet_shape_basis(locs, n_spts)
+    if ctype == PRISM:
+        return prism_shape_basis(locs, n_spts)
     raise NotImplementedError(f"shape basis for ctype {ctype}")
 
 
@@ -193,4 +274,8 @@ def shape_dbasis(ctype: int, locs: np.ndarray, n_spts: int) -> np.ndarray:
         return hex_shape_dbasis(locs, n_spts)
     if ctype == TRI:
         return tri_shape_dbasis(locs, n_spts)
+    if ctype == TET:
+        return tet_shape_dbasis(locs, n_spts)
+    if ctype == PRISM:
+        return prism_shape_dbasis(locs, n_spts)
     raise NotImplementedError(f"shape dbasis for ctype {ctype}")

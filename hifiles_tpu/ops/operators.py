@@ -31,7 +31,7 @@ import dataclasses
 
 import numpy as np
 
-from .. import HEX, QUAD, TRI
+from .. import HEX, PRISM, QUAD, TET, TRI
 from .basis import (dlagrange_matrix, lagrange_matrix, tensor_legendre_norms,
                     vandermonde_tensor)
 from .correction import dcorrection_1d
@@ -75,6 +75,8 @@ class ElementOps:
     # per-flux-point quadrature weight on its face (for surface integrals,
     # ref:src/eles.cpp:5704 compute_wall_forces at inters_cubpts)
     fpt_weights: np.ndarray | None = None
+    # custom nodal interpolation (hybrid bases, e.g. prisms)
+    interp_fn: object = None
 
     @property
     def opp_1_cat(self) -> np.ndarray:
@@ -91,9 +93,14 @@ class ElementOps:
 
         Covers opp_p / opp_probe / opp_r / opp_inters_cubpts
         (ref:src/eles.cpp:3600-3710)."""
+        if self.interp_fn is not None:
+            return self.interp_fn(locs)
         if self.ele_type == TRI:
             from .simplex import dubiner_2d
             return dubiner_2d(locs, self.order) @ self.inv_vandermonde
+        if self.ele_type == TET:
+            from .simplex import dubiner_3d
+            return dubiner_3d(locs, self.order) @ self.inv_vandermonde
         return _nodal_interp_tensor(locs, self._loc_1d(), self.n_dims)
 
     def _loc_1d(self) -> np.ndarray:
@@ -373,6 +380,225 @@ def build_tri_ops(order: int, upts_type: int = 0, fpts_type: int = 0,
         ele_type=TRI, order=order, n_dims=2, n_upts=U, n_fpts=Pf, n_faces=3,
         fpt_weights=fpt_w,
         n_fpts_per_face=np.full(3, order + 1, dtype=np.int64),
+        loc_upts=loc_upts, tloc_fpts=tloc_fpts, tnorm_fpts=tnorm_fpts,
+        fpt_face=fpt_face, opp_0=opp_0, opp_1=opp_1, opp_2=opp_2, opp_3=opp_3,
+        loc_vol_cubpts=loc_cub, w_vol_cubpts=w_cub, opp_vol_cubpts=opp_cub,
+        vandermonde=V, inv_vandermonde=Vinv, modal_norms=norms,
+        opp_div_fused=opp_div_fused, upts_weights=w_upts)
+
+
+def build_tet_ops(order: int, upts_type: int = 0, fpts_type: int = 0,
+                  vcjh_scheme: int = 1, c_tet: float = 0.0) -> ElementOps:
+    """Operator set for TET elements (ref:src/eles_tets.cpp:45-140).
+
+    Solution points: interior cubature (upts_type 0) or alpha-optimized
+    (upts_type 1); flux points: a tri point set mapped to the 4 faces;
+    nodal basis via the 3-D Dubiner Vandermonde; correction: DG lift
+    (VCJH filter for c_tet != 0 not yet implemented)."""
+    from .simplex import (dubiner_3d, grad_dubiner_3d, tet_alpha_points,
+                          tet_dg_lift, tet_fpts, tet_interior_cubature,
+                          tri_interior_cubature)
+
+    if vcjh_scheme != 1 and c_tet != 0.0:
+        raise NotImplementedError("tet VCJH filter (c_tet != 0); use DG")
+
+    U = (order + 1) * (order + 2) * (order + 3) // 6
+    if upts_type == 0:
+        loc_upts, w_upts = tet_interior_cubature(order)
+    else:
+        loc_upts = tet_alpha_points(order)
+        w_upts = np.zeros(U)
+
+    tloc_fpts, tnorm_fpts, fpt_face = tet_fpts(order, fpts_type)
+    Pf = tloc_fpts.shape[0]
+    nfp = Pf // 4
+
+    V = dubiner_3d(loc_upts, order)
+    Vinv = np.linalg.inv(V)
+    opp_0 = dubiner_3d(tloc_fpts, order) @ Vinv
+    opp_1 = np.stack([opp_0 * tnorm_fpts[:, d:d + 1] for d in range(3)])
+    gV = grad_dubiner_3d(loc_upts, order)
+    opp_2 = np.stack([gV[..., d] @ Vinv for d in range(3)])
+    opp_3 = tet_dg_lift(loc_upts, tloc_fpts, order)
+
+    loc_cub, w_cub = tet_interior_cubature(min(order, 6))
+    opp_cub = dubiner_3d(loc_cub, order) @ Vinv
+
+    norms = np.ones(U)      # orthonormal Dubiner
+    opp_2_cat = np.concatenate([opp_2[d] for d in range(3)], axis=1)
+    opp_1_cat = np.concatenate([opp_1[d] for d in range(3)], axis=1)
+    opp_div_fused = opp_2_cat - opp_3 @ opp_1_cat
+
+    # face quadrature weights: the tri cubature weights, oblique face
+    # carries the sqrt(3) measure factor (ref:src/eles_tets.cpp:1263-1290)
+    if fpts_type == 0:
+        _, w_tri = tri_interior_cubature(order)
+    else:
+        raise NotImplementedError("alpha fpts carry no weights; "
+                                  "use fpts_type_tet 0")
+    fpt_w = np.concatenate([w_tri * np.sqrt(3.0), w_tri, w_tri, w_tri])
+
+    return ElementOps(
+        ele_type=TET, order=order, n_dims=3, n_upts=U, n_fpts=Pf, n_faces=4,
+        n_fpts_per_face=np.full(4, nfp, dtype=np.int64),
+        fpt_weights=fpt_w,
+        loc_upts=loc_upts, tloc_fpts=tloc_fpts, tnorm_fpts=tnorm_fpts,
+        fpt_face=fpt_face, opp_0=opp_0, opp_1=opp_1, opp_2=opp_2, opp_3=opp_3,
+        loc_vol_cubpts=loc_cub, w_vol_cubpts=w_cub, opp_vol_cubpts=opp_cub,
+        vandermonde=V, inv_vandermonde=Vinv, modal_norms=norms,
+        opp_div_fused=opp_div_fused, upts_weights=w_upts)
+
+
+def build_pri_ops(order: int, upts_type_tri: int = 0, upts_type_1d: int = 0,
+                  vcjh_scheme_1d: int = 1, eta_pri: float = 0.0,
+                  vcjh_scheme_tri: int = 1, c_tri: float = 0.0) -> ElementOps:
+    """Operator set for PRISM elements (ref:src/eles_pris.cpp:45-140).
+
+    Nodal basis = tri nodal basis (Dubiner-Vandermonde) x 1-D Lagrange in z;
+    upt index = upt_1d * n_tri + upt_tri.  Faces: 0 bottom tri (z=-1,
+    (x,y) = (s,r) swapped), 1 top tri, 2/3/4 quad faces on the tri edges
+    (ref:src/eles_pris.cpp set_tloc_fpts).  Correction: tri DG lift on the
+    quad faces x z-row delta, 1-D VCJH in z on the tri faces
+    (ref:src/eles_pris.cpp:1323-1412 fill_opp_3)."""
+    from .simplex import (dubiner_2d, grad_dubiner_2d, tri_alpha_points,
+                          tri_dg_lift, tri_interior_cubature)
+
+    if vcjh_scheme_tri != 1 and c_tri != 0.0:
+        raise NotImplementedError("prism tri VCJH filter; use DG")
+
+    if upts_type_tri == 0:
+        tri_pts, w_tri = tri_interior_cubature(order)
+    else:
+        tri_pts = tri_alpha_points(order)
+        w_tri = np.zeros(tri_pts.shape[0])
+    z_1d, w_1d = line_rule(upts_type_1d, order)
+    n_tri = tri_pts.shape[0]
+    n1 = order + 1
+    U = n_tri * n1
+
+    loc_upts = np.empty((U, 3))
+    w_upts = np.empty(U)
+    for i1 in range(n1):
+        for it in range(n_tri):
+            loc_upts[i1 * n_tri + it] = (tri_pts[it, 0], tri_pts[it, 1],
+                                         z_1d[i1])
+            w_upts[i1 * n_tri + it] = w_tri[it] * w_1d[i1]
+
+    V_tri = dubiner_2d(tri_pts, order)
+    Vinv_tri = np.linalg.inv(V_tri)
+
+    def interp(locs):
+        locs = np.atleast_2d(np.asarray(locs, dtype=np.float64))
+        Nt = dubiner_2d(locs[:, :2], order) @ Vinv_tri       # (p, n_tri)
+        Lz = lagrange_matrix(locs[:, 2], z_1d)               # (p, n1)
+        return np.einsum("pt,pz->pzt", Nt, Lz).reshape(locs.shape[0], U)
+
+    def dinterp(locs, axis):
+        locs = np.atleast_2d(np.asarray(locs, dtype=np.float64))
+        if axis < 2:
+            dNt = (grad_dubiner_2d(locs[:, :2], order)[..., axis]
+                   @ Vinv_tri)
+            Lz = lagrange_matrix(locs[:, 2], z_1d)
+            return np.einsum("pt,pz->pzt", dNt, Lz).reshape(locs.shape[0], U)
+        Nt = dubiner_2d(locs[:, :2], order) @ Vinv_tri
+        dLz = dlagrange_matrix(locs[:, 2], z_1d)
+        return np.einsum("pt,pz->pzt", Nt, dLz).reshape(locs.shape[0], U)
+
+    # flux points (ref:src/eles_pris.cpp set_tloc_fpts)
+    s2 = 1.0 / np.sqrt(2.0)
+    pts, nrm, face = [], [], []
+    for i in range(n_tri):   # face 0, (x,y) swapped
+        pts.append((tri_pts[i, 1], tri_pts[i, 0], -1.0))
+        nrm.append((0.0, 0.0, -1.0))
+        face.append(0)
+    for i in range(n_tri):   # face 1
+        pts.append((tri_pts[i, 0], tri_pts[i, 1], 1.0))
+        nrm.append((0.0, 0.0, 1.0))
+        face.append(1)
+    quad_norms = [(0.0, -1.0, 0.0), (s2, s2, 0.0), (-1.0, 0.0, 0.0)]
+    for fq in range(3):
+        for i in range(n1):
+            for j in range(n1):
+                if fq == 0:
+                    p3 = (z_1d[j], -1.0, z_1d[i])
+                elif fq == 1:
+                    p3 = (z_1d[order - j], z_1d[j], z_1d[i])
+                else:
+                    p3 = (-1.0, z_1d[order - j], z_1d[i])
+                pts.append(p3)
+                nrm.append(quad_norms[fq])
+                face.append(2 + fq)
+    tloc_fpts = np.array(pts)
+    tnorm_fpts = np.array(nrm)
+    fpt_face = np.array(face, dtype=np.int64)
+    Pf = tloc_fpts.shape[0]
+
+    opp_0 = interp(tloc_fpts)
+    opp_1 = np.stack([opp_0 * tnorm_fpts[:, d:d + 1] for d in range(3)])
+    opp_2 = np.stack([dinterp(loc_upts, d) for d in range(3)])
+
+    # --- opp_3 (ref:src/eles_pris.cpp:1323-1412)
+    opp_3 = np.zeros((U, Pf))
+    gl = dcorrection_1d(z_1d, 0, order, vcjh_scheme_1d, eta_pri)
+    gr = dcorrection_1d(z_1d, 1, order, vcjh_scheme_1d, eta_pri)
+    # face0_map: bottom-face fpt i at (s_i, r_i) -> tri upt index
+    face0_map = np.empty(n_tri, dtype=np.int64)
+    for i in range(n_tri):
+        d2 = np.sum((tri_pts - np.array([tri_pts[i, 1], tri_pts[i, 0]]))**2,
+                    axis=1)
+        face0_map[i] = int(np.argmin(d2))
+        assert d2[face0_map[i]] < 1e-20
+    opp_3_tri = tri_dg_lift(tri_pts, z_1d, order)   # tri edge fpts = z_1d set
+    for upt in range(U):
+        upt_1d, upt_tri = divmod(upt, n_tri)
+        # tri faces
+        for i in range(n_tri):
+            if face0_map[i] == upt_tri:
+                opp_3[upt, i] = -gl[upt_1d]
+            if i == upt_tri:
+                opp_3[upt, n_tri + i] = gr[upt_1d]
+        # quad faces
+        for fq in range(3):
+            base = 2 * n_tri + fq * n1 * n1
+            for i in range(n1):
+                if i != upt_1d:
+                    continue
+                for j in range(n1):
+                    opp_3[upt, base + i * n1 + j] = \
+                        opp_3_tri[upt_tri, fq * n1 + j]
+
+    # volume cubature: tri interior x 1-D Gauss
+    tri_c, w_tc = tri_interior_cubature(min(order, 7))
+    zc, wzc = line_rule(GAUSS, order)
+    loc_cub = np.array([(r, s, z) for z in zc for (r, s) in tri_c])
+    w_cub = np.array([wt * wz for wz in wzc for wt in w_tc])
+    opp_cub = interp(loc_cub)
+
+    # modal machinery: Dubiner_tri x Legendre_z
+    from .basis import legendre
+    V = np.empty((U, U))
+    norms = np.empty(U)
+    for k in range(n1):
+        Pk = legendre(loc_upts[:, 2], k)
+        for m in range(n_tri):
+            col = k * n_tri + m
+            V[:, col] = (dubiner_2d(loc_upts[:, :2], order)[:, m] * Pk)
+            norms[col] = 2.0 / (2.0 * k + 1.0)
+    Vinv = np.linalg.inv(V)
+
+    opp_2_cat = np.concatenate([opp_2[d] for d in range(3)], axis=1)
+    opp_1_cat = np.concatenate([opp_1[d] for d in range(3)], axis=1)
+    opp_div_fused = opp_2_cat - opp_3 @ opp_1_cat
+
+    w_q = np.outer(w_1d, w_1d).ravel()
+    fpt_w = np.concatenate([w_tri, w_tri, w_q, w_q * np.sqrt(2.0), w_q])
+
+    return ElementOps(
+        ele_type=PRISM, order=order, n_dims=3, n_upts=U, n_fpts=Pf,
+        n_faces=5,
+        n_fpts_per_face=np.array([n_tri, n_tri, n1 * n1, n1 * n1, n1 * n1],
+                                 dtype=np.int64),
+        fpt_weights=fpt_w, interp_fn=interp,
         loc_upts=loc_upts, tloc_fpts=tloc_fpts, tnorm_fpts=tnorm_fpts,
         fpt_face=fpt_face, opp_0=opp_0, opp_1=opp_1, opp_2=opp_2, opp_3=opp_3,
         loc_vol_cubpts=loc_cub, w_vol_cubpts=w_cub, opp_vol_cubpts=opp_cub,

@@ -191,3 +191,160 @@ def tri_fpts(loc_1d_fpts: np.ndarray, order: int):
                 nrm.append((-1.0, 0.0))
             face.append(i)
     return (np.array(pts), np.array(nrm), np.array(face, dtype=np.int64))
+
+
+# ----------------------------------------------------------------------
+# 3-D (tetrahedra)
+
+def rst_to_abc(r, s, t):
+    """Collapsed tet coordinates (ref:src/funcs.cpp:1195-1222)."""
+    r = np.asarray(r, dtype=np.float64)
+    s = np.asarray(s, dtype=np.float64)
+    t = np.asarray(t, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        a = np.where(s + t != 0.0, -2.0 * (1.0 + r) / (s + t) - 1.0, -1.0)
+        b = np.where(t != 1.0, 2.0 * (1.0 + s) / (1.0 - t) - 1.0, -1.0)
+    return a, b, t
+
+
+def tet_modes(order: int) -> list[tuple[int, int, int]]:
+    """3-D Dubiner mode enumeration (ref:src/funcs.cpp:1476-1496)."""
+    out = []
+    for m_ in range(order + 1):
+        for n_ in range(m_ + 1):
+            for k in range(n_ + 1):
+                j = n_ - k
+                i = m_ - j - k
+                out.append((i, j, k))
+    return out
+
+
+def dubiner_3d(locs: np.ndarray, order: int) -> np.ndarray:
+    """(n_pts, n_modes) orthonormal 3-D Dubiner basis
+    (ref:src/funcs.cpp:1461-1505)."""
+    locs = np.atleast_2d(locs)
+    a, b, c = rst_to_abc(locs[:, 0], locs[:, 1], locs[:, 2])
+    modes = tet_modes(order)
+    out = np.empty((locs.shape[0], len(modes)))
+    for m, (i, j, k) in enumerate(modes):
+        out[:, m] = (2.0 * math.sqrt(2.0) * jacobi(a, 0, 0, i)
+                     * jacobi(b, 2 * i + 1, 0, j) * (1.0 - b) ** i
+                     * jacobi(c, 2 * i + 2 * j + 2, 0, k)
+                     * (1.0 - c) ** (i + j))
+    return out
+
+
+def grad_dubiner_3d(locs: np.ndarray, order: int) -> np.ndarray:
+    """(n_pts, n_modes, 3) gradients (ref:src/funcs.cpp:1509-1617)."""
+    locs = np.atleast_2d(locs)
+    a, b, c = rst_to_abc(locs[:, 0], locs[:, 1], locs[:, 2])
+    modes = tet_modes(order)
+    out = np.empty((locs.shape[0], len(modes), 3))
+    for m, (i, j, k) in enumerate(modes):
+        fa = jacobi(a, 0, 0, i)
+        gb = jacobi(b, 2 * i + 1, 0, j)
+        hc = jacobi(c, 2 * (i + j) + 2, 0, k)
+        dfa = grad_jacobi(a, 0, 0, i)
+        dgb = grad_jacobi(b, 2 * i + 1, 0, j)
+        dhc = grad_jacobi(c, 2 * (i + j) + 2, 0, k)
+        scale = 2.0 ** (2 * i + j + 1.5)
+
+        dr = dfa * gb * hc
+        if i > 0:
+            dr = dr * (0.5 * (1.0 - b)) ** (i - 1)
+        if i + j > 0:
+            dr = dr * (0.5 * (1.0 - c)) ** (i + j - 1)
+        out[:, m, 0] = dr * scale
+
+        ds = 0.5 * (1.0 + a) * dr
+        tmp = dgb * (0.5 * (1.0 - b)) ** i
+        if i > 0:
+            tmp = tmp + (-0.5 * i) * gb * (0.5 * (1.0 - b)) ** (i - 1)
+        if i + j > 0:
+            tmp = tmp * (0.5 * (1.0 - c)) ** (i + j - 1)
+        tmp = fa * tmp * hc
+        ds = ds + tmp
+        out[:, m, 1] = ds * scale
+
+        dt = 0.5 * (1.0 + a) * dr + 0.5 * (1.0 + b) * tmp
+        tmp2 = dhc * (0.5 * (1.0 - c)) ** (i + j)
+        if i + j > 0:
+            tmp2 = tmp2 - 0.5 * (i + j) * hc * (0.5 * (1.0 - c)) ** (i + j - 1)
+        tmp2 = fa * gb * tmp2 * (0.5 * (1.0 - b)) ** i
+        dt = dt + tmp2
+        out[:, m, 2] = dt * scale
+    return out
+
+
+def tet_fpts(order: int, fpts_type: int = 0):
+    """Tet flux points: a tri point set mapped to the 4 faces
+    (ref:src/eles_tets.cpp:238-286, :540-573).
+
+    Face order: 0 oblique (x+y+z=-1... the plane r+s+t=-1), 1 x=-1, 2 y=-1,
+    3 z=-1; reference-domain normals (1,1,1)/sqrt(3), (-1,0,0), (0,-1,0),
+    (0,0,-1)."""
+    if fpts_type == 0:
+        tri = tri_interior_cubature(order)[0]
+    else:
+        tri = tri_alpha_points(order)
+    nfp = tri.shape[0]
+    n = order + 1
+    # reversed-in-row index map (ref:src/eles_tets.cpp:256-258)
+    rev = np.empty(nfp, dtype=np.int64)
+    for j in range(n):
+        for i in range(n - j):
+            idx = j * n - (j - 1) * j // 2 + i
+            rev[idx] = j * n - (j - 1) * j // 2 + (order - j - i)
+    r, s = tri[:, 0], tri[:, 1]
+    pts = np.empty((4 * nfp, 3))
+    pts[0 * nfp:1 * nfp] = np.stack([r[rev], r, s], axis=1)
+    pts[1 * nfp:2 * nfp] = np.stack([-np.ones(nfp), s, r], axis=1)
+    pts[2 * nfp:3 * nfp] = np.stack([r, -np.ones(nfp), s], axis=1)
+    pts[3 * nfp:4 * nfp] = np.stack([s, r, -np.ones(nfp)], axis=1)
+    s3 = 1.0 / math.sqrt(3.0)
+    normals = np.array([(s3, s3, s3), (-1, 0, 0), (0, -1, 0), (0, 0, -1)],
+                       dtype=np.float64)
+    nrm = np.repeat(normals, nfp, axis=0)
+    face = np.repeat(np.arange(4), nfp)
+    return pts, nrm, face
+
+
+def tet_dg_lift(loc_upts: np.ndarray, tloc_fpts: np.ndarray,
+                order: int) -> np.ndarray:
+    """DG lift for tets (U, 4*nfp) via face-modal integrals
+    (ref:src/eles_tets.cpp:1168-1303 get_opp_3_dg_tet/eval_div_dg_tet)."""
+    U = loc_upts.shape[0]
+    nfp = tloc_fpts.shape[0] // 4
+    cub, w = tri_interior_cubature(7)
+    rq, sq = cub[:, 0], cub[:, 1]
+    V3_upts = dubiner_3d(loc_upts, order)            # (U, U)
+    opp3 = np.empty((U, 4 * nfp))
+    # face parametrization & jacobian (ref:src/eles_tets.cpp:1259-1290)
+    for face in range(4):
+        fpts = tloc_fpts[face * nfp:(face + 1) * nfp]
+        # face-local coordinates of this face's fpts (ref::1224-1240)
+        if face == 0:
+            rf, sf = fpts[:, 0], fpts[:, 2]
+            jac = math.sqrt(3.0)
+            r, s, t = rq, -1.0 - sq - rq, sq
+        elif face == 1:
+            rf, sf = fpts[:, 2], fpts[:, 1]
+            jac = 1.0
+            r, s, t = -np.ones_like(rq), sq, rq
+        elif face == 2:
+            rf, sf = fpts[:, 0], fpts[:, 2]
+            jac = 1.0
+            r, s, t = rq, -np.ones_like(rq), sq
+        else:
+            rf, sf = fpts[:, 1], fpts[:, 0]
+            jac = 1.0
+            r, s, t = sq, rq, -np.ones_like(rq)
+        # Lagrange-through-modal on the face: cardinal functions of this
+        # face's fpt set evaluated at the quadrature points
+        Vf = dubiner_2d(np.stack([rf, sf], axis=1), order)     # (nfp, nfp)
+        Vq = dubiner_2d(cub, order)                            # (q, nfp)
+        L = Vq @ np.linalg.inv(Vf)                             # (q, nfp)
+        phi3 = dubiner_3d(np.stack([r, s, t], axis=1), order)  # (q, U)
+        sigma = np.einsum("q,qm,qi->mi", w * jac, phi3, L)     # (U, nfp)
+        opp3[:, face * nfp:(face + 1) * nfp] = V3_upts @ sigma
+    return opp3

@@ -33,7 +33,7 @@ from ..mesh.core import FaceConnectivity, MeshData, build_faces
 from ..models.euler import inviscid_flux
 from ..models.viscous import adv_diff_viscous_flux, viscous_flux
 from ..ops import riemann
-from ..solver.elements import build_element_block, face_lut
+from ..solver.elements import build_element_block, match_fpts
 from ..solver.kernels import adj_apply_cat, adjT_apply, opmat, opmat_md
 from ..solver.ics import initial_condition
 from ..solver.residual import ResidualConfig
@@ -70,7 +70,8 @@ def _contiguous_partition(n_eles: int, n_shards: int) -> np.ndarray:
 
 def build_shard_tables(conn: FaceConnectivity, shard_of: np.ndarray,
                        n_shards: int, Pf: int, n_faces: int, order: int,
-                       perm: np.ndarray) -> ShardTables:
+                       perm: np.ndarray,
+                       pos_fpts: np.ndarray | None = None) -> ShardTables:
     """Construct halo-aware per-shard slot tables.
 
     ``shard_of``/``perm``: element partition and the reordering such that
@@ -87,12 +88,19 @@ def build_shard_tables(conn: FaceConnectivity, shard_of: np.ndarray,
         j = np.arange(nfp) if lut_perm is None else lut_perm
         return s, e_loc * Pf + locf * nfp + j
 
+    def global_slots(e_old, locf):
+        return e_old * Pf + locf * nfp + np.arange(nfp)
+
+    pf_flat = pos_fpts.reshape(-1, pos_fpts.shape[-1])
+
     ints = [[] for _ in range(n_shards)]     # (slots_l, slots_r)
     bdys = [[] for _ in range(n_shards)]     # slots
     halos = [[] for _ in range(n_shards)]    # (slots_l, offset, partner_slots)
 
     for f in range(conn.int_ele_l.size):
-        lut = face_lut(int(conn.int_nv[f]), nfp, int(conn.int_rot[f]), order)
+        gl = global_slots(conn.int_ele_l[f], conn.int_locf_l[f])
+        gr = global_slots(conn.int_ele_r[f], conn.int_locf_r[f])
+        lut = match_fpts(pf_flat[gl], pf_flat[gr])
         s_l, sl = local_slots(conn.int_ele_l[f], conn.int_locf_l[f])
         s_r, sr = local_slots(conn.int_ele_r[f], conn.int_locf_r[f], lut)
         if s_l == s_r:
@@ -223,8 +231,9 @@ class ShardedSolver:
         self.n_eles, self.El = E, El
         Pf = ops.n_fpts
 
-        self.tables = build_shard_tables(conn, shard_of, self.n_shards, Pf,
-                                         ops.n_faces, ops.order, order)
+        self.tables = build_shard_tables(
+            conn, shard_of, self.n_shards, Pf, ops.n_faces, ops.order, order,
+            pos_fpts=block.pos_fpts.reshape(E, Pf, -1))
 
         # reorder per-element geometry into shard-major order and stack
         f = lambda a: jnp.asarray(a, dtype=dtype)

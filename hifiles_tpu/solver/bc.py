@@ -337,7 +337,7 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
         for fi in range(block.bdy_bcid.size):
             if P_np["use_wm"][fi, 0] <= 0:
                 continue
-            slots = block.bdy_slot[fi]
+            slots = block.bdy_slot[fi][block.bdy_mask[fi] > 0]
             e = int(slots[0] // Pf)
             fpt_pos = block.pos_fpts[slots]           # (nfp, d)
             fpt_nrm = block.norm_fpts[slots]

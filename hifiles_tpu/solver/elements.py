@@ -18,7 +18,7 @@ from typing import Any
 
 import numpy as np
 
-from .. import HEX, QUAD, TRI
+from .. import HEX, PRISM, QUAD, TET, TRI
 from ..mesh.core import FaceConnectivity, MeshData
 from ..mesh.shape import shape_basis, shape_dbasis
 from ..ops.operators import ElementOps
@@ -90,6 +90,29 @@ def face_lut(face_nv: int, n_fpts: int, rot_tag: int, order: int) -> np.ndarray:
     raise ValueError(f"face_lut(face_nv={face_nv}, rot={rot_tag})")
 
 
+def match_fpts(pos_l: np.ndarray, pos_r: np.ndarray,
+               tol: float = 1e-7) -> np.ndarray:
+    """Geometric flux-point matching across a shared face.
+
+    Returns perm with pos_r[perm[j]] == pos_l[j], comparing centroid-relative
+    positions so cyclic (translated) faces match too.  This replaces the
+    reference's analytic rotation-tag luts (ref:src/inters.cpp:153-262),
+    which silently break for point sets without the assumed lattice
+    ordering; geometric matching is exact for any symmetric set."""
+    a = pos_l - pos_l.mean(axis=0)
+    b = pos_r - pos_r.mean(axis=0)
+    d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    perm = d2.argmin(axis=1)
+    scale = max(np.abs(a).max(), 1e-30)
+    if (np.sort(perm).tolist() != list(range(len(perm)))
+            or np.sqrt(d2[np.arange(len(perm)), perm]).max() > tol * max(
+                1.0, scale)):
+        raise AssertionError(
+            f"face flux points do not coincide (max gap "
+            f"{np.sqrt(d2[np.arange(len(perm)), perm]).max():.3e})")
+    return perm
+
+
 @dataclasses.dataclass
 class ElementBlock:
     """One element type's geometry + connectivity, ready for the jitted
@@ -127,6 +150,9 @@ class ElementBlock:
     # wall distance (ref:src/geometry.cpp:708-894, ref:src/eles.cpp:2701)
     wall_dist_upts: np.ndarray | None = None   # (E, U)
     wall_dist_fpts: np.ndarray | None = None   # (S,)
+    # validity masks for padded face rows (mixed face shapes, e.g. prisms)
+    int_mask: np.ndarray | None = None   # (Fi, nfp_max) 1 = real fpt
+    bdy_mask: np.ndarray | None = None   # (Fb, nfp_max)
 
     def compute_wall_distance(self, wall_pts: np.ndarray) -> None:
         """Min distance from every solution/flux point to the no-slip wall
@@ -219,65 +245,67 @@ def build_element_block(mesh: MeshData, conn: FaceConnectivity,
     elif ct == TRI:
         corners = spts[:, :3]
         edges = [(0, 1), (1, 2), (2, 0)]
+    elif ct == TET:
+        corners = spts[:, :4]
+        edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    elif ct == PRISM:
+        corners = spts[:, :6]
+        edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3),
+                 (0, 3), (1, 4), (2, 5)]
     else:
         raise NotImplementedError
     h_ref = np.min(np.stack(
         [np.linalg.norm(corners[:, a] - corners[:, b], axis=-1)
          for a, b in edges]), axis=0)
 
-    # --- face slot tables
+    # --- face slot tables.  Faces of different shapes (prisms: tri + quad
+    # faces) have different fpt counts; rows are padded to the max with
+    # slot 0, whose flux entries are never referenced by slot_src.
     Pf = ops.n_fpts
-    nfp_face = Pf // ops.n_faces
     order = ops.order
+    fpt_off = np.concatenate([[0], np.cumsum(ops.n_fpts_per_face)])
+    nfp_max = int(ops.n_fpts_per_face.max())
 
-    def slots(ele, locf, perm=None):
-        j = np.arange(nfp_face) if perm is None else perm
-        return ele * Pf + locf * nfp_face + j
+    def slots(ele, locf):
+        nfp = int(ops.n_fpts_per_face[locf])
+        return ele * Pf + fpt_off[locf] + np.arange(nfp)
 
     Fi = conn.int_ele_l.size
-    int_slot_l = np.empty((Fi, nfp_face), dtype=np.int64)
-    int_slot_r = np.empty((Fi, nfp_face), dtype=np.int64)
+    pf_flat = pos_fpts.reshape(-1, d)
+    int_slot_l = np.zeros((Fi, nfp_max), dtype=np.int64)
+    int_slot_r = np.zeros((Fi, nfp_max), dtype=np.int64)
+    int_mask = np.zeros((Fi, nfp_max))
     for f in range(Fi):
-        int_slot_l[f] = slots(conn.int_ele_l[f], conn.int_locf_l[f])
-        lut = face_lut(int(conn.int_nv[f]), nfp_face, int(conn.int_rot[f]),
-                       order)
-        int_slot_r[f] = slots(conn.int_ele_r[f], conn.int_locf_r[f], lut)
+        sl = slots(conn.int_ele_l[f], conn.int_locf_l[f])
+        sr0 = slots(conn.int_ele_r[f], conn.int_locf_r[f])
+        perm_f = match_fpts(pf_flat[sl], pf_flat[sr0])
+        int_slot_l[f, :sl.size] = sl
+        int_slot_r[f, :sl.size] = sr0[perm_f]
+        int_mask[f, :sl.size] = 1.0
 
     Fb = conn.bdy_ele.size
-    bdy_slot = np.empty((Fb, nfp_face), dtype=np.int64)
+    bdy_slot = np.zeros((Fb, nfp_max), dtype=np.int64)
+    bdy_mask = np.zeros((Fb, nfp_max))
     for f in range(Fb):
-        bdy_slot[f] = slots(conn.bdy_ele[f], conn.bdy_locf[f])
-
-    # geometric sanity: paired fpts must coincide (mod cyclic offset);
-    # catches lut/rotation-tag bugs at setup time
-    if check_geometry and Fi:
-        pf = pos_fpts.reshape(-1, d)
-        gap = np.abs(pf[int_slot_l] - pf[int_slot_r])
-        if delta_cyclic is not None:
-            dc = np.asarray(delta_cyclic)[:d]
-            for ax in range(d):
-                if np.isfinite(dc[ax]):
-                    gap[..., ax] = np.minimum(gap[..., ax],
-                                              np.abs(gap[..., ax] - dc[ax]))
-        if gap.max() > 1e-8 * max(1.0, np.abs(mesh.xv).max()):
-            bad = np.unravel_index(np.argmax(gap.max(axis=(1, 2))), (Fi,))
-            raise AssertionError(
-                f"face fpt mismatch at interior face {bad[0]}: "
-                f"max gap {gap.max():.3e}")
+        sl = slots(conn.bdy_ele[f], conn.bdy_locf[f])
+        bdy_slot[f, :sl.size] = sl
+        bdy_mask[f, :sl.size] = 1.0
 
     # --- inverse slot map: one gather instead of scatter in the hot loop
     S = E * Pf
     slot_src = -np.ones(S, dtype=np.int64)
     slot_sign = np.zeros(S)
-    base = np.arange(Fi * nfp_face).reshape(Fi, nfp_face)
-    slot_src[int_slot_l] = base
-    slot_sign[int_slot_l.ravel()] = 1.0
-    slot_src[int_slot_r] = base
-    slot_sign[int_slot_r.ravel()] = -1.0
+    base = np.arange(Fi * nfp_max).reshape(Fi, nfp_max)
+    ml = int_mask > 0
+    slot_src[int_slot_l[ml]] = base[ml]
+    slot_sign[int_slot_l[ml]] = 1.0
+    slot_src[int_slot_r[ml]] = base[ml]
+    slot_sign[int_slot_r[ml]] = -1.0
     if Fb:
-        bbase = Fi * nfp_face + np.arange(Fb * nfp_face).reshape(Fb, nfp_face)
-        slot_src[bdy_slot] = bbase
-        slot_sign[bdy_slot.ravel()] = 1.0
+        bbase = Fi * nfp_max + np.arange(Fb * nfp_max).reshape(Fb, nfp_max)
+        mb = bdy_mask > 0
+        slot_src[bdy_slot[mb]] = bbase[mb]
+        slot_sign[bdy_slot[mb]] = 1.0
     if np.any(slot_src < 0):
         raise AssertionError("uncovered flux-point slots; face tables broken")
 
@@ -300,6 +328,7 @@ def build_element_block(mesh: MeshData, conn: FaceConnectivity,
         jginv_fpts=jginv_fpts.reshape(S, d, d),
         int_slot_l=int_slot_l, int_slot_r=int_slot_r,
         bdy_slot=bdy_slot, bdy_bcid=conn.bdy_bcid.copy(),
+        int_mask=int_mask, bdy_mask=bdy_mask,
         slot_src=slot_src, slot_sign=slot_sign,
         pos_vol_cubpts=pos_cub, detjac_vol_cubpts=detjac_cub, h_ref=h_ref)
 

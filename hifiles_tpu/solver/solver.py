@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import HEX, QUAD, TRI
+from .. import HEX, PRISM, QUAD, TET, TRI
 from ..config.params import RunInput
 from ..mesh.core import FaceConnectivity, MeshData, build_faces
 from ..models.euler import max_wavespeed
@@ -70,6 +70,19 @@ class Solver:
                 run_input.order, run_input.upts_type_tri,
                 run_input.fpts_type_tri, run_input.vcjh_scheme_tri,
                 run_input.c_tri)
+        elif ctype == TET:
+            from ..ops.operators import build_tet_ops
+            ops = build_tet_ops(
+                run_input.order, run_input.upts_type_tet,
+                run_input.fpts_type_tet, run_input.vcjh_scheme_tet,
+                run_input.c_tet)
+        elif ctype == PRISM:
+            from ..ops.operators import build_pri_ops
+            ops = build_pri_ops(
+                run_input.order, run_input.upts_type_pri_tri,
+                run_input.upts_type_pri_1d, run_input.vcjh_scheme_pri_1d,
+                run_input.eta_pri, run_input.vcjh_scheme_tri,
+                run_input.c_tri)
         else:
             raise NotImplementedError(f"ctype {ctype} solver block")
         self.ops = ops
@@ -108,7 +121,8 @@ class Solver:
             for f, bcid in enumerate(self.block.bdy_bcid):
                 flag = bc_flags.get(int(bcid), -1)
                 if flag in (ISOTHERM_WALL, ADIABAT_WALL):
-                    wall_slots.append(self.block.bdy_slot[f])
+                    wall_slots.append(
+                        self.block.bdy_slot[f][self.block.bdy_mask[f] > 0])
             wall_pts = (self.block.pos_fpts[np.concatenate(wall_slots)]
                         if wall_slots else np.empty((0, self.n_dims)))
             self.block.compute_wall_distance(wall_pts)
