@@ -78,6 +78,53 @@ def channel_quad_mesh(nx: int, ny: int, x0: float, x1: float,
     return mesh
 
 
+def periodic_mixed_mesh_2d(nx: int, ny: int,
+                           x0: float = -1.0, x1: float = 1.0,
+                           y0: float = -1.0, y1: float = 1.0) -> MeshData:
+    """Mixed tri+quad periodic box: the left half stays quads, each quad in
+    the right half splits into 2 tris along the bl->tr diagonal.  The split
+    pattern is constant in y so cyclic y faces match, and the x-cyclic pair
+    is a quad edge against a tri edge (exercising the cross-type face path,
+    ref:src/geometry.cpp:250-420 mixed inters wiring)."""
+    from .. import TRI
+    quadm = periodic_quad_mesh(nx, ny, x0, x1, y0, y1)
+    half = nx // 2
+    cells = []          # (ctype, vlist)
+    for j in range(ny):
+        for i in range(nx):
+            q = quadm.c2v[j * nx + i, :4]      # bl, br, tl, tr
+            if i < half:
+                cells.append((QUAD, [q[0], q[1], q[2], q[3]]))
+            else:
+                cells.append((TRI, [q[0], q[1], q[3]]))   # bl, br, tr
+                cells.append((TRI, [q[0], q[3], q[2]]))   # bl, tr, tl
+    C = len(cells)
+    c2v = -np.ones((C, MAX_V_PER_C), dtype=np.int64)
+    ctype = np.empty(C, dtype=np.int64)
+    c2n_v = np.empty(C, dtype=np.int64)
+    for c, (ct, vl) in enumerate(cells):
+        ctype[c] = ct
+        c2n_v[c] = len(vl)
+        c2v[c, :len(vl)] = vl
+    bc_id = -np.ones((C, MAX_F_PER_C), dtype=np.int64)
+    mesh = MeshData(n_dims=2, xv=quadm.xv.copy(), c2v=c2v, c2n_v=c2n_v,
+                    ctype=ctype, bc_id=bc_id, bc_names=["Cyclic"],
+                    ic2icg=np.arange(C, dtype=np.int64))
+    from .core import NUM_F_PER_C, corner_vlist_face
+    lo = np.array([x0, y0])
+    hi = np.array([x1, y1])
+    tol = 1e-10
+    for c in range(C):
+        for k in range(NUM_F_PER_C[int(ctype[c])]):
+            vl = corner_vlist_face(int(ctype[c]), int(c2n_v[c]), k)
+            pts = mesh.xv[c2v[c, vl]]
+            for ax in range(2):
+                if (np.abs(pts[:, ax] - lo[ax]) < tol).all() or \
+                   (np.abs(pts[:, ax] - hi[ax]) < tol).all():
+                    bc_id[c, k] = 0
+    return mesh
+
+
 def periodic_hex_mesh(nx: int, ny: int, nz: int,
                       x0: float = -np.pi, x1: float = np.pi,
                       y0: float = -np.pi, y1: float = np.pi,

@@ -189,19 +189,27 @@ class ElementBlock:
 def build_element_block(mesh: MeshData, conn: FaceConnectivity,
                         ops: ElementOps, check_geometry: bool = True,
                         delta_cyclic: np.ndarray | None = None,
-                        over_int_order: int | None = None) -> ElementBlock:
-    """Assemble an ElementBlock for a single-element-type mesh."""
+                        over_int_order: int | None = None,
+                        sel: np.ndarray | None = None,
+                        face_tables: bool = True) -> ElementBlock:
+    """Assemble an ElementBlock.
+
+    ``sel``: element subset of this type (defaults to all; mixed meshes pass
+    per-type selections and build global face tables separately with
+    ``face_tables=False``)."""
     ct = ops.ele_type
-    sel = np.where(mesh.ctype == ct)[0]
-    if sel.size != mesh.n_cells:
-        raise NotImplementedError("mixed-type meshes: use per-type blocks")
+    if sel is None:
+        sel = np.where(mesh.ctype == ct)[0]
+        if sel.size != mesh.n_cells:
+            raise NotImplementedError(
+                "mixed-type meshes: use solver.multiblock.MixedSolver")
     E = sel.size
     d = ops.n_dims
-    n_spts = int(mesh.c2n_v[0])
-    if not np.all(mesh.c2n_v == n_spts):
+    n_spts = int(mesh.c2n_v[sel[0]])
+    if not np.all(mesh.c2n_v[sel] == n_spts):
         raise NotImplementedError("heterogeneous shape-point counts per block")
 
-    spts = mesh.xv[mesh.c2v[:, :n_spts]]          # (E, n_spts, d)
+    spts = mesh.xv[mesh.c2v[sel][:, :n_spts]]     # (E, n_spts, d)
 
     # --- volume transforms (ref:src/eles.cpp:4035-4148)
     sb_u = shape_basis(ct, ops.loc_upts, n_spts)          # (U, n_spts)
@@ -262,52 +270,63 @@ def build_element_block(mesh: MeshData, conn: FaceConnectivity,
     # faces) have different fpt counts; rows are padded to the max with
     # slot 0, whose flux entries are never referenced by slot_src.
     Pf = ops.n_fpts
-    order = ops.order
-    fpt_off = np.concatenate([[0], np.cumsum(ops.n_fpts_per_face)])
-    nfp_max = int(ops.n_fpts_per_face.max())
-
-    def slots(ele, locf):
-        nfp = int(ops.n_fpts_per_face[locf])
-        return ele * Pf + fpt_off[locf] + np.arange(nfp)
-
-    Fi = conn.int_ele_l.size
-    pf_flat = pos_fpts.reshape(-1, d)
-    int_slot_l = np.zeros((Fi, nfp_max), dtype=np.int64)
-    int_slot_r = np.zeros((Fi, nfp_max), dtype=np.int64)
-    int_mask = np.zeros((Fi, nfp_max))
-    for f in range(Fi):
-        sl = slots(conn.int_ele_l[f], conn.int_locf_l[f])
-        sr0 = slots(conn.int_ele_r[f], conn.int_locf_r[f])
-        perm_f = match_fpts(pf_flat[sl], pf_flat[sr0])
-        int_slot_l[f, :sl.size] = sl
-        int_slot_r[f, :sl.size] = sr0[perm_f]
-        int_mask[f, :sl.size] = 1.0
-
-    Fb = conn.bdy_ele.size
-    bdy_slot = np.zeros((Fb, nfp_max), dtype=np.int64)
-    bdy_mask = np.zeros((Fb, nfp_max))
-    for f in range(Fb):
-        sl = slots(conn.bdy_ele[f], conn.bdy_locf[f])
-        bdy_slot[f, :sl.size] = sl
-        bdy_mask[f, :sl.size] = 1.0
-
-    # --- inverse slot map: one gather instead of scatter in the hot loop
     S = E * Pf
-    slot_src = -np.ones(S, dtype=np.int64)
-    slot_sign = np.zeros(S)
-    base = np.arange(Fi * nfp_max).reshape(Fi, nfp_max)
-    ml = int_mask > 0
-    slot_src[int_slot_l[ml]] = base[ml]
-    slot_sign[int_slot_l[ml]] = 1.0
-    slot_src[int_slot_r[ml]] = base[ml]
-    slot_sign[int_slot_r[ml]] = -1.0
-    if Fb:
-        bbase = Fi * nfp_max + np.arange(Fb * nfp_max).reshape(Fb, nfp_max)
-        mb = bdy_mask > 0
-        slot_src[bdy_slot[mb]] = bbase[mb]
-        slot_sign[bdy_slot[mb]] = 1.0
-    if np.any(slot_src < 0):
-        raise AssertionError("uncovered flux-point slots; face tables broken")
+    if face_tables:
+        fpt_off = np.concatenate([[0], np.cumsum(ops.n_fpts_per_face)])
+        nfp_max = int(ops.n_fpts_per_face.max())
+
+        def slots(ele, locf):
+            nfp = int(ops.n_fpts_per_face[locf])
+            return ele * Pf + fpt_off[locf] + np.arange(nfp)
+
+        Fi = conn.int_ele_l.size
+        pf_flat = pos_fpts.reshape(-1, d)
+        int_slot_l = np.zeros((Fi, nfp_max), dtype=np.int64)
+        int_slot_r = np.zeros((Fi, nfp_max), dtype=np.int64)
+        int_mask = np.zeros((Fi, nfp_max))
+        for f in range(Fi):
+            sl = slots(conn.int_ele_l[f], conn.int_locf_l[f])
+            sr0 = slots(conn.int_ele_r[f], conn.int_locf_r[f])
+            perm_f = match_fpts(pf_flat[sl], pf_flat[sr0])
+            int_slot_l[f, :sl.size] = sl
+            int_slot_r[f, :sl.size] = sr0[perm_f]
+            int_mask[f, :sl.size] = 1.0
+
+        Fb = conn.bdy_ele.size
+        bdy_slot = np.zeros((Fb, nfp_max), dtype=np.int64)
+        bdy_mask = np.zeros((Fb, nfp_max))
+        for f in range(Fb):
+            sl = slots(conn.bdy_ele[f], conn.bdy_locf[f])
+            bdy_slot[f, :sl.size] = sl
+            bdy_mask[f, :sl.size] = 1.0
+
+        # --- inverse slot map: one gather instead of scatter in the hot loop
+        slot_src = -np.ones(S, dtype=np.int64)
+        slot_sign = np.zeros(S)
+        base = np.arange(Fi * nfp_max).reshape(Fi, nfp_max)
+        ml = int_mask > 0
+        slot_src[int_slot_l[ml]] = base[ml]
+        slot_sign[int_slot_l[ml]] = 1.0
+        slot_src[int_slot_r[ml]] = base[ml]
+        slot_sign[int_slot_r[ml]] = -1.0
+        if Fb:
+            bbase = Fi * nfp_max + np.arange(Fb * nfp_max).reshape(Fb, nfp_max)
+            mb = bdy_mask > 0
+            slot_src[bdy_slot[mb]] = bbase[mb]
+            slot_sign[bdy_slot[mb]] = 1.0
+        if np.any(slot_src < 0):
+            raise AssertionError(
+                "uncovered flux-point slots; face tables broken")
+        bdy_bcid = conn.bdy_bcid.copy()
+    else:
+        # mixed meshes: face tables live in the global slot space, built by
+        # build_mixed_blocks
+        z = np.zeros((0, 1), dtype=np.int64)
+        int_slot_l = int_slot_r = bdy_slot = z
+        int_mask = bdy_mask = np.zeros((0, 1))
+        slot_src = np.zeros(0, dtype=np.int64)
+        slot_sign = np.zeros(0)
+        bdy_bcid = np.zeros(0, dtype=np.int64)
 
     # --- over-integration geometry (ref:src/eles.cpp:4151-4213)
     jginv_over = opp_over = over_filter = None
@@ -327,10 +346,131 @@ def build_element_block(mesh: MeshData, conn: FaceConnectivity,
         norm_fpts=norm.reshape(S, d), detjac_fpts=detjac_fpts.reshape(S),
         jginv_fpts=jginv_fpts.reshape(S, d, d),
         int_slot_l=int_slot_l, int_slot_r=int_slot_r,
-        bdy_slot=bdy_slot, bdy_bcid=conn.bdy_bcid.copy(),
+        bdy_slot=bdy_slot, bdy_bcid=bdy_bcid,
         int_mask=int_mask, bdy_mask=bdy_mask,
         slot_src=slot_src, slot_sign=slot_sign,
         pos_vol_cubpts=pos_cub, detjac_vol_cubpts=detjac_cub, h_ref=h_ref)
+
+
+@dataclasses.dataclass
+class MixedMeshTables:
+    """Face tables for a mixed-type mesh in a GLOBAL slot space.
+
+    The global slot of flux point j on local face locf of global element e is
+      slot_off[ctype[e]] + loc_idx[e] * Pf_ct + fpt_off_ct[locf] + j
+    so per-type flux-point data concatenated in ``cts`` order lines up with
+    the global face gather tables.  This generalizes the reference's
+    per-pairing inters machinery (ref:src/int_inters.cpp:67-121,
+    ref:src/geometry.cpp:250-420 which wires tris/quads/... into shared
+    inters objects) to one flat index space.
+    """
+    cts: list                     # element types present, ascending
+    blocks: dict                  # ct -> ElementBlock (no local face tables)
+    sels: dict                    # ct -> global element ids of that type
+    slot_off: dict                # ct -> global slot offset of the block
+    n_slots: int
+    # global face-side geometry (concat of per-block flats, cts order)
+    pos_fpts: np.ndarray          # (S, d)
+    tdA_fpts: np.ndarray          # (S,)
+    norm_fpts: np.ndarray         # (S, d)
+    detjac_fpts: np.ndarray       # (S,)
+    jginv_fpts: np.ndarray        # (S, d, d)
+    # global face tables (same semantics as ElementBlock's)
+    int_slot_l: np.ndarray
+    int_slot_r: np.ndarray
+    int_mask: np.ndarray
+    bdy_slot: np.ndarray
+    bdy_bcid: np.ndarray
+    bdy_mask: np.ndarray
+    slot_src: np.ndarray
+    slot_sign: np.ndarray
+
+
+def build_mixed_blocks(mesh: MeshData, conn: FaceConnectivity,
+                       ops_by_ct: dict, check_geometry: bool = True,
+                       over_int_order: int | None = None) -> MixedMeshTables:
+    """Per-type geometry blocks + global-slot face tables for a mixed mesh."""
+    cts = sorted(int(c) for c in np.unique(mesh.ctype))
+    blocks, sels, slot_off = {}, {}, {}
+    off = 0
+    loc_idx = np.zeros(mesh.n_cells, dtype=np.int64)
+    for ct in cts:
+        sel = np.where(mesh.ctype == ct)[0]
+        sels[ct] = sel
+        loc_idx[sel] = np.arange(sel.size)
+        blocks[ct] = build_element_block(
+            mesh, None, ops_by_ct[ct], check_geometry=check_geometry,
+            over_int_order=over_int_order, sel=sel, face_tables=False)
+        slot_off[ct] = off
+        off += sel.size * ops_by_ct[ct].n_fpts
+    S = off
+    d = mesh.n_dims
+
+    pos_fpts = np.concatenate([blocks[ct].pos_fpts for ct in cts])
+    tdA_fpts = np.concatenate([blocks[ct].tdA_fpts for ct in cts])
+    norm_fpts = np.concatenate([blocks[ct].norm_fpts for ct in cts])
+    detjac_fpts = np.concatenate([blocks[ct].detjac_fpts for ct in cts])
+    jginv_fpts = np.concatenate([blocks[ct].jginv_fpts for ct in cts])
+
+    fpt_off = {ct: np.concatenate([[0],
+                                   np.cumsum(ops_by_ct[ct].n_fpts_per_face)])
+               for ct in cts}
+    nfp_max = max(int(ops_by_ct[ct].n_fpts_per_face.max()) for ct in cts)
+
+    def slots(ele, locf):
+        ct = int(mesh.ctype[ele])
+        ops = ops_by_ct[ct]
+        nfp = int(ops.n_fpts_per_face[locf])
+        return (slot_off[ct] + loc_idx[ele] * ops.n_fpts
+                + fpt_off[ct][locf] + np.arange(nfp))
+
+    Fi = conn.int_ele_l.size
+    int_slot_l = np.zeros((Fi, nfp_max), dtype=np.int64)
+    int_slot_r = np.zeros((Fi, nfp_max), dtype=np.int64)
+    int_mask = np.zeros((Fi, nfp_max))
+    for f in range(Fi):
+        sl = slots(conn.int_ele_l[f], conn.int_locf_l[f])
+        sr0 = slots(conn.int_ele_r[f], conn.int_locf_r[f])
+        if sl.size != sr0.size:
+            raise AssertionError(
+                "face fpt-count mismatch across element types; use matching "
+                "face point sets (fpts_type) on both types")
+        perm_f = match_fpts(pos_fpts[sl], pos_fpts[sr0])
+        int_slot_l[f, :sl.size] = sl
+        int_slot_r[f, :sl.size] = sr0[perm_f]
+        int_mask[f, :sl.size] = 1.0
+
+    Fb = conn.bdy_ele.size
+    bdy_slot = np.zeros((Fb, nfp_max), dtype=np.int64)
+    bdy_mask = np.zeros((Fb, nfp_max))
+    for f in range(Fb):
+        sl = slots(conn.bdy_ele[f], conn.bdy_locf[f])
+        bdy_slot[f, :sl.size] = sl
+        bdy_mask[f, :sl.size] = 1.0
+
+    slot_src = -np.ones(S, dtype=np.int64)
+    slot_sign = np.zeros(S)
+    base = np.arange(Fi * nfp_max).reshape(Fi, nfp_max)
+    ml = int_mask > 0
+    slot_src[int_slot_l[ml]] = base[ml]
+    slot_sign[int_slot_l[ml]] = 1.0
+    slot_src[int_slot_r[ml]] = base[ml]
+    slot_sign[int_slot_r[ml]] = -1.0
+    if Fb:
+        bbase = Fi * nfp_max + np.arange(Fb * nfp_max).reshape(Fb, nfp_max)
+        mb = bdy_mask > 0
+        slot_src[bdy_slot[mb]] = bbase[mb]
+        slot_sign[bdy_slot[mb]] = 1.0
+    if np.any(slot_src < 0):
+        raise AssertionError("uncovered flux-point slots in mixed tables")
+
+    return MixedMeshTables(
+        cts=cts, blocks=blocks, sels=sels, slot_off=slot_off, n_slots=S,
+        pos_fpts=pos_fpts, tdA_fpts=tdA_fpts, norm_fpts=norm_fpts,
+        detjac_fpts=detjac_fpts, jginv_fpts=jginv_fpts,
+        int_slot_l=int_slot_l, int_slot_r=int_slot_r, int_mask=int_mask,
+        bdy_slot=bdy_slot, bdy_bcid=conn.bdy_bcid.copy(), bdy_mask=bdy_mask,
+        slot_src=slot_src, slot_sign=slot_sign)
 
 
 def _quad_corners(n_spts):

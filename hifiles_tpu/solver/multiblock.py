@@ -1,0 +1,371 @@
+"""Mixed-element-type solver: per-type tensor blocks, one global face space.
+
+The reference couples tris/quads/tets/prisms/hexes through shared inters
+objects holding pointers into each eles object's storage
+(ref:src/geometry.cpp:250-420, ref:src/int_inters.cpp:67-121).  The
+TPU-native formulation instead concatenates every type's flux-point data
+into ONE flat slot vector: each type runs its own batched volume GEMMs
+(different U/Pf per type), the face exchange is a single pair of gathers
+over global slot tables, and the common flux returns to each block by
+slicing the global norm_tconf at the block's slot offset.  No pointers, no
+per-pairing kernels — XLA sees a handful of dense einsums plus gathers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import HEX, PRISM, QUAD, TET, TRI
+from ..config.params import RunInput
+from ..mesh.core import MeshData, build_faces
+from ..models.euler import inviscid_flux, max_wavespeed
+from ..models.viscous import adv_diff_viscous_flux, viscous_flux
+from ..ops import riemann
+from .elements import MixedMeshTables, build_mixed_blocks
+from .ics import initial_condition
+from .kernels import adj_apply_cat, adjT_apply, opmat, opmat_md
+from .residual import BlockArrays, ResidualConfig
+from .step import N_STAGES, make_step_fn
+
+
+class _BCBlockFacade:
+    """Duck-typed 'block' for bc.make_bc_functions on the global slot space.
+
+    Wall-model BCs need per-element solution-point lookups and are gated off
+    for mixed meshes (single-type runs support them)."""
+
+    def __init__(self, mt: MixedMeshTables):
+        self.ops = mt.blocks[mt.cts[0]].ops
+        self.bdy_slot = mt.bdy_slot
+        self.bdy_bcid = mt.bdy_bcid
+        self.bdy_mask = mt.bdy_mask
+        self.pos_fpts = mt.pos_fpts
+        self.norm_fpts = mt.norm_fpts
+        self.pos_upts = None
+
+
+def _build_ops(run_input: RunInput, ct: int):
+    """Per-type operator factory (same dispatch as solver.Solver)."""
+    from ..ops.operators import (build_pri_ops, build_tensor_ops,
+                                 build_tet_ops, build_tri_ops)
+    if ct == QUAD:
+        return build_tensor_ops(QUAD, run_input.order,
+                                run_input.upts_type_quad,
+                                run_input.vcjh_scheme_quad, run_input.eta_quad)
+    if ct == HEX:
+        return build_tensor_ops(HEX, run_input.order,
+                                run_input.upts_type_hexa,
+                                run_input.vcjh_scheme_hexa, run_input.eta_hexa)
+    if ct == TRI:
+        return build_tri_ops(run_input.order, run_input.upts_type_tri,
+                             run_input.fpts_type_tri,
+                             run_input.vcjh_scheme_tri, run_input.c_tri)
+    if ct == TET:
+        return build_tet_ops(run_input.order, run_input.upts_type_tet,
+                             run_input.fpts_type_tet,
+                             run_input.vcjh_scheme_tet, run_input.c_tet)
+    if ct == PRISM:
+        return build_pri_ops(run_input.order, run_input.upts_type_pri_tri,
+                             run_input.upts_type_pri_1d,
+                             run_input.vcjh_scheme_pri_1d, run_input.eta_pri,
+                             run_input.vcjh_scheme_tri, run_input.c_tri)
+    raise NotImplementedError(f"ctype {ct}")
+
+
+def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
+                           bc_fns=None):
+    """residual(u_tuple) -> rhs_tuple over the mixed mesh.
+
+    Same pipeline as residual.make_residual_fn (see its stage comments /
+    reference citations); volume stages run per block, face stages run once
+    in the global slot space."""
+    if cfg.over_int or cfg.les or cfg.rans:
+        raise NotImplementedError(
+            "mixed meshes: over_int/LES/RANS not wired yet")
+    cts = mt.cts
+    d = mt.blocks[cts[0]].ops.n_dims
+    nF = cfg.n_fields
+    prec = jax.lax.Precision[cfg.precision.upper()]
+    has_bdy = mt.bdy_slot.size > 0
+
+    B = {ct: BlockArrays(mt.blocks[ct], dtype) for ct in cts}
+    f = lambda a: jnp.asarray(a, dtype=dtype)
+    i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
+    g_tdA = f(mt.tdA_fpts)
+    g_slot_src = i32(mt.slot_src)
+    g_slot_sign = f(mt.slot_sign)
+    g_int_l = i32(mt.int_slot_l)
+    g_int_r = i32(mt.int_slot_r)
+    g_bdy = i32(mt.bdy_slot)
+    g_norm_int_l = f(mt.norm_fpts[mt.int_slot_l])
+    g_norm_bdy = f(mt.norm_fpts[mt.bdy_slot])
+    g_jginv_f = f(mt.jginv_fpts)
+    g_inv_detjac_f = f(1.0 / mt.detjac_fpts)
+    # slot ranges of each block inside the global flat arrays
+    seg = {ct: (mt.slot_off[ct],
+                mt.slot_off[ct] + mt.blocks[ct].n_eles
+                * mt.blocks[ct].ops.n_fpts) for ct in cts}
+
+    def phys_flux(u):
+        if cfg.equation == 0:
+            return inviscid_flux(u, cfg.gamma, d)
+        ws = jnp.asarray(cfg.wave_speed[:d], dtype=u.dtype)
+        return u[..., None] * ws
+
+    def common_inv_flux(u_l, u_r, norm):
+        if cfg.equation == 0:
+            return riemann.solve(cfg.riemann_solve_type, u_l, u_r, norm,
+                                 gamma=cfg.gamma, n_dims=d)
+        ws = jnp.asarray(cfg.wave_speed[:d], dtype=u_l.dtype)
+        return riemann.lax_friedrichs_flux(u_l, u_r, norm, ws, cfg.lambda_lf)
+
+    def phys_visc_flux(u, grad):
+        if cfg.equation == 0:
+            return viscous_flux(
+                u, grad, gamma=cfg.gamma, prandtl=cfg.prandtl,
+                mu_inf=cfg.mu_inf, rt_inf=cfg.rt_inf, c_sth=cfg.c_sth,
+                fix_vis=cfg.fix_vis, n_dims=d, rans=False,
+                prandtl_t=cfg.prandtl_t)
+        return adv_diff_viscous_flux(grad, cfg.diff_coeff)
+
+    def residual(u_tuple):
+        us = dict(zip(cts, u_tuple))
+
+        # 1. extrapolate to flux points, per block, concat into global slots
+        disu_f_flat = jnp.concatenate([
+            jnp.einsum("pu,euf->epf", B[ct].opp_0, us[ct],
+                       preferred_element_type=dtype,
+                       precision=prec).reshape(-1, nF)
+            for ct in cts])
+
+        # 2. face gathers (global)
+        u_l = disu_f_flat[g_int_l]
+        u_r = disu_f_flat[g_int_r]
+        if has_bdy:
+            u_bl = disu_f_flat[g_bdy]
+
+        # 3. viscous gradient path
+        if cfg.viscous:
+            u_c_int = riemann.ldg_common_solution(u_l, u_r, g_norm_int_l,
+                                                  cfg.ldg_beta)
+            if has_bdy:
+                u_c_bdy = bc_fns.ldg_solution(u_bl, g_norm_bdy)
+                u_c_all = jnp.concatenate(
+                    [u_c_int.reshape(-1, nF), u_c_bdy.reshape(-1, nF)])
+            else:
+                u_c_all = u_c_int.reshape(-1, nF)
+            delta_flat = u_c_all[g_slot_src] - disu_f_flat   # (S, F)
+            grad_u = {}
+            tgrad_f_parts = []
+            for ct in cts:
+                b = B[ct]
+                E, U, Pf = b.n_eles, b.n_upts, b.n_fpts
+                lo, hi = seg[ct]
+                tgrad = jnp.stack([opmat(b.opp_2_stack[g], us[ct], dtype,
+                                         prec) for g in range(d)], axis=-1)
+                delta = delta_flat[lo:hi].reshape(E, Pf, nF)
+                tgrad = tgrad + jnp.stack(
+                    [opmat(b.opp_5_stack[g], delta, dtype, prec)
+                     for g in range(d)], axis=-1)
+                grad_u[ct] = adjT_apply(b.jginv_upts, tgrad,
+                                        b.inv_detjac_upts)
+                tgrad_f_parts.append(opmat_md(b.opp_0, tgrad, dtype,
+                                              prec).reshape(-1, nF, d))
+            tgrad_f_flat = jnp.concatenate(tgrad_f_parts)
+            grad_f_flat = adjT_apply(g_jginv_f, tgrad_f_flat,
+                                     g_inv_detjac_f)
+
+        # 4+5. common interface fluxes (global)
+        fn_int = common_inv_flux(u_l, u_r, g_norm_int_l)
+        if cfg.viscous:
+            fv_l = phys_visc_flux(u_l, grad_f_flat[g_int_l])
+            fv_r = phys_visc_flux(u_r, grad_f_flat[g_int_r])
+            fn_int = fn_int + riemann.ldg_common_flux(
+                u_l, u_r, fv_l, fv_r, g_norm_int_l, cfg.ldg_tau,
+                cfg.ldg_beta)
+        if has_bdy:
+            fn_bdy = bc_fns.inv_common_flux(u_bl, g_norm_bdy)
+            if cfg.viscous:
+                fn_bdy = fn_bdy + bc_fns.visc_common_flux(
+                    u_bl, grad_f_flat[g_bdy], g_norm_bdy, None)
+            fn_all = jnp.concatenate([fn_int.reshape(-1, nF),
+                                      fn_bdy.reshape(-1, nF)])
+        else:
+            fn_all = fn_int.reshape(-1, nF)
+
+        # 6. slot-level normal transformed continuous flux (global)
+        norm_tconf_flat = (fn_all[g_slot_src]
+                           * (g_slot_sign * g_tdA)[:, None])
+
+        # 4/7. per-block volume flux + merged divergence GEMM
+        out = []
+        for ct in cts:
+            b = B[ct]
+            E, U, Pf = b.n_eles, b.n_upts, b.n_fpts
+            lo, hi = seg[ct]
+            fl = phys_flux(us[ct])
+            if cfg.viscous:
+                fl = fl + phys_visc_flux(us[ct], grad_u[ct])
+            tdisf_cat = adj_apply_cat(b.jginv_upts, fl)
+            norm_tconf = norm_tconf_flat[lo:hi].reshape(E, Pf, nF)
+            rhs_cat = jnp.concatenate([tdisf_cat, norm_tconf], axis=1)
+            div = opmat(b.opp_div_all, rhs_cat, dtype, prec)
+            out.append(-div * b.inv_detjac_upts[..., None])
+        return tuple(out)
+
+    return residual
+
+
+class MixedSolver:
+    """Driver for meshes with more than one element type; mirrors
+    solver.Solver's interface (run/compute_dt/residual_norm)."""
+
+    def __init__(self, run_input: RunInput, mesh: MeshData,
+                 dtype=jnp.float64):
+        from ..utils import enable_persistent_cache
+        enable_persistent_cache()
+        self.p = run_input
+        self.mesh = mesh
+        self.dtype = dtype
+        self.n_dims = mesh.n_dims
+        self.n_fields = run_input.n_fields_for(self.n_dims)
+        if run_input.wall_model:
+            raise NotImplementedError("mixed meshes: wall models")
+        # gate here, not just in the residual: these flags are NOT forwarded
+        # into ResidualConfig below, so without the gate they would be
+        # silently ignored
+        if run_input.LES or run_input.RANS or run_input.over_int \
+                or run_input.shock_cap:
+            raise NotImplementedError(
+                "mixed meshes: LES/RANS/over_int/shock capture not wired yet")
+
+        if (mesh.bc_names and not run_input.bc_list
+                and run_input._deck is not None):
+            run_input.read_boundary_params(mesh.bc_names)
+        if run_input.bc_list:
+            bc_flags = {i: bc.flag for i, bc in enumerate(run_input.bc_list)}
+        else:
+            from ..config.params import CYCLIC
+            bc_flags = {0: CYCLIC}
+        delta_cyclic = np.array([run_input.dx_cyclic, run_input.dy_cyclic,
+                                 run_input.dz_cyclic])[:self.n_dims]
+        self.conn = build_faces(mesh, bc_flags, delta_cyclic)
+
+        cts = sorted(int(c) for c in np.unique(mesh.ctype))
+        ops_by_ct = {ct: _build_ops(run_input, ct) for ct in cts}
+        self.mt = build_mixed_blocks(
+            mesh, self.conn, ops_by_ct,
+            over_int_order=(run_input.over_int_order if run_input.over_int
+                            else None))
+        self.cts = cts
+        self.blocks = self.mt.blocks
+
+        self.rcfg = ResidualConfig(
+            equation=run_input.equation, viscous=bool(run_input.viscous),
+            riemann_solve_type=run_input.riemann_solve_type,
+            gamma=run_input.gamma, prandtl=run_input.prandtl,
+            prandtl_t=run_input.prandtl_t,
+            mu_inf=0.0 if np.isnan(run_input.mu_inf) else run_input.mu_inf,
+            rt_inf=1.0 if np.isnan(run_input.rt_inf) else run_input.rt_inf,
+            c_sth=0.0 if np.isnan(run_input.c_sth) else run_input.c_sth,
+            fix_vis=run_input.fix_vis, ldg_tau=run_input.ldg_tau,
+            ldg_beta=run_input.ldg_beta,
+            wave_speed=tuple(run_input.wave_speed),
+            lambda_lf=run_input.lambda_lf, diff_coeff=run_input.diff_coeff,
+            n_fields=self.n_fields)
+
+        bc_fns = None
+        if self.mt.bdy_slot.size:
+            from .bc import make_bc_functions
+            bc_fns = make_bc_functions(run_input, _BCBlockFacade(self.mt),
+                                       self.rcfg, dtype)
+
+        self.residual_fn = make_mixed_residual_fn(self.mt, self.rcfg, dtype,
+                                                  bc_fns)
+        self._step = make_step_fn(self.residual_fn, run_input.adv_type)
+        self.n_stages = N_STAGES[run_input.adv_type]
+
+        self.u = tuple(
+            jnp.asarray(initial_condition(run_input,
+                                          self.blocks[ct].pos_upts,
+                                          self.n_fields), dtype=dtype)
+            for ct in cts)
+        self.reg = jax.tree.map(jnp.zeros_like, self.u)
+        self.time = 0.0
+
+        def run_chunk(state, dt, n_steps):
+            def body(carry, _):
+                u, r = carry
+                return self._step(u, r, dt), None
+            state, _ = jax.lax.scan(body, state, None, length=n_steps)
+            return state
+
+        self._run_chunk = jax.jit(run_chunk, static_argnums=2,
+                                  donate_argnums=0)
+
+    # ------------------------------------------------------------------
+    def compute_dt(self) -> float:
+        p = self.p
+        if p.dt_type == 0:
+            return p.dt
+        dts = []
+        for ct, u in zip(self.cts, self.u):
+            lam = np.asarray(max_wavespeed(u, p.gamma, self.n_dims))
+            dt_ele = (p.CFL * self.blocks[ct].h_ref / lam.max(axis=1)
+                      / (2 * p.order + 1))
+            dts.append(dt_ele.min())
+        return float(min(dts))
+
+    def run(self, n_steps: int, dt: float | None = None):
+        if dt is None:
+            dt = self.compute_dt()
+        state = self._run_chunk((self.u, self.reg),
+                                jnp.asarray(dt, self.dtype), n_steps)
+        self.u, self.reg = state
+        self.time += dt * n_steps
+        return self.u
+
+    def residual_norm(self, norm_type: int = 2) -> np.ndarray:
+        rs = [np.asarray(r) for r in self.residual_fn(self.u)]
+        n_pts = sum(r.shape[0] * r.shape[1] for r in rs)
+        if norm_type == 1:
+            return sum(np.abs(r).sum(axis=(0, 1)) for r in rs) / n_pts
+        if norm_type == 2:
+            return np.sqrt(sum((r * r).sum(axis=(0, 1))
+                               for r in rs)) / n_pts
+        return np.max([np.abs(r).max(axis=(0, 1)) for r in rs], axis=0)
+
+    def compute_error(self, norm_type: int | None = None) -> np.ndarray:
+        """Volume-cubature error vs the analytic test case, summed over all
+        blocks (ref:src/eles.cpp:5076-5136; the reference likewise reduces
+        over every eles object)."""
+        from .ics import analytic_solution
+        p = self.p
+        norm_type = norm_type if norm_type is not None else p.error_norm_type
+        out = np.zeros((2, self.n_fields))
+        for ct, u in zip(self.cts, self.u):
+            b = self.blocks[ct]
+            disu = np.einsum("cu,euf->ecf", b.ops.opp_vol_cubpts,
+                             np.asarray(u, dtype=np.float64))
+            sol_a, _ = analytic_solution(p, b.pos_vol_cubpts, self.time,
+                                         self.n_fields)
+            err = disu - sol_a
+            w = b.ops.w_vol_cubpts[None, :] * b.detjac_vol_cubpts
+            if norm_type == 1:
+                out[0] += np.einsum("ec,ecf->f", w, np.abs(err))
+            else:
+                out[0] += np.einsum("ec,ecf->f", w, err * err)
+        return out
+
+    def total_mass_energy(self) -> np.ndarray:
+        """Volume integrals of the conserved fields (conservation check)."""
+        tot = np.zeros(self.n_fields)
+        for ct, u in zip(self.cts, self.u):
+            b = self.blocks[ct]
+            disu = np.einsum("cu,euf->ecf", b.ops.opp_vol_cubpts,
+                             np.asarray(u, dtype=np.float64))
+            w = b.ops.w_vol_cubpts[None, :] * b.detjac_vol_cubpts
+            tot += np.einsum("ec,ecf->f", w, disu)
+        return tot

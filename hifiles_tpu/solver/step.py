@@ -76,38 +76,48 @@ def make_step_fn(residual_fn, adv_type: int, source_fn=None,
     F = div/detjac - src so rhs = -F = residual + src
     (ref:src/eles.cpp:1095-1247).  ``post_stage(u) -> u`` runs after every
     stage update (shock capture, ref:src/HiFiLES.cpp:211-218).
+
+    The state ``u`` may be any pytree of arrays (a single array for one
+    element type; a tuple of per-type arrays on mixed meshes) — all RK
+    arithmetic goes through ``jax.tree.map``.
     """
+    import jax
     import jax.numpy as jnp
+
+    tmap = jax.tree.map
 
     def rhs(u):
         r = residual_fn(u)
         if source_fn is not None:
-            r = r + source_fn(u)
+            r = tmap(lambda a, b: a + b, r, source_fn(u))
         return r
 
     ps = post_stage if post_stage is not None else (lambda u: u)
 
     if adv_type == 0:
         def step(u, reg, dt):
-            return ps(u + dt * rhs(u)), reg
+            return ps(tmap(lambda ui, ki: ui + dt * ki, u, rhs(u))), reg
         return step
 
     if adv_type == 1:  # SSP-RK24 (ref:src/eles.cpp:1117-1170)
         def step(u, reg, dt):
             u0 = u
             for _ in range(3):
-                u = ps(u + dt / 3.0 * rhs(u))
-            u = ps(0.75 * u + 0.25 * u0 + dt / 4.0 * rhs(u))
+                u = ps(tmap(lambda ui, ki: ui + dt / 3.0 * ki, u, rhs(u)))
+            u = ps(tmap(lambda ui, u0i, ki: 0.75 * ui + 0.25 * u0i
+                        + dt / 4.0 * ki, u, u0, rhs(u)))
             return u, reg
         return step
 
     if adv_type == 2:  # SSP-RK34 (ref:src/eles.cpp:1172-1220)
         def step(u, reg, dt):
             u0 = u
-            u = ps(u + dt / 2.0 * rhs(u))
-            u = ps(u + dt / 2.0 * rhs(u))
-            u = ps(u / 3.0 + 2.0 / 3.0 * u0 + dt / 6.0 * rhs(u))
-            u = ps(u + dt / 2.0 * rhs(u))
+            half = lambda ui, ki: ui + dt / 2.0 * ki
+            u = ps(tmap(half, u, rhs(u)))
+            u = ps(tmap(half, u, rhs(u)))
+            u = ps(tmap(lambda ui, u0i, ki: ui / 3.0 + 2.0 / 3.0 * u0i
+                        + dt / 6.0 * ki, u, u0, rhs(u)))
+            u = ps(tmap(half, u, rhs(u)))
             return u, reg
         return step
 
@@ -116,10 +126,11 @@ def make_step_fn(residual_fn, adv_type: int, source_fn=None,
         Bc = RK45_B if adv_type == 3 else RK414_B
 
         def step(u, reg, dt):
-            r = jnp.zeros_like(u) if reg is None else reg * 0.0
+            r = (tmap(jnp.zeros_like, u) if reg is None
+                 else tmap(lambda x: x * 0.0, reg))
             for s in range(len(A)):
-                r = A[s] * r + dt * rhs(u)
-                u = ps(u + Bc[s] * r)
+                r = tmap(lambda ri, ki, a=A[s]: a * ri + dt * ki, r, rhs(u))
+                u = ps(tmap(lambda ui, ri, b=Bc[s]: ui + b * ri, u, r))
             return u, r
         return step
 
