@@ -30,10 +30,16 @@ from ..ops import riemann
 
 @dataclasses.dataclass
 class BCFunctions:
-    """Closures the residual uses at boundary flux points."""
-    inv_common_flux: Callable   # (u_l, norm) -> fn
-    ldg_solution: Callable      # (u_l, norm) -> u_c
-    visc_common_flux: Callable  # (u_l, grad_l, norm) -> fn_v
+    """Closures the residual uses at boundary flux points.
+
+    Every closure takes an optional ``fluc`` — per-boundary-point velocity
+    fluctuations from the turbulent inlet (solver/turb_inlet.py); inflow
+    ghost states add rho_r * fluc to momentum
+    (ref:src/bdy_inters.cpp:250-254, :1060-1117)."""
+    inv_common_flux: Callable   # (u_l, norm, fluc=None) -> fn
+    ldg_solution: Callable      # (u_l, norm, fluc=None) -> u_c
+    visc_common_flux: Callable  # (u_l, grad_l, norm, u_full, fluc) -> fn_v
+    ghost_state: Callable = None  # (u_l, norm, sol_spec) -> u_r
 
 
 def _pack_params(run_input: RunInput, bcid: np.ndarray, n_dims: int):
@@ -98,9 +104,11 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
         return p / (gamma - 1.0) + 0.5 * rho * jnp.sum(v * v, axis=-1)
 
     # ------------------------------------------------------------------
-    def ghost_state(u_l, norm, sol_spec):
+    def ghost_state(u_l, norm, sol_spec, fluc=None):
         """Vectorized set_boundary_conditions
-        (ref:src/bdy_inters.cpp:340-1019)."""
+        (ref:src/bdy_inters.cpp:340-1019).  ``fluc``: turbulent-inlet
+        velocity fluctuations added to inflow momentum
+        (ref:src/bdy_inters.cpp:250-254)."""
         if rcfg.equation == 1:
             # AD_WALL: trivial Dirichlet (ref:src/bdy_inters.cpp:1011-1018)
             return jnp.zeros_like(u_l)
@@ -263,16 +271,24 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
                 u_r = sel(f, jnp.zeros_like(u_l))
             else:
                 raise NotImplementedError(f"BC flag {f}")
+        if fluc is not None:
+            # inflow momentum bump; the reference leaves energy unchanged
+            # (ref:src/bdy_inters.cpp:250-254, :1060-1117)
+            is_in = jnp.isin(P["flag"],
+                             jnp.asarray((SUB_IN_SIMP, SUB_IN_CHAR, SUP_IN)))
+            bump = u_r[..., 0:1] * fluc[..., :n_dims]
+            u_r = u_r.at[..., 1:1 + n_dims].add(
+                jnp.where(is_in[..., None], bump, 0.0))
         return u_r
 
     # ------------------------------------------------------------------
     WALL_FLAGS = (SLIP_WALL, ISOTHERM_WALL, ADIABAT_WALL, AD_WALL,
                   SLIP_WALL_DUAL)
 
-    def inv_common_flux(u_l, norm):
+    def inv_common_flux(u_l, norm, fluc=None):
         """(ref:src/bdy_inters.cpp:230-307): Riemann solve against the
         inviscid ghost state; dual-consistent walls use the left flux."""
-        u_r = ghost_state(u_l, norm, sol_spec=0)
+        u_r = ghost_state(u_l, norm, sol_spec=0, fluc=fluc)
         if rcfg.equation == 1:
             ws = jnp.asarray(rcfg.wave_speed[:n_dims], dtype=u_l.dtype)
             fn = riemann.lax_friedrichs_flux(u_l, u_r, norm, ws,
@@ -287,13 +303,13 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
                                fn_l, fn)
         return fn
 
-    def ldg_solution(u_l, norm):
+    def ldg_solution(u_l, norm, fluc=None):
         """Boundary LDG common solution u_c = u_r(sol_spec=1 for walls,
         else the inviscid ghost) (ref:src/bdy_inters.cpp:309-324,
         ref:src/inters.cpp:640-643)."""
-        u_r0 = ghost_state(u_l, norm, sol_spec=0)
+        u_r0 = ghost_state(u_l, norm, sol_spec=0, fluc=fluc)
         if any(f in flags_present for f in WALL_FLAGS):
-            u_r1 = ghost_state(u_l, norm, sol_spec=1)
+            u_r1 = ghost_state(u_l, norm, sol_spec=1, fluc=fluc)
             is_wall = jnp.isin(P["flag"], jnp.asarray(WALL_FLAGS))
             return jnp.where(is_wall[..., None], u_r1, u_r0)
         return u_r0
@@ -352,12 +368,12 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
         wm_dist_j = jnp.asarray(wm_dist, dtype=dtype)
         wm_mask = jnp.asarray(P_np["use_wm"] > 0)
 
-    def visc_common_flux(u_l, grad_l, norm, u_full=None):
+    def visc_common_flux(u_l, grad_l, norm, u_full=None, fluc=None):
         """Boundary viscous common flux: f_r . n - tau (u_r - u_l)
         (ref:src/bdy_inters.cpp:1029-1093, ldg_flux flux_spec=1).
         Slip walls contribute no viscous flux; wall-modeled faces replace it
         with the modeled wall stress (ref::1095-1131)."""
-        u_r = ldg_solution(u_l, norm)
+        u_r = ldg_solution(u_l, norm, fluc=fluc)
         grad_r = boundary_gradients(u_r, grad_l, norm)
         if rcfg.equation == 1:
             f_r = adv_diff_viscous_flux(grad_r, rcfg.diff_coeff)
@@ -386,7 +402,8 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
 
     return BCFunctions(inv_common_flux=inv_common_flux,
                        ldg_solution=ldg_solution,
-                       visc_common_flux=visc_common_flux)
+                       visc_common_flux=visc_common_flux,
+                       ghost_state=ghost_state)
 
 
 def solver_pos_upts(block, e):

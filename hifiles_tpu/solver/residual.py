@@ -136,10 +136,13 @@ class BlockArrays:
 
 def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
                      bc_fns=None):
-    """Build residual(u) -> rhs with u (E, U, F), rhs = -div_tconf/detjac.
+    """Build residual(u, fluc=None) -> rhs with u (E, U, F),
+    rhs = -div_tconf/detjac.
 
     ``bc_fns`` is a bc.BCFunctions supplying the boundary common fluxes and
     LDG common solutions (None when the mesh is fully periodic).
+    ``fluc`` (Fb, nfp, d): turbulent-inlet velocity fluctuations forwarded
+    to the boundary ghost states (ref:src/bdy_inters.cpp:250-254).
     """
     B = BlockArrays(block, dtype)
     d = B.n_dims
@@ -186,7 +189,7 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
             return fv
         return adv_diff_viscous_flux(grad, cfg.diff_coeff)
 
-    def residual(u):
+    def residual(u, fluc=None):
         # 1. extrapolate solution to flux points (opp_0 GEMM,
         #    ref:src/eles.cpp:1360-1411)
         disu_f = jnp.einsum("pu,euf->epf", B.opp_0, u,
@@ -222,7 +225,7 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
             u_c_int = riemann.ldg_common_solution(u_l, u_r, norm_l,
                                                   cfg.ldg_beta)
             if has_bdy:
-                u_c_bdy = bc_fns.ldg_solution(u_bl, norm_b)
+                u_c_bdy = bc_fns.ldg_solution(u_bl, norm_b, fluc=fluc)
                 u_c_all = jnp.concatenate(
                     [u_c_int.reshape(-1, nF), u_c_bdy.reshape(-1, nF)])
             else:
@@ -279,10 +282,10 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
             fn_int = fn_int + riemann.ldg_common_flux(
                 u_l, u_r, fv_l, fv_r, norm_l, cfg.ldg_tau, cfg.ldg_beta)
         if has_bdy:
-            fn_bdy = bc_fns.inv_common_flux(u_bl, norm_b)
+            fn_bdy = bc_fns.inv_common_flux(u_bl, norm_b, fluc=fluc)
             if cfg.viscous:
                 fn_bdy = fn_bdy + bc_fns.visc_common_flux(
-                    u_bl, grad_f_flat[B.bdy_slot], norm_b, u)
+                    u_bl, grad_f_flat[B.bdy_slot], norm_b, u, fluc=fluc)
             fn_all = jnp.concatenate([fn_int.reshape(-1, nF),
                                       fn_bdy.reshape(-1, nF)])
         else:

@@ -136,6 +136,18 @@ class Solver:
         self.residual_fn = make_residual_fn(self.block, self.rcfg, dtype,
                                             bc_fns)
 
+        # turbulent inlet (white noise / SEM), updated once per step at
+        # stage 0 (ref:src/solver.cpp:111-118)
+        self.turb_inlet = None
+        self._ti_state = None
+        if run_input.LES and bc_fns is not None:
+            from .turb_inlet import build_turb_inlet
+            ti = build_turb_inlet(run_input, self.block, bc_flags, bc_fns,
+                                  dtype)
+            if ti is not None:
+                self.turb_inlet = ti
+                self._ti_state = ti.init_state
+
         # SVV model: replace the solution with its filtered version once per
         # step (ref:src/eles.cpp:2087-2089, stage-0 calc_sgs_terms)
         self._pre_step = None
@@ -157,6 +169,7 @@ class Solver:
             post_stage = lambda u: capture(u)[0]
             self.sensor_fn = jax.jit(lambda u: capture(u)[1])
 
+        self._post_stage = post_stage
         self._step = make_step_fn(self.residual_fn, run_input.adv_type,
                                   post_stage=post_stage)
         self.n_stages = N_STAGES[run_input.adv_type]
@@ -175,6 +188,37 @@ class Solver:
         step = self._step
 
         pre = self._pre_step
+
+        if self.turb_inlet is not None:
+            from .step import make_step_fn as _mk
+            ti = self.turb_inlet
+            prec = jax.lax.Precision[self.rcfg.precision.upper()]
+            opp_0 = jnp.asarray(self.ops.opp_0, dtype=self.dtype)
+            bdy_slot = jnp.asarray(self.block.bdy_slot, dtype=jnp.int32)
+            nF, dtype = self.n_fields, self.dtype
+            residual_fn = self.residual_fn
+            p = self.p
+            post_stage = self._post_stage
+
+            def run_chunk(state, dt, n_steps):
+                def body(carry, _):
+                    u, r, ti_state = carry
+                    if pre is not None:
+                        u = pre(u)
+                    disu_f = jnp.einsum(
+                        "pu,euf->epf", opp_0, u,
+                        preferred_element_type=dtype,
+                        precision=prec).reshape(-1, nF)
+                    ti_state, fluc = ti.update(ti_state, disu_f[bdy_slot],
+                                               dt)
+                    inner = _mk(lambda uu: residual_fn(uu, fluc),
+                                p.adv_type, post_stage=post_stage)
+                    u, r = inner(u, r, dt)
+                    return (u, r, ti_state), None
+                state, _ = jax.lax.scan(body, state, None, length=n_steps)
+                return state
+
+            return run_chunk
 
         def run_chunk(state, dt, n_steps):
             def body(carry, _):
@@ -218,9 +262,14 @@ class Solver:
     def run(self, n_steps: int, dt: float | None = None):
         if dt is None:
             dt = self.compute_dt()
-        state = self._run_chunk((self.u, self.reg), jnp.asarray(dt, self.dtype),
-                                n_steps)
-        self.u, self.reg = state
+        if self.turb_inlet is not None:
+            state = self._run_chunk((self.u, self.reg, self._ti_state),
+                                    jnp.asarray(dt, self.dtype), n_steps)
+            self.u, self.reg, self._ti_state = state
+        else:
+            state = self._run_chunk((self.u, self.reg),
+                                    jnp.asarray(dt, self.dtype), n_steps)
+            self.u, self.reg = state
         self.time += dt * n_steps
         return self.u
 
