@@ -149,6 +149,29 @@ def _cyclic_rtag(x1: np.ndarray, x2: np.ndarray, delta: np.ndarray,
     raise ValueError("could not determine cyclic rotation tag")
 
 
+def _face_candidates(mesh: MeshData):
+    """All (cell, locface) candidate faces with padded corner-vertex rows,
+    vectorized per (ctype, n_spts) group, in cell-major order."""
+    cells, locfs, nvs, verts = [], [], [], []
+    for ct in np.unique(mesh.ctype):
+        for nsp in np.unique(mesh.c2n_v[mesh.ctype == ct]):
+            s2 = np.where((mesh.ctype == ct) & (mesh.c2n_v == nsp))[0]
+            for k in range(NUM_F_PER_C[int(ct)]):
+                slots = corner_vlist_face(int(ct), int(nsp), k)
+                vp = np.full((s2.size, 4), -1, dtype=np.int64)
+                vp[:, :len(slots)] = mesh.c2v[s2][:, slots]
+                cells.append(s2)
+                locfs.append(np.full(s2.size, k, dtype=np.int64))
+                nvs.append(np.full(s2.size, len(slots), dtype=np.int64))
+                verts.append(vp)
+    cells = np.concatenate(cells)
+    locfs = np.concatenate(locfs)
+    nvs = np.concatenate(nvs)
+    verts = np.concatenate(verts)
+    order = np.lexsort((locfs, cells))    # cell-major, matches the scan order
+    return cells[order], locfs[order], nvs[order], verts[order]
+
+
 def build_faces(mesh: MeshData, bc_flags: dict[int, int] | None = None,
                 delta_cyclic: np.ndarray | None = None,
                 tol: float = 1e-6) -> FaceConnectivity:
@@ -156,36 +179,45 @@ def build_faces(mesh: MeshData, bc_flags: dict[int, int] | None = None,
 
     ``bc_flags`` maps boundary-group id -> BCFLAG; groups flagged CYCLIC (7)
     are paired by centroid offset and become interior faces
-    (ref:src/geometry.cpp:351-415).
+    (ref:src/geometry.cpp:351-415).  The O(faces) interior hash-matching
+    runs in the native C++ kernel when available
+    (native/mesh_kernels.cc hf_build_faces).
     """
     from ..config.params import CYCLIC
+    from .. import native
 
-    C = mesh.n_cells
-    face_map: dict[tuple, tuple] = {}
+    fc, fl, fn, fv = _face_candidates(mesh)
     int_faces = []
-    unmatched = []   # (cell, locface, vlist)
+    leftovers = []    # (cell, locface, vlist)
 
-    for ic in range(C):
-        ct = int(mesh.ctype[ic])
-        nv = int(mesh.c2n_v[ic])
-        for k in range(NUM_F_PER_C[ct]):
-            slots = corner_vlist_face(ct, nv, k)
-            vlist = [int(mesh.c2v[ic, s]) for s in slots]
+    res = native.build_faces_native(fc, fl, fn, fv)
+    if res is not None:
+        int_rows, un = res
+        int_faces = [tuple(r) for r in int_rows]
+        leftovers = [(int(fc[r]), int(fl[r]),
+                      [int(v) for v in fv[r][:fn[r]]]) for r in un]
+    else:
+        face_map: dict[tuple, tuple] = {}
+        for r in range(fc.size):
+            ic, k = int(fc[r]), int(fl[r])
+            vlist = [int(v) for v in fv[r][:fn[r]]]
             key = tuple(sorted(vlist))
             if key in face_map:
                 ic0, k0, vlist0 = face_map.pop(key)
                 rtag = _compare_faces(vlist0, vlist)
                 if rtag is None:
-                    raise ValueError(f"faces share vertices but no orientation "
-                                     f"match: cells {ic0}/{ic}")
+                    raise ValueError(
+                        f"faces share vertices but no orientation "
+                        f"match: cells {ic0}/{ic}")
                 int_faces.append((ic0, k0, ic, k, rtag, len(vlist)))
             else:
                 face_map[key] = (ic, k, vlist)
+        leftovers = list(face_map.values())
 
     # remaining faces: boundary or cyclic
     bdy_faces = []
     cyc_candidates = []
-    for (ic, k, vlist) in face_map.values():
+    for (ic, k, vlist) in leftovers:
         bcid = int(mesh.bc_id[ic, k])
         if bcid < 0:
             raise ValueError(f"unmatched interior face: cell {ic} locface {k} "

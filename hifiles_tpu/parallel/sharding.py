@@ -33,7 +33,8 @@ from ..mesh.core import FaceConnectivity, MeshData, build_faces
 from ..models.euler import inviscid_flux
 from ..models.viscous import adv_diff_viscous_flux, viscous_flux
 from ..ops import riemann
-from ..solver.elements import build_element_block, match_fpts
+from ..solver.elements import (build_element_block, match_fpts,
+                               match_fpts_grouped)
 from ..solver.kernels import adj_apply_cat, adjT_apply, opmat, opmat_md
 from ..solver.ics import initial_condition
 from ..solver.residual import ResidualConfig
@@ -68,6 +69,62 @@ def _contiguous_partition(n_eles: int, n_shards: int) -> np.ndarray:
     return np.repeat(np.arange(n_shards), n_eles // n_shards)
 
 
+def graph_partition(conn: FaceConnectivity, n_cells: int,
+                    n_shards: int) -> np.ndarray:
+    """Balanced low-cut element partition from the face-adjacency graph
+    (the reference calls ParMETIS for this, ref:src/geometry.cpp:1040-1200;
+    here a greedy-BFS grower in native/mesh_kernels.cc hf_partition, with a
+    numpy fallback)."""
+    from ..solver import elements  # noqa: F401  (keeps import graph flat)
+    from .. import native
+    pairs = np.stack([conn.int_ele_l, conn.int_ele_r], axis=1)
+    both = np.concatenate([pairs, pairs[:, ::-1]])
+    order = np.argsort(both[:, 0], kind="stable")
+    both = both[order]
+    counts = np.bincount(both[:, 0], minlength=n_cells)
+    xadj = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    adjncy = both[:, 1].astype(np.int64)
+    part = native.partition_native(xadj, adjncy, n_shards)
+    if part is None:
+        # numpy fallback: the same greedy max-gain grower
+        import heapq
+        part = -np.ones(n_cells, dtype=np.int64)
+        base, extra = divmod(n_cells, n_shards)
+        for p in range(n_shards):
+            target = base + (1 if p < extra else 0)
+            filled = 0
+            gain = np.zeros(n_cells, dtype=np.int64)
+            heap: list[tuple[int, int]] = []
+
+            def absorb(c, p=p):
+                nonlocal filled
+                part[c] = p
+                filled += 1
+                for nb in adjncy[xadj[c]:xadj[c + 1]]:
+                    if part[nb] < 0:
+                        gain[nb] += 1
+                        heapq.heappush(heap, (-gain[nb], int(nb)))
+
+            while filled < target:
+                pick = -1
+                while heap:
+                    g, c = heapq.heappop(heap)
+                    if part[c] < 0 and gain[c] == -g:
+                        pick = c
+                        break
+                if pick < 0:
+                    unass = np.where(part < 0)[0]
+                    degs = [np.sum(part[adjncy[xadj[c]:xadj[c + 1]]] < 0)
+                            for c in unass]
+                    pick = int(unass[int(np.argmin(degs))])
+                absorb(pick)
+    # exact balance sanity
+    sizes = np.bincount(part, minlength=n_shards)
+    if sizes.max() - sizes.min() > 1:
+        raise AssertionError(f"unbalanced partition: {sizes}")
+    return part
+
+
 def build_shard_tables(conn: FaceConnectivity, shard_of: np.ndarray,
                        n_shards: int, Pf: int, n_faces: int, order: int,
                        perm: np.ndarray,
@@ -97,10 +154,13 @@ def build_shard_tables(conn: FaceConnectivity, shard_of: np.ndarray,
     bdys = [[] for _ in range(n_shards)]     # slots
     halos = [[] for _ in range(n_shards)]    # (slots_l, offset, partner_slots)
 
+    gls = [global_slots(conn.int_ele_l[f], conn.int_locf_l[f])
+           for f in range(conn.int_ele_l.size)]
+    grs = [global_slots(conn.int_ele_r[f], conn.int_locf_r[f])
+           for f in range(conn.int_ele_l.size)]
+    luts = match_fpts_grouped(pf_flat, gls, grs)
     for f in range(conn.int_ele_l.size):
-        gl = global_slots(conn.int_ele_l[f], conn.int_locf_l[f])
-        gr = global_slots(conn.int_ele_r[f], conn.int_locf_r[f])
-        lut = match_fpts(pf_flat[gl], pf_flat[gr])
+        lut = luts[f]
         s_l, sl = local_slots(conn.int_ele_l[f], conn.int_locf_l[f])
         s_r, sr = local_slots(conn.int_ele_r[f], conn.int_locf_r[f], lut)
         if s_l == s_r:
@@ -223,8 +283,13 @@ class ShardedSolver:
         E = block.n_eles
         self.rcfg = base.rcfg
 
+        if isinstance(partition, str) and partition == "graph":
+            partition = graph_partition(conn, E, self.n_shards)
         shard_of = (partition if partition is not None
                     else _contiguous_partition(E, self.n_shards))
+        sizes = np.bincount(shard_of, minlength=self.n_shards)
+        if not np.all(sizes == sizes[0]):
+            raise ValueError(f"shards must be equal-sized, got {sizes}")
         order = np.argsort(shard_of, kind="stable")
         self.perm = order
         El = E // self.n_shards

@@ -113,6 +113,32 @@ def match_fpts(pos_l: np.ndarray, pos_r: np.ndarray,
     return perm
 
 
+def match_fpts_grouped(pf_flat: np.ndarray, sls: list, srs: list,
+                       tol: float = 1e-7) -> list:
+    """Batched match_fpts over many faces, grouped by flux-point count;
+    dispatches to the native kernel (native/mesh_kernels.cc hf_match_fpts)
+    with a per-face numpy fallback."""
+    from .. import native
+    perms = [None] * len(sls)
+    groups: dict[int, list] = {}
+    for f, s in enumerate(sls):
+        groups.setdefault(s.size, []).append(f)
+    for nfp, idxs in groups.items():
+        pl = pf_flat[np.stack([sls[f] for f in idxs])]
+        pr = pf_flat[np.stack([srs[f] for f in idxs])]
+        try:
+            p = native.match_fpts_native(pl, pr, tol)
+        except AssertionError:
+            p = None   # fall through for the detailed per-face error
+        if p is None:
+            for j, f in enumerate(idxs):
+                perms[f] = match_fpts(pl[j], pr[j], tol)
+        else:
+            for j, f in enumerate(idxs):
+                perms[f] = p[j]
+    return perms
+
+
 @dataclasses.dataclass
 class ElementBlock:
     """One element type's geometry + connectivity, ready for the jitted
@@ -284,12 +310,15 @@ def build_element_block(mesh: MeshData, conn: FaceConnectivity,
         int_slot_l = np.zeros((Fi, nfp_max), dtype=np.int64)
         int_slot_r = np.zeros((Fi, nfp_max), dtype=np.int64)
         int_mask = np.zeros((Fi, nfp_max))
+        sls = [slots(conn.int_ele_l[f], conn.int_locf_l[f])
+               for f in range(Fi)]
+        srs = [slots(conn.int_ele_r[f], conn.int_locf_r[f])
+               for f in range(Fi)]
+        perms = match_fpts_grouped(pf_flat, sls, srs)
         for f in range(Fi):
-            sl = slots(conn.int_ele_l[f], conn.int_locf_l[f])
-            sr0 = slots(conn.int_ele_r[f], conn.int_locf_r[f])
-            perm_f = match_fpts(pf_flat[sl], pf_flat[sr0])
+            sl, sr0 = sls[f], srs[f]
             int_slot_l[f, :sl.size] = sl
-            int_slot_r[f, :sl.size] = sr0[perm_f]
+            int_slot_r[f, :sl.size] = sr0[perms[f]]
             int_mask[f, :sl.size] = 1.0
 
         Fb = conn.bdy_ele.size
@@ -428,16 +457,18 @@ def build_mixed_blocks(mesh: MeshData, conn: FaceConnectivity,
     int_slot_l = np.zeros((Fi, nfp_max), dtype=np.int64)
     int_slot_r = np.zeros((Fi, nfp_max), dtype=np.int64)
     int_mask = np.zeros((Fi, nfp_max))
+    sls = [slots(conn.int_ele_l[f], conn.int_locf_l[f]) for f in range(Fi)]
+    srs = [slots(conn.int_ele_r[f], conn.int_locf_r[f]) for f in range(Fi)]
     for f in range(Fi):
-        sl = slots(conn.int_ele_l[f], conn.int_locf_l[f])
-        sr0 = slots(conn.int_ele_r[f], conn.int_locf_r[f])
-        if sl.size != sr0.size:
+        if sls[f].size != srs[f].size:
             raise AssertionError(
                 "face fpt-count mismatch across element types; use matching "
                 "face point sets (fpts_type) on both types")
-        perm_f = match_fpts(pos_fpts[sl], pos_fpts[sr0])
+    perms = match_fpts_grouped(pos_fpts, sls, srs)
+    for f in range(Fi):
+        sl, sr0 = sls[f], srs[f]
         int_slot_l[f, :sl.size] = sl
-        int_slot_r[f, :sl.size] = sr0[perm_f]
+        int_slot_r[f, :sl.size] = sr0[perms[f]]
         int_mask[f, :sl.size] = 1.0
 
     Fb = conn.bdy_ele.size
