@@ -133,9 +133,48 @@ class BlockArrays:
             self.wdist_slot = jnp.full_like(self.delta_slot, 1e10)
         self.les_filter = None
 
+        # --- face-major fast-path tables.  Slots are face-contiguous, so
+        # when every face has the same fpt count the per-slot gathers can be
+        # replaced by face-ROW gathers of (nfp*F)-wide rows — full TPU lane
+        # tiles instead of 5-wide rows (measured 4-10x faster) — plus
+        # one-hot batched matmuls for the within-face partner rotation
+        # (bit-exact at HIGHEST precision, 2x faster than take_along_axis).
+        self.uniform = bool(np.all(ops.n_fpts_per_face
+                                   == ops.n_fpts_per_face[0]))
+        if self.uniform and block.int_slot_l.size:
+            nfp = int(ops.n_fpts_per_face[0])
+            nf = ops.n_faces
+            Bk = block.n_eles * nf
+            Fi = block.int_slot_l.shape[0]
+            Fb = block.bdy_slot.shape[0] if block.bdy_slot.size else 0
+            self.nfp, self.nfaces, self.n_blocks = nfp, nf, Bk
+            self.n_int_faces, self.n_bdy_faces = Fi, Fb
+            fidx_l = block.int_slot_l[:, 0] // nfp
+            fidx_r = block.int_slot_r[:, 0] // nfp
+            perm_r = block.int_slot_r % nfp           # (Fi, nfp)
+            P = np.zeros((Fi, nfp, nfp), dtype=np.float64)
+            P[np.arange(Fi)[:, None], np.arange(nfp)[None, :], perm_r] = 1.0
+            src_face = -np.ones(Bk, dtype=np.int64)
+            src_face[fidx_l] = np.arange(Fi)
+            src_face[fidx_r] = Fi + np.arange(Fi)
+            if Fb:
+                bidx = block.bdy_slot[:, 0] // nfp
+                src_face[bidx] = 2 * Fi + np.arange(Fb)
+                self.bidx = i(bidx)
+            if np.any(src_face < 0):
+                self.uniform = False   # unexpected coverage hole: slot path
+            else:
+                self.fidx_l = i(fidx_l)
+                self.fidx_r = i(fidx_r)
+                self.perm_onehot = f(P)
+                self.src_face = i(src_face)
+                self.tdA_b = f(block.tdA_fpts.reshape(Bk, nfp))
+        else:
+            self.uniform = False
+
 
 def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
-                     bc_fns=None):
+                     bc_fns=None, face_path: bool | None = None):
     """Build residual(u, fluc=None) -> rhs with u (E, U, F),
     rhs = -div_tconf/detjac.
 
@@ -143,6 +182,8 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
     LDG common solutions (None when the mesh is fully periodic).
     ``fluc`` (Fb, nfp, d): turbulent-inlet velocity fluctuations forwarded
     to the boundary ghost states (ref:src/bdy_inters.cpp:250-254).
+    ``face_path`` overrides the automatic face-major fast-path selection
+    (for equivalence tests).
     """
     B = BlockArrays(block, dtype)
     d = B.n_dims
@@ -188,6 +229,122 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
                     prandtl_t=cfg.prandtl_t, n_dims=d, kappa=cfg.kappa)
             return fv
         return adv_diff_viscous_flux(grad, cfg.diff_coeff)
+
+    # ------------------------------------------------------------------
+    # face-major fast path: face-ROW gathers + one-hot partner rotation
+    # (see BlockArrays.uniform).  Same math as the slot path below, laid
+    # out for the TPU's 128-lane tiles.
+    use_face_path = (B.uniform and not cfg.les) if face_path is None \
+        else (face_path and B.uniform)
+
+    def perm_apply(x):
+        """r-block rows -> partner (l) order; x (Fi, nfp, W)."""
+        return jnp.einsum("fjk,fkw->fjw", B.perm_onehot, x,
+                          preferred_element_type=dtype, precision=prec)
+
+    def perm_T_apply(x):
+        """partner (l) order -> r-block rows; x (Fi, nfp, W)."""
+        return jnp.einsum("fjk,fjw->fkw", B.perm_onehot, x,
+                          preferred_element_type=dtype, precision=prec)
+
+    def residual_face(u, fluc=None):
+        Fi, Fb = B.n_int_faces, B.n_bdy_faces
+        nfp, Bk = B.nfp, B.n_blocks
+        disu_f = jnp.einsum("pu,euf->epf", B.opp_0, u,
+                            preferred_element_type=dtype, precision=prec)
+        fb = disu_f.reshape(Bk, nfp * nF)
+        u_l = fb[B.fidx_l].reshape(Fi, nfp, nF)
+        u_r = perm_apply(fb[B.fidx_r].reshape(Fi, nfp, nF))
+        norm_l = B.norm_int_l
+        if has_bdy:
+            u_bl = fb[B.bidx].reshape(Fb, nfp, nF)
+            norm_b = B.norm_bdy
+
+        if cfg.viscous:
+            tgrad = jnp.stack([opmat(B.opp_2_stack[g], u, dtype, prec)
+                               for g in range(d)], axis=-1)
+            u_c_int = riemann.ldg_common_solution(u_l, u_r, norm_l,
+                                                  cfg.ldg_beta)
+            rows = [u_c_int.reshape(Fi, nfp * nF),
+                    perm_T_apply(u_c_int).reshape(Fi, nfp * nF)]
+            if has_bdy:
+                u_c_bdy = bc_fns.ldg_solution(u_bl, norm_b, fluc=fluc)
+                rows.append(u_c_bdy.reshape(Fb, nfp * nF))
+            u_c_cat = jnp.concatenate(rows)
+            delta = (u_c_cat[B.src_face] - fb).reshape(E, Pf, nF)
+            tgrad = tgrad + jnp.stack(
+                [opmat(B.opp_5_stack[g], delta, dtype, prec)
+                 for g in range(d)], axis=-1)
+            grad_u = adjT_apply(B.jginv_upts, tgrad, B.inv_detjac_upts)
+            tgrad_f = opmat_md(B.opp_0, tgrad, dtype, prec).reshape(
+                E * Pf, nF, d)
+            grad_f_flat = adjT_apply(B.jginv_fpts, tgrad_f,
+                                     B.inv_detjac_fpts)
+            gb = grad_f_flat.reshape(Bk, nfp * nF * d)
+            g_l = gb[B.fidx_l].reshape(Fi, nfp, nF, d)
+            g_r = perm_apply(gb[B.fidx_r].reshape(Fi, nfp, nF * d)
+                             ).reshape(Fi, nfp, nF, d)
+
+        if cfg.over_int:
+            u_over = opmat(B.opp_over, u, dtype, prec)
+            f_over = phys_flux(u_over)
+            tdisf_over = adj_apply(B.jginv_over, f_over)
+            tdisf = opmat_md(B.over_filter, tdisf_over, dtype, prec)
+            if cfg.viscous:
+                fv = phys_visc_flux(u, grad_u, B.delta_upts, B.wdist_upts)
+                tdisf = tdisf + adj_apply(B.jginv_upts, fv)
+            tdisf_cat = jnp.concatenate(
+                [tdisf[..., l] for l in range(d)], axis=1)
+        else:
+            f = phys_flux(u)
+            if cfg.viscous:
+                f = f + phys_visc_flux(u, grad_u, B.delta_upts,
+                                       B.wdist_upts)
+            tdisf_cat = adj_apply_cat(B.jginv_upts, f)
+
+        fn_int = common_inv_flux(u_l, u_r, norm_l)
+        if cfg.viscous:
+            fv_l = phys_visc_flux(u_l, g_l)
+            fv_r = phys_visc_flux(u_r, g_r)
+            fn_int = fn_int + riemann.ldg_common_flux(
+                u_l, u_r, fv_l, fv_r, norm_l, cfg.ldg_tau, cfg.ldg_beta)
+        fn_rows = [fn_int.reshape(Fi, nfp * nF),
+                   -perm_T_apply(fn_int).reshape(Fi, nfp * nF)]
+        if has_bdy:
+            fn_bdy = bc_fns.inv_common_flux(u_bl, norm_b, fluc=fluc)
+            if cfg.viscous:
+                fn_bdy = fn_bdy + bc_fns.visc_common_flux(
+                    u_bl, gb[B.bidx].reshape(Fb, nfp, nF, d), norm_b, u,
+                    fluc=fluc)
+            fn_rows.append(fn_bdy.reshape(Fb, nfp * nF))
+        fn_cat = jnp.concatenate(fn_rows)
+        norm_tconf = (fn_cat[B.src_face].reshape(Bk, nfp, nF)
+                      * B.tdA_b[..., None]).reshape(E, Pf, nF)
+
+        if cfg.fused:
+            rhs_cat = jnp.concatenate([tdisf_cat, norm_tconf], axis=1)
+            div = opmat(B.opp_div_all, rhs_cat, dtype, prec)
+        else:
+            div = jnp.einsum("ku,euf->ekf", B.opp_2_cat, tdisf_cat,
+                             preferred_element_type=dtype, precision=prec)
+            norm_tdisf = jnp.einsum("pu,euf->epf", B.opp_1_cat, tdisf_cat,
+                                    preferred_element_type=dtype,
+                                    precision=prec)
+            div = div + jnp.einsum("kp,epf->ekf", B.opp_3,
+                                   norm_tconf - norm_tdisf,
+                                   preferred_element_type=dtype,
+                                   precision=prec)
+        rhs = -div * B.inv_detjac_upts[..., None]
+        if cfg.rans:
+            from ..models.sa import sa_source
+            src = sa_source(
+                u, grad_u, B.wdist_upts, gamma=cfg.gamma, mu_inf=cfg.mu_inf,
+                rt_inf=cfg.rt_inf, c_sth=cfg.c_sth, fix_vis=cfg.fix_vis,
+                kappa=cfg.kappa, c_v1=cfg.c_v1, c_v2=cfg.c_v2, c_v3=cfg.c_v3,
+                c_b1=cfg.c_b1, c_b2=cfg.c_b2, c_w2=cfg.c_w2, c_w3=cfg.c_w3,
+                omega=cfg.omega, n_dims=d)
+            rhs = rhs.at[..., d + 2].add(src)
+        return rhs
 
     def residual(u, fluc=None):
         # 1. extrapolate solution to flux points (opp_0 GEMM,
@@ -326,4 +483,4 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
             rhs = rhs.at[..., d + 2].add(src)
         return rhs
 
-    return residual
+    return residual_face if use_face_path else residual
