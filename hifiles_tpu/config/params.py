@@ -169,6 +169,12 @@ class RunInput:
     x_shock_ic: float = 0.0
     perturb_ic: int = 0
     forcing: int = 0
+    # channel/hill body-force geometry; defaults are the reference's
+    # hard-coded HIOCFD3 C3.4 periodic-hill values (ref:src/eles.cpp:5390-5397)
+    body_force_area: float = 9.162
+    body_force_vol: float = 114.34
+    body_force_mdot0: float = 9.162
+    body_force_type: int = 0   # 0 HIOCFD two-step, 1 SD3D relaxation
 
     # --- shock capture / de-aliasing (ref:src/input.cpp:247-266)
     over_int: int = 0
@@ -395,6 +401,11 @@ class RunInput:
             p.lambda_lf = g("lambda", float)
 
         p.forcing = g("body_forcing", int, 0)
+        if p.forcing:
+            p.body_force_area = g("body_force_area", float, 9.162)
+            p.body_force_vol = g("body_force_vol", float, 114.34)
+            p.body_force_mdot0 = g("body_force_mdot0", float, 9.162)
+            p.body_force_type = g("body_force_type", int, 0)
         p.perturb_ic = g("perturb_ic", int, 0)
 
         if setup:

@@ -67,6 +67,13 @@ def main(argv=None):
         path = restart_filename(outdir, p.restart_iter)
         t = read_restart(path, solver)
         print(f"restarted from {path} at t={t}")
+        if p.patch:
+            # patch applied on restart too (ref:src/solver.cpp:321-482)
+            from .solver.ics import apply_patch
+            solver.u = jnp.asarray(
+                apply_patch(p, solver.block.pos_upts,
+                            np.asarray(solver.u, dtype=np.float64)),
+                dtype=solver.dtype)
         i0 = p.restart_iter
     else:
         i0 = 0

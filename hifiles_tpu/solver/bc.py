@@ -59,6 +59,12 @@ def _pack_params(run_input: RunInput, bcid: np.ndarray, n_dims: int):
         "nfs": np.stack([arr(lambda b, i=i: (b.nx, b.ny, b.nz)[i])
                          for i in range(n_dims)], axis=-1),
         "use_wm": arr(lambda b: b.use_wm),
+        # pressure/temperature ramping (ref:src/bdy_inters.cpp:482-509)
+        "pressure_ramp": arr(lambda b: b.pressure_ramp),
+        "p_ramp_coeff": arr(lambda b: b.p_ramp_coeff),
+        "T_ramp_coeff": arr(lambda b: b.T_ramp_coeff),
+        "p_total_old": arr(lambda b: b.p_total_old),
+        "T_total_old": arr(lambda b: b.T_total_old),
     }
     return P
 
@@ -104,11 +110,15 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
         return p / (gamma - 1.0) + 0.5 * rho * jnp.sum(v * v, axis=-1)
 
     # ------------------------------------------------------------------
-    def ghost_state(u_l, norm, sol_spec, fluc=None):
+    has_ramp = any(getattr(b, "pressure_ramp", 0)
+                   for b in run_input.bc_list)
+
+    def ghost_state(u_l, norm, sol_spec, fluc=None, ramp=None):
         """Vectorized set_boundary_conditions
         (ref:src/bdy_inters.cpp:340-1019).  ``fluc``: turbulent-inlet
         velocity fluctuations added to inflow momentum
-        (ref:src/bdy_inters.cpp:250-254)."""
+        (ref:src/bdy_inters.cpp:250-254).  ``ramp``: traced iteration
+        counter for pressure/temperature ramping (ref::482-509)."""
         if rcfg.equation == 1:
             # AD_WALL: trivial Dirichlet (ref:src/bdy_inters.cpp:1011-1018)
             return jnp.zeros_like(u_l)
@@ -158,6 +168,27 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
             elif f == SUB_IN_CHAR:
                 # SU2-style total-state inflow (ref:src/bdy_inters.cpp:471-585)
                 p_tot, T_tot = P["p_total"], P["T_total"]
+                if has_ramp and ramp is not None:
+                    # linear ramp toward the target totals, capped at the
+                    # target; T_ramp_coeff < 0 = isentropic relation from
+                    # the local state (ref:src/bdy_inters.cpp:482-509)
+                    on = P["pressure_ramp"] > 0
+                    p_r = jnp.minimum(
+                        p_tot, P["p_total_old"]
+                        + (p_tot - P["p_total_old"])
+                        * P["p_ramp_coeff"] * ramp)
+                    p_tot = jnp.where(on & (P["p_ramp_coeff"] > 0), p_r,
+                                      p_tot)
+                    T_lin = jnp.minimum(
+                        T_tot, P["T_total_old"]
+                        + (T_tot - P["T_total_old"])
+                        * P["T_ramp_coeff"] * ramp)
+                    T_l = p_l / (rho_l * R_ref)
+                    T_isen = T_l * (p_tot / p_l) ** ((gamma - 1.0) / gamma)
+                    T_tot = jnp.where(
+                        on & (P["T_ramp_coeff"] > 0), T_lin,
+                        jnp.where(on & (P["T_ramp_coeff"] < 0), T_isen,
+                                  T_tot))
                 R_plus = vn_l + 2.0 * c_l / (gamma - 1.0)
                 c_tot_sq = gamma * R_ref * T_tot
                 alpha = jnp.sum(norm * P["nfs"], axis=-1)
@@ -285,10 +316,10 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
     WALL_FLAGS = (SLIP_WALL, ISOTHERM_WALL, ADIABAT_WALL, AD_WALL,
                   SLIP_WALL_DUAL)
 
-    def inv_common_flux(u_l, norm, fluc=None):
+    def inv_common_flux(u_l, norm, fluc=None, ramp=None):
         """(ref:src/bdy_inters.cpp:230-307): Riemann solve against the
         inviscid ghost state; dual-consistent walls use the left flux."""
-        u_r = ghost_state(u_l, norm, sol_spec=0, fluc=fluc)
+        u_r = ghost_state(u_l, norm, sol_spec=0, fluc=fluc, ramp=ramp)
         if rcfg.equation == 1:
             ws = jnp.asarray(rcfg.wave_speed[:n_dims], dtype=u_l.dtype)
             fn = riemann.lax_friedrichs_flux(u_l, u_r, norm, ws,
@@ -303,13 +334,13 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
                                fn_l, fn)
         return fn
 
-    def ldg_solution(u_l, norm, fluc=None):
+    def ldg_solution(u_l, norm, fluc=None, ramp=None):
         """Boundary LDG common solution u_c = u_r(sol_spec=1 for walls,
         else the inviscid ghost) (ref:src/bdy_inters.cpp:309-324,
         ref:src/inters.cpp:640-643)."""
-        u_r0 = ghost_state(u_l, norm, sol_spec=0, fluc=fluc)
+        u_r0 = ghost_state(u_l, norm, sol_spec=0, fluc=fluc, ramp=ramp)
         if any(f in flags_present for f in WALL_FLAGS):
-            u_r1 = ghost_state(u_l, norm, sol_spec=1, fluc=fluc)
+            u_r1 = ghost_state(u_l, norm, sol_spec=1, fluc=fluc, ramp=ramp)
             is_wall = jnp.isin(P["flag"], jnp.asarray(WALL_FLAGS))
             return jnp.where(is_wall[..., None], u_r1, u_r0)
         return u_r0
@@ -368,12 +399,13 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
         wm_dist_j = jnp.asarray(wm_dist, dtype=dtype)
         wm_mask = jnp.asarray(P_np["use_wm"] > 0)
 
-    def visc_common_flux(u_l, grad_l, norm, u_full=None, fluc=None):
+    def visc_common_flux(u_l, grad_l, norm, u_full=None, fluc=None,
+                         ramp=None):
         """Boundary viscous common flux: f_r . n - tau (u_r - u_l)
         (ref:src/bdy_inters.cpp:1029-1093, ldg_flux flux_spec=1).
         Slip walls contribute no viscous flux; wall-modeled faces replace it
         with the modeled wall stress (ref::1095-1131)."""
-        u_r = ldg_solution(u_l, norm, fluc=fluc)
+        u_r = ldg_solution(u_l, norm, fluc=fluc, ramp=ramp)
         grad_r = boundary_gradients(u_r, grad_l, norm)
         if rcfg.equation == 1:
             f_r = adv_diff_viscous_flux(grad_r, rcfg.diff_coeff)

@@ -193,6 +193,83 @@ def initial_condition(run_input, pos: np.ndarray, n_fields: int) -> np.ndarray:
     return u
 
 
+def apply_patch(run_input, pos: np.ndarray, u: np.ndarray) -> np.ndarray:
+    """Solution patch: overwrite a region of the state after IC/restart
+    (ref:src/eles.cpp:537-652 set_patch).
+
+    patch_type 0: an isentropically-consistent Taylor-type vortex of
+    strength Mv with inner/outer radii ra/rb at (xc, yc); type 1: reset to
+    the uniform IC for x >= patch_x."""
+    p = run_input
+    if not p.patch:
+        return u
+    nd = pos.shape[-1]
+    gamma = p.gamma
+    R = p.R_ref if p.viscous else p.R_gas
+    u = np.array(u, dtype=np.float64)
+    rho = u[..., 0]
+    vx = u[..., 1] / rho
+    vy = u[..., 2] / rho
+    vz = u[..., 3] / rho if nd == 3 else np.zeros_like(vx)
+    pr = (gamma - 1.0) * (u[..., nd + 1]
+                          - 0.5 * rho * (vx**2 + vy**2 + vz**2))
+    if p.patch_type == 0:
+        dx = pos[..., 0] - p.xc
+        dy = pos[..., 1] - p.yc
+        r = np.sqrt(dx * dx + dy * dy)
+        r_safe = np.maximum(r, 1e-300)
+        ra, rb, Mv = p.ra, p.rb, p.Mv
+        vm = Mv * np.sqrt(gamma * pr / rho)
+        T0 = pr / (rho * R)
+        # inner solid-body rotation (ref::585-594)
+        c_in = (vm**2 / ra**2 * 0.5 * (ra**2 - r**2)
+                + vm**2 * ra**2 / (ra**2 - rb**2)**2
+                * (0.5 * (rb**2 - ra**2)
+                   - 0.5 * rb**4 * (1 / rb**2 - 1 / ra**2)
+                   - 2 * rb**2 * np.log(rb / ra)))
+        T_in = T0 - (gamma - 1.0) / (R * gamma) * c_in
+        s_in = vm * r_safe / ra
+        # outer decaying swirl (ref::596-603)
+        c_out = (vm**2 * ra**2 / (ra**2 - rb**2)**2
+                 * (0.5 * (rb**2 - r_safe**2)
+                    - 0.5 * rb**4 * (1 / rb**2 - 1 / r_safe**2)
+                    - 2 * rb**2 * np.log(rb / r_safe)))
+        T_out = T0 - (gamma - 1.0) / (R * gamma) * c_out
+        s_out = vm * ra / (ra**2 - rb**2) * (r_safe - rb**2 / r_safe)
+        inner = r <= ra
+        inside = r <= rb
+        sw = np.where(inner, s_in, s_out)
+        temper = np.where(inner, T_in, T_out)
+        vx_n = vx - dy / r_safe * sw
+        vy_n = vy + dx / r_safe * sw
+        rho_n = rho * (temper / T0) ** (1.0 / (gamma - 1.0))
+        p_n = pr * (temper / T0) ** (gamma / (gamma - 1.0))
+        rho = np.where(inside, rho_n, rho)
+        vx = np.where(inside, vx_n, vx)
+        vy = np.where(inside, vy_n, vy)
+        pr = np.where(inside, p_n, pr)
+    elif p.patch_type == 1:
+        m = pos[..., 0] >= p.patch_x
+        rho = np.where(m, p.rho_c_ic, rho)
+        vx = np.where(m, p.u_c_ic, vx)
+        vy = np.where(m, p.v_c_ic, vy)
+        vz = np.where(m, p.w_c_ic, vz)
+        pr = np.where(m, p.p_c_ic, pr)
+    else:
+        raise ValueError(f"patch_type {p.patch_type}")
+    out = u.copy()
+    out[..., 0] = rho
+    out[..., 1] = rho * vx
+    out[..., 2] = rho * vy
+    if nd == 3:
+        out[..., 3] = rho * vz
+        out[..., 4] = pr / (gamma - 1.0) + 0.5 * rho * (vx**2 + vy**2
+                                                        + vz**2)
+    else:
+        out[..., 3] = pr / (gamma - 1.0) + 0.5 * rho * (vx**2 + vy**2)
+    return out
+
+
 def analytic_solution(run_input, pos: np.ndarray, time: float,
                       n_fields: int):
     """Analytic state + gradient for the error harness

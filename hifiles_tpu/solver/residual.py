@@ -247,7 +247,7 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
         return jnp.einsum("fjk,fjw->fkw", B.perm_onehot, x,
                           preferred_element_type=dtype, precision=prec)
 
-    def residual_face(u, fluc=None):
+    def residual_face(u, fluc=None, ramp=None):
         Fi, Fb = B.n_int_faces, B.n_bdy_faces
         nfp, Bk = B.nfp, B.n_blocks
         disu_f = jnp.einsum("pu,euf->epf", B.opp_0, u,
@@ -268,7 +268,7 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
             rows = [u_c_int.reshape(Fi, nfp * nF),
                     perm_T_apply(u_c_int).reshape(Fi, nfp * nF)]
             if has_bdy:
-                u_c_bdy = bc_fns.ldg_solution(u_bl, norm_b, fluc=fluc)
+                u_c_bdy = bc_fns.ldg_solution(u_bl, norm_b, fluc=fluc, ramp=ramp)
                 rows.append(u_c_bdy.reshape(Fb, nfp * nF))
             u_c_cat = jnp.concatenate(rows)
             delta = (u_c_cat[B.src_face] - fb).reshape(E, Pf, nF)
@@ -311,11 +311,11 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
         fn_rows = [fn_int.reshape(Fi, nfp * nF),
                    -perm_T_apply(fn_int).reshape(Fi, nfp * nF)]
         if has_bdy:
-            fn_bdy = bc_fns.inv_common_flux(u_bl, norm_b, fluc=fluc)
+            fn_bdy = bc_fns.inv_common_flux(u_bl, norm_b, fluc=fluc, ramp=ramp)
             if cfg.viscous:
                 fn_bdy = fn_bdy + bc_fns.visc_common_flux(
                     u_bl, gb[B.bidx].reshape(Fb, nfp, nF, d), norm_b, u,
-                    fluc=fluc)
+                    fluc=fluc, ramp=ramp)
             fn_rows.append(fn_bdy.reshape(Fb, nfp * nF))
         fn_cat = jnp.concatenate(fn_rows)
         norm_tconf = (fn_cat[B.src_face].reshape(Bk, nfp, nF)
@@ -346,7 +346,7 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
             rhs = rhs.at[..., d + 2].add(src)
         return rhs
 
-    def residual(u, fluc=None):
+    def residual(u, fluc=None, ramp=None):
         # 1. extrapolate solution to flux points (opp_0 GEMM,
         #    ref:src/eles.cpp:1360-1411)
         disu_f = jnp.einsum("pu,euf->epf", B.opp_0, u,
@@ -382,7 +382,7 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
             u_c_int = riemann.ldg_common_solution(u_l, u_r, norm_l,
                                                   cfg.ldg_beta)
             if has_bdy:
-                u_c_bdy = bc_fns.ldg_solution(u_bl, norm_b, fluc=fluc)
+                u_c_bdy = bc_fns.ldg_solution(u_bl, norm_b, fluc=fluc, ramp=ramp)
                 u_c_all = jnp.concatenate(
                     [u_c_int.reshape(-1, nF), u_c_bdy.reshape(-1, nF)])
             else:
@@ -439,10 +439,11 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
             fn_int = fn_int + riemann.ldg_common_flux(
                 u_l, u_r, fv_l, fv_r, norm_l, cfg.ldg_tau, cfg.ldg_beta)
         if has_bdy:
-            fn_bdy = bc_fns.inv_common_flux(u_bl, norm_b, fluc=fluc)
+            fn_bdy = bc_fns.inv_common_flux(u_bl, norm_b, fluc=fluc, ramp=ramp)
             if cfg.viscous:
                 fn_bdy = fn_bdy + bc_fns.visc_common_flux(
-                    u_bl, grad_f_flat[B.bdy_slot], norm_b, u, fluc=fluc)
+                    u_bl, grad_f_flat[B.bdy_slot], norm_b, u, fluc=fluc,
+                    ramp=ramp)
             fn_all = jnp.concatenate([fn_int.reshape(-1, nF),
                                       fn_bdy.reshape(-1, nF)])
         else:

@@ -174,68 +174,143 @@ class Solver:
                                   post_stage=post_stage)
         self.n_stages = N_STAGES[run_input.adv_type]
 
+        # BC ramping & channel/hill body forcing state
+        self._has_ramp = any(getattr(b, "pressure_ramp", 0)
+                             for b in run_input.bc_list) \
+            if run_input.bc_list else False
+        self._iter_k = jnp.asarray(1, jnp.int32)   # ref:src/input.cpp:377
+        self._forcing = bool(run_input.forcing) and run_input.equation == 0
+        self._mdot_old = jnp.asarray(run_input.body_force_mdot0
+                                     if self._forcing else 0.0, dtype)
+        if self._forcing:
+            # inflow plane = cyclic faces with normal -x
+            # (ref:src/eles.cpp:5313-5337, the reference's inlet hack)
+            from ..config.params import CYCLIC as _CYC
+            from ..mesh.core import NUM_F_PER_C
+            fpt_off = np.concatenate([[0],
+                                      np.cumsum(ops.n_fpts_per_face)])
+            sl_list = []
+            for c in range(mesh.n_cells):
+                for k in range(NUM_F_PER_C[int(mesh.ctype[c])]):
+                    bid = int(mesh.bc_id[c, k])
+                    if bid < 0 or bc_flags.get(bid, -1) != _CYC:
+                        continue
+                    nfp = int(ops.n_fpts_per_face[k])
+                    sl = c * ops.n_fpts + fpt_off[k] + np.arange(nfp)
+                    if self.block.norm_fpts[sl[0], 0] < -0.99:
+                        sl_list.append(sl)
+            if not sl_list:
+                raise ValueError("body forcing: no -x cyclic inflow plane")
+            fs = np.concatenate(sl_list)
+            self._force_slots = fs
+            self._force_wdA = (ops.fpt_weights[fs % ops.n_fpts]
+                               * self.block.tdA_fpts[fs])
+
         # initial condition at solution points (ref:src/solver.cpp:321-340)
         u0 = initial_condition(run_input, self.block.pos_upts, self.n_fields)
+        if run_input.patch:
+            from .ics import apply_patch
+            u0 = apply_patch(run_input, self.block.pos_upts, u0)
         self.u = jnp.asarray(u0, dtype=dtype)
         self.reg = jnp.zeros_like(self.u)
         self.time = 0.0
 
+        self._simple = (self.turb_inlet is None and not self._has_ramp
+                        and not self._forcing)
         self._run_chunk = jax.jit(self._make_run_chunk(), static_argnums=2,
                                   donate_argnums=0)
 
     # ------------------------------------------------------------------
     def _make_run_chunk(self):
+        """The fused time loop: one lax.scan whose carry holds the state,
+        the RK register, the iteration counter (for BC ramping), the
+        turbulent-inlet state, and the body-forcing mass-flux memory
+        (ref:src/HiFiLES.cpp:194-317 driver loop)."""
         step = self._step
-
         pre = self._pre_step
+        p = self.p
+        dtype = self.dtype
+        simple = (self.turb_inlet is None and not self._has_ramp
+                  and not self._forcing)
 
-        if self.turb_inlet is not None:
-            from .step import make_step_fn as _mk
-            ti = self.turb_inlet
-            prec = jax.lax.Precision[self.rcfg.precision.upper()]
-            opp_0 = jnp.asarray(self.ops.opp_0, dtype=self.dtype)
-            bdy_slot = jnp.asarray(self.block.bdy_slot, dtype=jnp.int32)
-            nF, dtype = self.n_fields, self.dtype
-            residual_fn = self.residual_fn
-            p = self.p
-            post_stage = self._post_stage
-
+        if simple:
             def run_chunk(state, dt, n_steps):
                 def body(carry, _):
-                    u, r, ti_state = carry
+                    u, r = carry[0], carry[1]
                     if pre is not None:
                         u = pre(u)
+                    u, r = step(u, r, dt)
+                    return (u, r) + carry[2:], None
+                state, _ = jax.lax.scan(body, state, None, length=n_steps)
+                return state
+            return run_chunk
+
+        from .step import make_step_fn as _mk
+        prec = jax.lax.Precision[self.rcfg.precision.upper()]
+        nF = self.n_fields
+        residual_fn = self.residual_fn
+        post_stage = self._post_stage
+        ti = self.turb_inlet
+        has_ramp = self._has_ramp
+        forcing = self._forcing
+        opp_0 = jnp.asarray(self.ops.opp_0, dtype=dtype)
+        bdy_slot = jnp.asarray(self.block.bdy_slot, dtype=jnp.int32)
+        if forcing:
+            fslots = jnp.asarray(self._force_slots, dtype=jnp.int32)
+            fwdA = jnp.asarray(self._force_wdA, dtype=dtype)
+            area = p.body_force_area
+            mdot0 = p.body_force_mdot0
+            d = self.n_dims
+
+        def run_chunk(state, dt, n_steps):
+            def body(carry, _):
+                u, r, k, ti_state, mdot_old = carry
+                if pre is not None:
+                    u = pre(u)
+                ramp = k.astype(dtype) if has_ramp else None
+                fluc = None
+                if ti is not None or forcing:
                     disu_f = jnp.einsum(
                         "pu,euf->epf", opp_0, u,
                         preferred_element_type=dtype,
                         precision=prec).reshape(-1, nF)
+                if ti is not None:
                     ti_state, fluc = ti.update(ti_state, disu_f[bdy_slot],
                                                dt)
-                    inner = _mk(lambda uu: residual_fn(uu, fluc),
-                                p.adv_type, post_stage=post_stage)
-                    u, r = inner(u, r, dt)
-                    return (u, r, ti_state), None
-                state, _ = jax.lax.scan(body, state, None, length=n_steps)
-                return state
-
-            return run_chunk
-
-        def run_chunk(state, dt, n_steps):
-            def body(carry, _):
-                u, r = carry
-                if pre is not None:
-                    u = pre(u)
-                u, r = step(u, r, dt)
-                return (u, r), None
+                source = None
+                if forcing:
+                    # channel/hill bulk-momentum forcing
+                    # (ref:src/eles.cpp:5281-5484 evaluate_body_force)
+                    uf = disu_f[fslots]                   # (Ns, F)
+                    mflux = jnp.sum(fwdA * uf[:, 1])
+                    rho_int = jnp.sum(fwdA * uf[:, 0])
+                    ubulk = jnp.where(rho_int == 0, 0.0, mflux / rho_int)
+                    if p.body_force_type == 1:
+                        # SD3D relaxation form (stable deadbeat,
+                        # ref:src/eles.cpp:5425 commented variant)
+                        bf1 = (mdot0 - mflux) / (area * dt)
+                    else:
+                        # HIOCFD C3.4 two-step form (ref::5427)
+                        bf1 = (mdot0 - 2.0 * mflux + mdot_old) / (area * dt)
+                    bf = jnp.zeros((nF,), dtype).at[1].set(bf1)
+                    bf = bf.at[d + 1].set(bf1 * ubulk)
+                    source = lambda uu: bf
+                    mdot_old = mflux
+                inner = _mk(lambda uu: residual_fn(uu, fluc, ramp),
+                            p.adv_type, source_fn=source,
+                            post_stage=post_stage)
+                u, r = inner(u, r, dt)
+                return (u, r, k + 1, ti_state, mdot_old), None
             state, _ = jax.lax.scan(body, state, None, length=n_steps)
             return state
 
         return run_chunk
 
     # ------------------------------------------------------------------
-    def compute_dt(self) -> float:
-        """Global CFL time step (ref:src/solver.cpp:484-549,
-        ref:src/eles.cpp:1267-1356)."""
+    def compute_dt(self):
+        """CFL time step (ref:src/solver.cpp:484-549,
+        ref:src/eles.cpp:1267-1356): dt_type 0 fixed, 1 global min,
+        2 per-element local (returns an (E,) array)."""
         p = self.p
         if p.dt_type == 0:
             return p.dt
@@ -257,20 +332,34 @@ class Solver:
             dt_ele = np.minimum(dt_inv, dt_visc)
         else:
             dt_ele = dt_inv
+        if p.dt_type == 2:
+            return dt_ele          # local time stepping (steady runs)
         return float(dt_ele.min())
 
-    def run(self, n_steps: int, dt: float | None = None):
+    def run(self, n_steps: int, dt=None):
         if dt is None:
             dt = self.compute_dt()
-        if self.turb_inlet is not None:
-            state = self._run_chunk((self.u, self.reg, self._ti_state),
-                                    jnp.asarray(dt, self.dtype), n_steps)
-            self.u, self.reg, self._ti_state = state
+        if isinstance(dt, np.ndarray) and dt.ndim == 1:
+            # local dt: broadcasts (E,1,1) against the (E,U,F) state in the
+            # RK update (ref:src/eles.cpp:1095-1105 dt_local)
+            if self.turb_inlet is not None:
+                raise NotImplementedError("local dt with a turbulent inlet")
+            dt_min = float(dt.min())
+            dt_j = jnp.asarray(dt[:, None, None], dtype=self.dtype)
         else:
-            state = self._run_chunk((self.u, self.reg),
-                                    jnp.asarray(dt, self.dtype), n_steps)
+            dt_min = float(dt)
+            dt_j = jnp.asarray(dt, self.dtype)
+        if self._simple:
+            state = self._run_chunk((self.u, self.reg), dt_j, n_steps)
             self.u, self.reg = state
-        self.time += dt * n_steps
+        else:
+            ti_state = self._ti_state
+            state = self._run_chunk(
+                (self.u, self.reg, self._iter_k, ti_state, self._mdot_old),
+                dt_j, n_steps)
+            (self.u, self.reg, self._iter_k, self._ti_state,
+             self._mdot_old) = state
+        self.time += dt_min * n_steps
         return self.u
 
     # ------------------------------------------------------------------
