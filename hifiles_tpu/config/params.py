@@ -102,9 +102,14 @@ class RunInput:
     p_res: int = 2
     write_type: int = 0
     probe: int = 0
+    probe_fields: list[str] = field(default_factory=list)
+    probe_freq: int = 0
+    probe_source_file: str = ""
+    restart_ascii: int = 0   # restart_flag file format (ref reads both)
     integral_quantities: list[str] = field(default_factory=list)
     diagnostic_fields: list[str] = field(default_factory=list)
     average_fields: list[str] = field(default_factory=list)
+    spinup_time: float = 0.0   # time-average start (ref:include/input.h:137)
 
     # --- solver (ref:src/input.cpp:136-162)
     riemann_solve_type: int = 0
@@ -281,11 +286,20 @@ class RunInput:
         p.p_res = g("p_res", int, 2)
         p.write_type = g("write_type", int, 0)
         p.probe = g("probe", int, 0)
+        if p.probe:
+            # probe config lives in the same deck
+            # (ref:src/probe_input.cpp:295-310 read_probe_input)
+            p.probe_fields = [x.lower()
+                              for x in d.get_vector("probe_fields")]
+            p.probe_freq = g("probe_freq", int)
+            p.probe_source_file = g("probe_source_file", str)
+        p.restart_ascii = g("restart_ascii", int, 0)
         p.integral_quantities = [s.lower() for s in
                                  d.get_vector("integral_quantities")]
         p.diagnostic_fields = [s.lower() for s in
                                d.get_vector("diagnostic_fields")]
         p.average_fields = [s.lower() for s in d.get_vector("average_fields")]
+        p.spinup_time = g("spinup_time", float, 0.0)
 
         p.riemann_solve_type = g("riemann_solve_type", int)
         p.vis_riemann_solve_type = g("vis_riemann_solve_type", int, 0)

@@ -79,7 +79,12 @@ def main(argv=None):
         i0 = 0
 
     hist = HistoryWriter(os.path.join(outdir, "history.plt"), solver)
-    events = sorted({p.monitor_res_freq, p.plot_freq, p.restart_dump_freq})
+    probes = None
+    if p.probe:
+        from .io.probes import setup_probes
+        probes = setup_probes(p, solver, outdir)
+    events = sorted({p.monitor_res_freq, p.plot_freq, p.restart_dump_freq,
+                     getattr(p, "probe_freq", 0) or 0})
     chunk = max(1, min(e for e in events if e > 0))
 
     i = i0
@@ -90,12 +95,43 @@ def main(argv=None):
         i += n
         if i % p.monitor_res_freq == 0 or i == i0 + p.n_steps:
             row = hist.write(i)
-            res = " ".join(f"{r:.6e}" for r in row["residual"])
-            print(f"iter {i:8d}  t={solver.time:.6e}  res: {res}")
+            res = row["residual"]
+            # NaN abort (ref:src/output.cpp:2268-2275 HistoryOutput)
+            if not np.isfinite(res).all():
+                raise FloatingPointError(
+                    f"NaN residual at iteration {i}; aborting "
+                    f"(ref CheckStopConditions behavior)")
+            res_s = " ".join(f"{r:.6e}" for r in res)
+            print(f"iter {i:8d}  t={solver.time:.6e}  res: {res_s}")
+            if p.calc_force:
+                from .io.forces import compute_forces
+                fr = compute_forces(solver)
+                print(f"         force: "
+                      + " ".join(f"{x:.6e}" for x in fr["force"]))
+        if probes is not None and getattr(p, "probe_freq", 0) \
+                and i % p.probe_freq == 0:
+            probes.append(solver, i)
         if p.plot_freq and i % p.plot_freq == 0:
-            write_vtu(solver, outdir, i)
+            if p.write_type == 1:
+                from .io.tecplot import write_tec
+                write_tec(solver, outdir, i)
+            elif p.write_type == 2:
+                raise NotImplementedError(
+                    "CGNS output: no CGNS library in this image; use "
+                    "write_type 0 (ParaView) or 1 (Tecplot)")
+            else:
+                write_vtu(solver, outdir, i)
         if p.restart_dump_freq and i % p.restart_dump_freq == 0:
-            write_restart(outdir, solver, step=i)
+            if p.restart_ascii:
+                from .io.restart import write_restart_ascii
+                write_restart_ascii(outdir, solver, step=i)
+            else:
+                write_restart(outdir, solver, step=i)
+            if solver.turb_inlet is not None \
+                    and solver.turb_inlet.inlet_type == 2:
+                from .io.restart import write_sem_restart
+                write_sem_restart(outdir, i, solver.turb_inlet,
+                                  solver._ti_state, p)
 
     if p.test_case:
         err = solver.compute_error()

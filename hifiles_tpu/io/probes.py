@@ -7,6 +7,8 @@ files with an unlimited time axis (ref:src/output.cpp:1549-1752).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..mesh.shape import shape_basis, shape_dbasis
@@ -174,3 +176,165 @@ class ProbeHDF5Writer:
             f["time"][nt] = time
             f["data"].resize((nt + 1,) + f["data"].shape[1:])
             f["data"][nt] = vals
+
+
+# ----------------------------------------------------------------------
+# probe script (ref:src/probe_input.cpp:278-741 read_probe_script):
+#   volume NAME { cube ( ox oy oz  nx ny nz  dx dy dz ) ... }
+#   surface NAME { circle ( cx cy cz  ox oy oz  r n_layer )
+#                  cone ( cx cy cz  ox oy oz  r0 r1 n_r  len n_l ) }
+#   line NAME ( x0 y0 z0  x1 y1 z1  init_incre n_pts )
+#   point ( x y z )
+
+def probe_line_growth(p0, p1, init_incre: float, n_pts: int) -> np.ndarray:
+    """Line probes with geometric spacing; the growth rate solves
+    L = h (g^(n-1) - 1)/(g - 1) by Newton iteration
+    (ref:src/probe_input.cpp:743-796 set_probe_line)."""
+    p0 = np.asarray(p0, dtype=np.float64)
+    p1 = np.asarray(p1, dtype=np.float64)
+    L = float(np.linalg.norm(p1 - p0))
+    n = n_pts
+    if abs(L / init_incre - (n - 1)) < 1e-12:
+        s = np.linspace(0.0, 1.0, n)
+    else:
+        g = 0.1 if L / init_incre < n - 1 else 5.0
+        for _ in range(200):
+            fx = L - init_incre * (g ** (n - 1) - 1.0) / (g - 1.0)
+            jac = init_incre * ((n - 2.0) * g ** n - (n - 1.0) * g ** (n - 1)
+                                + g) / ((g - 1.0) ** 2 * g)
+            dg = fx / jac
+            g += dg
+            if abs(dg) <= 1e-10:
+                break
+        s = init_incre * (g ** np.arange(n, dtype=np.float64) - 1.0) \
+            / (g - 1.0) / L
+    return p0[None, :] + s[:, None] * (p1 - p0)[None, :]
+
+
+def read_probe_script(path: str, n_dims: int):
+    """Parse the reference's probe script into [(name, points)] sets."""
+    import re
+    toks = re.findall(r"[{}()]|[^\s{}()]+", open(path).read())
+    i = 0
+    out = []
+
+    def num():
+        nonlocal i
+        v = float(toks[i])
+        i += 1
+        return v
+
+    def expect(t):
+        nonlocal i
+        if toks[i] != t:
+            raise ValueError(f"probe script syntax: expected {t!r}, "
+                             f"got {toks[i]!r}")
+        i += 1
+
+    n_point = 0
+    while i < len(toks):
+        kwd = toks[i]
+        i += 1
+        if kwd == "volume":
+            name = toks[i]
+            i += 1
+            expect("{")
+            pts = []
+            while toks[i] != "}":
+                sub = toks[i]
+                i += 1
+                expect("(")
+                if sub == "cube":
+                    org = np.array([num() for _ in range(3)])
+                    nxyz = np.array([int(num()) for _ in range(3)])
+                    dxyz = np.array([num() for _ in range(3)])
+                    grid = np.stack(np.meshgrid(
+                        *[org[k] + dxyz[k] * np.arange(max(nxyz[k], 1))
+                          for k in range(3)], indexing="ij"),
+                        axis=-1).reshape(-1, 3)
+                    pts.append(grid[:, :n_dims])
+                else:
+                    raise ValueError(f"volume sub-shape {sub!r}")
+                expect(")")
+            i += 1      # '}'
+            out.append((name, np.concatenate(pts)))
+        elif kwd == "surface":
+            name = toks[i]
+            i += 1
+            expect("{")
+            pts = []
+            while toks[i] != "}":
+                sub = toks[i]
+                i += 1
+                expect("(")
+                cent = np.array([num() for _ in range(3)])
+                ori = np.array([num() for _ in range(3)])
+                if sub == "circle":
+                    r = num()
+                    n_layer = int(num())
+                    pts.append(probe_circle(cent[:n_dims], r,
+                                            4 * n_layer, normal=ori))
+                elif sub == "cone":
+                    r0, r1 = num(), num()
+                    n_r = int(num())
+                    length = num()
+                    n_l = int(num())
+                    p1 = cent + ori / max(np.linalg.norm(ori), 1e-30) \
+                        * length
+                    pts.append(probe_cone(cent, p1, r0, r1, n_l,
+                                          max(4 * n_r, 8)))
+                else:
+                    raise ValueError(f"surface sub-shape {sub!r}")
+                expect(")")
+            i += 1
+            out.append((name, np.concatenate(pts)))
+        elif kwd == "line":
+            name = toks[i]
+            i += 1
+            expect("(")
+            p0 = np.array([num() for _ in range(3)])[:n_dims]
+            p1 = np.array([num() for _ in range(3)])[:n_dims]
+            h0 = num()
+            npt = int(num())
+            expect(")")
+            out.append((name, probe_line_growth(p0, p1, h0, npt)))
+        elif kwd == "point":
+            expect("(")
+            xyz = np.array([num() for _ in range(3)])[:n_dims]
+            expect(")")
+            out.append((f"point_{n_point}", xyz[None, :]))
+            n_point += 1
+        else:
+            raise ValueError(f"probe script keyword {kwd!r}")
+    return out
+
+
+class ProbeManager:
+    """All probe sets + their HDF5 writers; driver calls append()."""
+
+    def __init__(self, sets):
+        self.sets = sets       # list of (name, ProbeSet, writer)
+
+    def append(self, solver, step: int):
+        for _, __, writer in self.sets:
+            writer.append(solver.time)
+
+
+def setup_probes(run_input, solver, outdir: str) -> ProbeManager:
+    """Build probe sets from the deck (ref:src/probe_input.cpp:51-66 setup:
+    probe=1 reads probe_source_file as a script; probe=2 takes the vertices
+    of a gambit mesh as probe locations)."""
+    p = run_input
+    fields = p.probe_fields or ["rho", "u", "pressure"]
+    if p.probe == 2:
+        from ..mesh.gambit import read_gambit
+        m = read_gambit(p.probe_source_file)
+        sets_pts = [("mesh_probes", m.xv.copy())]
+    else:
+        sets_pts = read_probe_script(p.probe_source_file, solver.n_dims)
+    sets = []
+    for name, pts in sets_pts:
+        ps = ProbeSet(solver, pts, fields)
+        writer = ProbeHDF5Writer(os.path.join(outdir, f"{name}.h5"), ps)
+        sets.append((name, ps, writer))
+    return ProbeManager(sets)

@@ -54,6 +54,146 @@ def write_restart(path: str, solver, step: int | None = None) -> str:
     return path
 
 
+_TYPE_ELE_NAME = {TRI: "TRIS", QUAD: "QUADS", TET: "TETS", PRISM: "PRIS",
+                  HEX: "HEXAS"}
+_TYPE_FULL_NAME = {TRI: "triangular", QUAD: "quadrilateral",
+                   TET: "tetrahedral", PRISM: "prismatic", HEX: "hexahedral"}
+
+
+def write_restart_ascii(path: str, solver, step: int | None = None,
+                        rank: int = 0) -> str:
+    """ASCII restart ``Rest_%09d_p%04d.dat`` (ref:src/output.cpp:1753-1818
+    write_restart_ascii, ref:src/eles.cpp:845-869 write_restart_data_ascii,
+    ref:src/eles_quads.cpp write_restart_info_ascii)."""
+    if step is not None:
+        path = os.path.join(path, f"Rest_{step:09d}_p{rank:04d}.dat")
+    u = np.asarray(solver.u, dtype=np.float64)
+    E, U, F = u.shape
+    icg = solver.mesh.ic2icg
+    ct = solver.ops.ele_type
+    p = solver.p
+    with open(path, "w") as f:
+        f.write(f"{float(solver.time)!r}\n")
+        f.write(f"{_TYPE_ELE_NAME[ct]}\n")
+        f.write("Order\n")
+        f.write(f"{p.order}\n")
+        f.write(f"Number of solution points per {_TYPE_FULL_NAME[ct]} "
+                "element\n")
+        f.write(f"{U}\n")
+        f.write("Location of solution points\n")
+        if ct in (QUAD, HEX):
+            pts = solver.ops.loc_upts[:p.order + 1, 0]
+        else:
+            pts = solver.ops.loc_upts.ravel()
+        f.write(" ".join(repr(float(x)) for x in pts) + "\n")
+        f.write("n_eles\n")
+        f.write(f"{E}\n")
+        f.write("ele2global_ele hf_array\n")
+        f.write(" ".join(str(int(g)) for g in icg) + "\n")
+        f.write("data\n")
+        for e in range(E):
+            f.write(f"{int(icg[e])}\n")
+            for j in range(U):
+                f.write(" ".join(repr(float(u[e, j, k]))
+                                 for k in range(F)) + "\n")
+        f.write("\n")
+    return path
+
+
+def read_restart_ascii(path: str, solver) -> float:
+    """Read an ASCII restart written by write_restart_ascii (matching the
+    reference's reader contract, ref:src/eles.cpp:656-760)."""
+    import jax.numpy as jnp
+
+    with open(path) as f:
+        toks = f.read().split("\n")
+    it = iter(toks)
+    time = float(next(it))
+    name = next(it).strip()
+    ct = solver.ops.ele_type
+    if name != _TYPE_ELE_NAME[ct]:
+        raise ValueError(f"restart element section {name!r}; solver has "
+                         f"{_TYPE_ELE_NAME[ct]}")
+    assert next(it).strip() == "Order"
+    order_rest = int(next(it))
+    if order_rest != solver.p.order:
+        raise NotImplementedError(
+            "cross-order ASCII restart: use the HDF5 path")
+    next(it)                       # 'Number of solution points...'
+    U = int(next(it))
+    next(it)                       # 'Location of solution points'
+    next(it)                       # the points themselves
+    assert next(it).strip() == "n_eles"
+    E = int(next(it))
+    next(it)                       # 'ele2global_ele hf_array'
+    next(it)
+    assert next(it).strip() == "data"
+    F = solver.n_fields
+    icg = solver.mesh.ic2icg
+    g2l = {int(g): e for e, g in enumerate(icg)}
+    u = np.asarray(solver.u, dtype=np.float64).copy()
+    for _ in range(E):
+        gid = int(next(it))
+        rows = np.array([[float(x) for x in next(it).split()]
+                         for _ in range(U)])
+        if gid in g2l:
+            u[g2l[gid]] = rows[:, :F]
+    solver.u = jnp.asarray(u, dtype=solver.dtype)
+    solver.time = time
+    return time
+
+
+def write_sem_restart(directory: str, step: int, turb_inlet,
+                      ti_state, run_input) -> str:
+    """SEM eddy-state restart ``sem_files/sem_files_%09d.dat``
+    (ref:src/bdy_inters.cpp:2227-2276 write_sem_restart)."""
+    bc = next(b for b in run_input.bc_list
+              if getattr(b, "inlet_type", 0) == 2)
+    d = os.path.join(directory, "sem_files")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"sem_files_{step:09d}.dat")
+    eddy_pos = np.asarray(ti_state[0], dtype=np.float64)
+    sgn = np.asarray(ti_state[1], dtype=np.float64)
+    with open(path, "w") as f:
+        f.write(f"{bc.mode}\n{float(bc.vis_y)!r}\n")
+        if bc.mode == 0:
+            f.write(f"{float(bc.turb_1)!r} {float(bc.turb_2)!r}\n")
+        else:
+            f.write(f"{float(bc.turb_1)!r}\n")
+        f.write(f"{turb_inlet.n_eddy}\n")
+        for row in eddy_pos:
+            f.write(" ".join(f"{x:.12e}" for x in row) + "\n")
+        for row in sgn:
+            f.write(" ".join(str(int(x)) for x in row) + "\n")
+    return path
+
+
+def read_sem_restart(directory: str, step: int, solver) -> bool:
+    """Load SEM eddy positions/signs into the solver's inlet state
+    (ref:src/bdy_inters.cpp:2278-2320).  Returns False if absent."""
+    import jax.numpy as jnp
+    path = os.path.join(directory, "sem_files", f"sem_files_{step:09d}.dat")
+    if not os.path.exists(path) or solver.turb_inlet is None:
+        return False
+    with open(path) as f:
+        toks = f.read().split()
+    it = iter(toks)
+    mode = int(next(it))
+    next(it)                           # vis_y
+    next(it)                           # turb_1
+    if mode == 0:
+        next(it)                       # turb_2
+    n_eddy = int(next(it))
+    eddy = np.array([float(next(it)) for _ in range(3 * n_eddy)]
+                    ).reshape(n_eddy, 3)
+    sgn = np.array([float(next(it)) for _ in range(3 * n_eddy)]
+                   ).reshape(n_eddy, 3)
+    key = solver._ti_state[2]
+    solver._ti_state = (jnp.asarray(eddy, solver.dtype),
+                        jnp.asarray(sgn, solver.dtype), key)
+    return True
+
+
 def read_restart(path: str, solver) -> float:
     """Load state into the solver (re-interpolating across orders when the
     file's order differs); returns the non-dimensional time."""

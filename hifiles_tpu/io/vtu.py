@@ -181,6 +181,16 @@ def write_vtu(solver, directory: str, step: int, rank: int = 0,
         f.write('<DataArray type="Float64" Name="rho" format="ascii">\n')
         u_ppts[..., 0].reshape(-1).tofile(f, sep=" ")
         f.write('\n</DataArray>\n')
+        # time-averaged fields (ref:src/eles.cpp:5648-5664)
+        if p.average_fields and getattr(solver, "u_avg", None) is not None:
+            avg_ppts = np.einsum(
+                "pu,euf->epf", opp_p,
+                np.asarray(solver.u_avg, dtype=np.float64))
+            for i, fieldname in enumerate(p.average_fields):
+                f.write(f'<DataArray type="Float64" Name="{fieldname}" '
+                        'format="ascii">\n')
+                avg_ppts[..., i].reshape(-1).tofile(f, sep=" ")
+                f.write('\n</DataArray>\n')
         for fieldname, vals in diag.items():
             f.write(f'<DataArray type="Float64" Name="{fieldname}" '
                     'format="ascii">\n')

@@ -326,6 +326,91 @@ def build_tensor_ops(ele_type: int, order: int, upts_rule: int = GAUSS,
         opp_div_fused=opp_div_fused, upts_weights=w_upts)
 
 
+_C_PLUS_1D = {2: 0.206, 3: 3.80e-3, 4: 4.67e-5, 5: 4.28e-7}
+_C_PLUS_TRI = {2: 3.13e-2, 3: 4.67e-4, 4: 6.55e-6}
+_C_PLUS_TET = {2: 3.07e-2, 3: 5.44e-4, 4: 9.92e-6, 5: 1.10e-7}
+
+
+def _vcjh_c_simplex(order: int, c_user: float, scheme: int,
+                    c_plus_tbl: dict) -> float:
+    """Resolve the simplex VCJH constant per scheme
+    (ref:src/funcs.cpp:743-800, ref:src/eles_tets.cpp:1333-1390):
+    0 user c, 1 DG, 2 SD-like, 3 HU-like, 4 c+."""
+    from math import factorial
+    if scheme == 1:
+        return 0.0
+    if scheme == 0:
+        return c_user
+    if order not in _C_PLUS_1D or order not in c_plus_tbl:
+        raise ValueError(f"C+ scheme tables stop before order {order}")
+    ap = factorial(2 * order) / (2.0 ** order
+                                 * factorial(order) ** 2)
+    fap = factorial(order) * ap
+    c_sd_1d = (2 * order) / ((2 * order + 1) * (order + 1) * fap * fap)
+    c_hu_1d = (2 * (order + 1)) / ((2 * order + 1) * order * fap * fap)
+    c_plus = c_plus_tbl[order]
+    if scheme == 2:
+        return c_sd_1d / _C_PLUS_1D[order] * c_plus
+    if scheme == 3:
+        return c_hu_1d / _C_PLUS_1D[order] * c_plus
+    if scheme == 4:
+        return c_plus
+    raise ValueError(f"VCJH simplex scheme {scheme}")
+
+
+def vcjh_filter_tri(V: np.ndarray, Vinv: np.ndarray, loc_upts: np.ndarray,
+                    order: int, c: float) -> np.ndarray:
+    """Tri VCJH filter Filt = (I + V V^T K)^-1 with
+    K = sum_k c*C(order,k)/n * (Ds^k Dr^(order-k))^T (Ds^k Dr^(order-k))
+    (ref:src/funcs.cpp:717-886 compute_filt_matrix_tri); the VCJH lift is
+    Filt @ the DG lift (ref:src/funcs.cpp:630-643 get_opp_3_tri)."""
+    from math import comb
+    from .simplex import grad_dubiner_2d
+    n = V.shape[0]
+    if c == 0.0:
+        return np.eye(n)
+    gV = grad_dubiner_2d(loc_upts, order)
+    Dr = gV[..., 0] @ Vinv
+    Ds = gV[..., 1] @ Vinv
+    K = np.zeros((n, n))
+    for k in range(order + 1):
+        D = np.eye(n)
+        for _ in range(k):
+            D = D @ Ds
+        for _ in range(order - k):
+            D = D @ Dr
+        K += (c * comb(order, k) / n) * (D.T @ D)
+    return np.linalg.inv(np.eye(n) + V @ V.T @ K)
+
+
+def vcjh_filter_tet(V: np.ndarray, Vinv: np.ndarray, loc_upts: np.ndarray,
+                    order: int, c: float) -> np.ndarray:
+    """Tet VCJH filter (ref:src/eles_tets.cpp:1305-1500
+    compute_filt_matrix_tet): K sums Dr^(order-v+1) Ds^(v-w) Dt^(w-1)
+    cross-derivative penalties with trinomial coefficients."""
+    from math import comb
+    from .simplex import grad_dubiner_3d
+    n = V.shape[0]
+    if c == 0.0:
+        return np.eye(n)
+    gV = grad_dubiner_3d(loc_upts, order)
+    Dmats = [gV[..., d] @ Vinv for d in range(3)]
+    Dr, Ds, Dt = Dmats
+    K = np.zeros((n, n))
+    for v in range(1, order + 2):
+        for w in range(1, v + 1):
+            coeff = (1.0 / n) * comb(order, v - 1) * comb(v - 1, w - 1)
+            D = np.eye(n)
+            for _ in range(order - v + 1):
+                D = D @ Dr
+            for _ in range(v - w):
+                D = D @ Ds
+            for _ in range(w - 1):
+                D = D @ Dt
+            K += c * coeff * (D.T @ D)
+    return np.linalg.inv(np.eye(n) + V @ V.T @ K)
+
+
 def build_tri_ops(order: int, upts_type: int = 0, fpts_type: int = 0,
                   vcjh_scheme: int = 1, c_tri: float = 0.0) -> ElementOps:
     """Operator set for TRI elements (ref:src/eles_tris.cpp:45-136).
@@ -333,14 +418,13 @@ def build_tri_ops(order: int, upts_type: int = 0, fpts_type: int = 0,
     Solution points: alpha-optimized (upts_type 1) or interior cubature
     points (upts_type 0, which also carry weights); nodal basis defined via
     the orthonormal Dubiner modal basis and its Vandermonde (Hesthaven eq.
-    3.3, ref:src/eles_tris.cpp:703-720).  Correction: DG lift (VCJH c!=0
-    filter matrix not yet implemented)."""
+    3.3, ref:src/eles_tris.cpp:703-720).  Correction: VCJH filter applied
+    to the DG lift (ref:src/funcs.cpp:630-643)."""
     from .simplex import (dubiner_2d, grad_dubiner_2d, tri_alpha_points,
                           tri_dg_lift, tri_fpts, tri_interior_cubature,
                           tri_modes)
 
-    if vcjh_scheme != 1 and c_tri != 0.0:
-        raise NotImplementedError("tri VCJH filter (c_tri != 0); use DG")
+    c_tri = _vcjh_c_simplex(order, c_tri, vcjh_scheme, _C_PLUS_TRI)
 
     U = (order + 1) * (order + 2) // 2
     if upts_type == 0:
@@ -360,7 +444,8 @@ def build_tri_ops(order: int, upts_type: int = 0, fpts_type: int = 0,
     opp_1 = np.stack([opp_0 * tnorm_fpts[:, d:d + 1] for d in range(2)])
     gV = grad_dubiner_2d(loc_upts, order)             # (U, U, 2)
     opp_2 = np.stack([gV[..., d] @ Vinv for d in range(2)])
-    opp_3 = tri_dg_lift(loc_upts, loc_1d_fpts, order)
+    opp_3 = vcjh_filter_tri(V, Vinv, loc_upts, order, c_tri) \
+        @ tri_dg_lift(loc_upts, loc_1d_fpts, order)
 
     loc_cub, w_cub = tri_interior_cubature(min(order, 7))
     opp_cub = dubiner_2d(loc_cub, order) @ Vinv
@@ -399,8 +484,7 @@ def build_tet_ops(order: int, upts_type: int = 0, fpts_type: int = 0,
                           tet_dg_lift, tet_fpts, tet_interior_cubature,
                           tri_interior_cubature)
 
-    if vcjh_scheme != 1 and c_tet != 0.0:
-        raise NotImplementedError("tet VCJH filter (c_tet != 0); use DG")
+    c_tet = _vcjh_c_simplex(order, c_tet, vcjh_scheme, _C_PLUS_TET)
 
     U = (order + 1) * (order + 2) * (order + 3) // 6
     if upts_type == 0:
@@ -419,7 +503,8 @@ def build_tet_ops(order: int, upts_type: int = 0, fpts_type: int = 0,
     opp_1 = np.stack([opp_0 * tnorm_fpts[:, d:d + 1] for d in range(3)])
     gV = grad_dubiner_3d(loc_upts, order)
     opp_2 = np.stack([gV[..., d] @ Vinv for d in range(3)])
-    opp_3 = tet_dg_lift(loc_upts, tloc_fpts, order)
+    opp_3 = vcjh_filter_tet(V, Vinv, loc_upts, order, c_tet) \
+        @ tet_dg_lift(loc_upts, tloc_fpts, order)
 
     loc_cub, w_cub = tet_interior_cubature(min(order, 6))
     opp_cub = dubiner_3d(loc_cub, order) @ Vinv
@@ -463,8 +548,7 @@ def build_pri_ops(order: int, upts_type_tri: int = 0, upts_type_1d: int = 0,
     from .simplex import (dubiner_2d, grad_dubiner_2d, tri_alpha_points,
                           tri_dg_lift, tri_interior_cubature)
 
-    if vcjh_scheme_tri != 1 and c_tri != 0.0:
-        raise NotImplementedError("prism tri VCJH filter; use DG")
+    c_tri = _vcjh_c_simplex(order, c_tri, vcjh_scheme_tri, _C_PLUS_TRI)
 
     if upts_type_tri == 0:
         tri_pts, w_tri = tri_interior_cubature(order)
@@ -548,7 +632,11 @@ def build_pri_ops(order: int, upts_type_tri: int = 0, upts_type_1d: int = 0,
                     axis=1)
         face0_map[i] = int(np.argmin(d2))
         assert d2[face0_map[i]] < 1e-20
-    opp_3_tri = tri_dg_lift(tri_pts, z_1d, order)   # tri edge fpts = z_1d set
+    from .simplex import dubiner_2d as _dub2
+    V_tri = _dub2(tri_pts, order)
+    opp_3_tri = vcjh_filter_tri(V_tri, np.linalg.inv(V_tri), tri_pts,
+                                order, c_tri) \
+        @ tri_dg_lift(tri_pts, z_1d, order)   # tri edge fpts = z_1d set
     for upt in range(U):
         upt_1d, upt_tri = divmod(upt, n_tri)
         # tri faces

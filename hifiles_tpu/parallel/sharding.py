@@ -52,6 +52,8 @@ class ShardTables:
     int_slot_l: np.ndarray    # (n, Fi_max, nfp)
     int_slot_r: np.ndarray
     bdy_slot: np.ndarray      # (n, Fb_max, nfp)
+    bdy_bcid: np.ndarray      # (n, Fb_max) group id; 0 on padding rows
+    bdy_mask: np.ndarray      # (n, Fb_max) 1 = real boundary face
     halo_slot_l: np.ndarray   # (n, Fh_max, nfp) local left slots
     halo_recv_idx: np.ndarray  # (n, Fh_max, nfp) index into concat recv bufs
     send_idx: dict            # offset -> (n, n_send_max) local slot ids
@@ -171,7 +173,7 @@ def build_shard_tables(conn: FaceConnectivity, shard_of: np.ndarray,
 
     for f in range(conn.bdy_ele.size):
         s, sl = local_slots(conn.bdy_ele[f], conn.bdy_locf[f])
-        bdys[s].append(sl)
+        bdys[s].append((sl, int(conn.bdy_bcid[f])))
 
     Fi = max(len(x) for x in ints) if any(ints) else 0
     Fb = max(len(x) for x in bdys) if any(bdys) else 0
@@ -182,6 +184,8 @@ def build_shard_tables(conn: FaceConnectivity, shard_of: np.ndarray,
     int_l = np.zeros((n_shards, Fi, nfp), dtype=np.int64)
     int_r = np.zeros((n_shards, Fi, nfp), dtype=np.int64)
     bdy = np.zeros((n_shards, Fb, nfp), dtype=np.int64)
+    bdy_bcid = np.zeros((n_shards, Fb), dtype=np.int64)
+    bdy_mask = np.zeros((n_shards, Fb))
     halo_l = np.zeros((n_shards, Fh, nfp), dtype=np.int64)
     halo_recv = np.zeros((n_shards, Fh, nfp), dtype=np.int64)
     slot_src = -np.ones((n_shards, S_loc), dtype=np.int64)
@@ -216,8 +220,10 @@ def build_shard_tables(conn: FaceConnectivity, shard_of: np.ndarray,
             slot_src[s, sr] = base
             slot_sign[s, sr] = -1.0
         # boundary
-        for k, sl in enumerate(bdys[s]):
+        for k, (sl, bid) in enumerate(bdys[s]):
             bdy[s, k] = sl
+            bdy_bcid[s, k] = bid
+            bdy_mask[s, k] = 1.0
             base = Fi * nfp + np.arange(k * nfp, (k + 1) * nfp)
             slot_src[s, sl] = base
             slot_sign[s, sl] = 1.0
@@ -254,6 +260,7 @@ def build_shard_tables(conn: FaceConnectivity, shard_of: np.ndarray,
         send_idx[o] = arr
 
     return ShardTables(int_slot_l=int_l, int_slot_r=int_r, bdy_slot=bdy,
+                       bdy_bcid=bdy_bcid, bdy_mask=bdy_mask,
                        halo_slot_l=halo_l, halo_recv_idx=halo_recv,
                        send_idx=send_idx, slot_src=slot_src,
                        slot_sign=slot_sign, n_int=Fi, n_bdy=Fb, n_halo=Fh)
@@ -340,13 +347,26 @@ class ShardedSolver:
         self.offsets = sorted(self.send_idx.keys())
 
         self.bc_fns = None
+        self.bcP = {}
         if t.n_bdy:
-            from ..solver.bc import make_bc_functions
-            # note: per-face BC params must be reordered per shard; only
-            # fully-periodic + uniform-BC meshes supported sharded for now
-            raise NotImplementedError(
-                "sharded runs currently support fully periodic meshes; "
-                "boundary sharding lands with the partitioned BC tables")
+            # partitioned BC parameter tables: the bc closures take their
+            # shard's P rows as an explicit operand inside shard_map
+            if run_input.wall_model or run_input.LES or any(
+                    getattr(b, "pressure_ramp", 0) or
+                    getattr(b, "inlet_type", 0)
+                    for b in (run_input.bc_list or [])):
+                raise NotImplementedError(
+                    "sharded runs: wall models / turbulent inlets / BC "
+                    "ramping not partitioned yet")
+            from ..solver.bc import _pack_params, make_bc_functions
+            nfp = Pf // ops.n_faces
+            self.bc_fns = make_bc_functions(run_input, block, self.rcfg,
+                                            dtype)
+            bcid = np.repeat(t.bdy_bcid[:, :, None], nfp, axis=2)
+            P_np = _pack_params(run_input, bcid, ops.n_dims)  # (n,Fb,nfp,..)
+            self.bcP = {k: jnp.asarray(
+                v, dtype=dtype if k != "flag" else jnp.int32)
+                for k, v in P_np.items()}
 
         # initial condition, shard-ordered
         u0 = initial_condition(run_input, block.pos_upts[order],
@@ -383,6 +403,7 @@ class ShardedSolver:
         n_bdy = self.tables.n_bdy
         prec = jax.lax.Precision[cfg.precision.upper()]
         opp = self.opp
+        bc_fns = self.bc_fns
 
         def exchange(flat, sends):
             """ppermute halo exchange of per-slot data
@@ -418,8 +439,9 @@ class ShardedSolver:
                     prandtl_t=cfg.prandtl_t)
             return adv_diff_viscous_flux(grad, cfg.diff_coeff)
 
-        def residual(u, geo, tab, sends):
-            """u: (El, U, F) local block; geo/tab/sends: this shard's rows."""
+        def residual(u, geo, tab, sends, bcP):
+            """u: (El, U, F) local block; geo/tab/sends/bcP: this shard's
+            rows."""
             disu_f = jnp.einsum("pu,euf->epf", opp["opp_0"], u,
                                 preferred_element_type=dtype, precision=prec)
             flat = disu_f.reshape(El * Pf, nF)
@@ -433,6 +455,9 @@ class ShardedSolver:
             u_hr = halo_recv[tab["halo_recv_idx"]] if halo_recv is not None \
                 else u_hl
             norm_h = geo["norm"][tab["halo_slot_l"]]
+            if n_bdy:
+                u_bl = flat[tab["bdy_slot"]]
+                norm_b = geo["norm"][tab["bdy_slot"]]
 
             if cfg.viscous:
                 tgrad = jnp.stack(
@@ -442,9 +467,13 @@ class ShardedSolver:
                                                       cfg.ldg_beta)
                 u_c_halo = riemann.ldg_common_solution(u_hl, u_hr, norm_h,
                                                        cfg.ldg_beta)
+                if n_bdy:
+                    u_c_bdy = bc_fns.ldg_solution(u_bl, norm_b,
+                                                  P=bcP).reshape(-1, nF)
+                else:
+                    u_c_bdy = jnp.zeros((0, nF), dtype=dtype)
                 u_c_all = jnp.concatenate([
-                    u_c_int.reshape(-1, nF),
-                    jnp.zeros((n_bdy * nfp, nF), dtype=dtype),
+                    u_c_int.reshape(-1, nF), u_c_bdy,
                     u_c_halo.reshape(-1, nF)])
                 delta = (u_c_all[tab["slot_src"]] - flat).reshape(El, Pf, nF)
                 tgrad = tgrad + jnp.stack(
@@ -468,6 +497,8 @@ class ShardedSolver:
 
             fn_int = common_inv_flux(u_l, u_r, norm_l)
             fn_halo = common_inv_flux(u_hl, u_hr, norm_h)
+            if n_bdy:
+                fn_bdy = bc_fns.inv_common_flux(u_bl, norm_b, P=bcP)
             if cfg.viscous:
                 fv_l = phys_visc_flux(u_l, grad_f[tab["int_slot_l"]])
                 fv_r = phys_visc_flux(u_r, grad_f[tab["int_slot_r"]])
@@ -478,10 +509,15 @@ class ShardedSolver:
                 fn_halo = fn_halo + riemann.ldg_common_flux(
                     u_hl, u_hr, fv_hl, fv_hr, norm_h, cfg.ldg_tau,
                     cfg.ldg_beta)
+                if n_bdy:
+                    fn_bdy = fn_bdy + bc_fns.visc_common_flux(
+                        u_bl, grad_f[tab["bdy_slot"]], norm_b, None,
+                        P=bcP)
 
             fn_all = jnp.concatenate([
                 fn_int.reshape(-1, nF),
-                jnp.zeros((n_bdy * nfp, nF), dtype=dtype),
+                fn_bdy.reshape(-1, nF) if n_bdy
+                else jnp.zeros((0, nF), dtype=dtype),
                 fn_halo.reshape(-1, nF)])
             norm_tconf = (fn_all[tab["slot_src"]]
                           * (tab["slot_sign"] * geo["tdA"])[:, None]
@@ -502,16 +538,17 @@ class ShardedSolver:
         def sq(tree):
             return jax.tree.map(lambda v: v[0], tree)
 
-        def shard_body(u, reg, dt, geo, tabs, sends):
+        def shard_body(u, reg, dt, geo, tabs, sends, bcP):
             u = u[0]        # (1, El, ...) -> (El, ...)
             reg = reg[0]
             dt = dt[0] if dt.ndim else dt
             geo = sq(geo)
             tabs = sq(tabs)
             sends = sq(sends)
+            bcP = sq(bcP)
 
             def rhs(x):
-                return residual(x, geo, tabs, sends)
+                return residual(x, geo, tabs, sends, bcP)
 
             if adv == 0:
                 u = u + dt * rhs(u)
@@ -543,18 +580,19 @@ class ShardedSolver:
                 lambda v: P(self.axis, *([None] * (v.ndim - 1))), tree)
 
         specs = (P(self.axis), P(self.axis), P(), sharded_spec(self.geo),
-                 sharded_spec(self.tabs), sharded_spec(self.send_idx))
+                 sharded_spec(self.tabs), sharded_spec(self.send_idx),
+                 sharded_spec(self.bcP))
 
-        def step_shard(u, reg, dt, geo, tabs, sends):
+        def step_shard(u, reg, dt, geo, tabs, sends, bcP):
             return shard_map(
                 shard_body, mesh=self.mesh, in_specs=specs,
                 out_specs=(P(self.axis), P(self.axis)),
-                check_vma=False)(u, reg, dt, geo, tabs, sends)
+                check_vma=False)(u, reg, dt, geo, tabs, sends, bcP)
 
-        def run_chunk(state, dt, n_steps, geo, tabs, sends):
+        def run_chunk(state, dt, n_steps, geo, tabs, sends, bcP):
             def body(carry, _):
                 u, r = carry
-                u, r = step_shard(u, r, dt, geo, tabs, sends)
+                u, r = step_shard(u, r, dt, geo, tabs, sends, bcP)
                 return (u, r), None
             state, _ = jax.lax.scan(body, state, None, length=n_steps)
             return state
@@ -565,7 +603,8 @@ class ShardedSolver:
     def run(self, n_steps: int, dt: float):
         state = self._step_jit((self.u, self.reg),
                                jnp.asarray(dt, self.dtype), n_steps,
-                               self.geo, self.tabs, self.send_idx)
+                               self.geo, self.tabs, self.send_idx,
+                               self.bcP)
         self.u, self.reg = state
         self.time += dt * n_steps
         return self.u

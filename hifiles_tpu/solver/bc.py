@@ -80,8 +80,9 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
     bcid = np.repeat(block.bdy_bcid[:, None], nfp, axis=1)  # (Fb, nfp)
     P_np = _pack_params(run_input, bcid, n_dims)
     flags_present = sorted(set(int(f) for f in np.unique(P_np["flag"])))
-    P = {k: jnp.asarray(v, dtype=dtype if k != "flag" else jnp.int32)
-         for k, v in P_np.items()}
+    P_default = {k: jnp.asarray(v,
+                                dtype=dtype if k != "flag" else jnp.int32)
+                 for k, v in P_np.items()}
     gamma = rcfg.gamma
     # inviscid runs use the dimensional gas constant
     # (ref:src/bdy_inters.cpp:368-371)
@@ -113,12 +114,15 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
     has_ramp = any(getattr(b, "pressure_ramp", 0)
                    for b in run_input.bc_list)
 
-    def ghost_state(u_l, norm, sol_spec, fluc=None, ramp=None):
+    def ghost_state(u_l, norm, sol_spec, fluc=None, ramp=None, P=None):
         """Vectorized set_boundary_conditions
         (ref:src/bdy_inters.cpp:340-1019).  ``fluc``: turbulent-inlet
         velocity fluctuations added to inflow momentum
         (ref:src/bdy_inters.cpp:250-254).  ``ramp``: traced iteration
-        counter for pressure/temperature ramping (ref::482-509)."""
+        counter for pressure/temperature ramping (ref::482-509).  ``P``:
+        per-point BC parameter tables; sharded runs pass their shard's
+        rows, otherwise the block's tables are used."""
+        P = P if P is not None else P_default
         if rcfg.equation == 1:
             # AD_WALL: trivial Dirichlet (ref:src/bdy_inters.cpp:1011-1018)
             return jnp.zeros_like(u_l)
@@ -316,10 +320,11 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
     WALL_FLAGS = (SLIP_WALL, ISOTHERM_WALL, ADIABAT_WALL, AD_WALL,
                   SLIP_WALL_DUAL)
 
-    def inv_common_flux(u_l, norm, fluc=None, ramp=None):
+    def inv_common_flux(u_l, norm, fluc=None, ramp=None, P=None):
         """(ref:src/bdy_inters.cpp:230-307): Riemann solve against the
         inviscid ghost state; dual-consistent walls use the left flux."""
-        u_r = ghost_state(u_l, norm, sol_spec=0, fluc=fluc, ramp=ramp)
+        P = P if P is not None else P_default
+        u_r = ghost_state(u_l, norm, sol_spec=0, fluc=fluc, ramp=ramp, P=P)
         if rcfg.equation == 1:
             ws = jnp.asarray(rcfg.wave_speed[:n_dims], dtype=u_l.dtype)
             fn = riemann.lax_friedrichs_flux(u_l, u_r, norm, ws,
@@ -334,19 +339,22 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
                                fn_l, fn)
         return fn
 
-    def ldg_solution(u_l, norm, fluc=None, ramp=None):
+    def ldg_solution(u_l, norm, fluc=None, ramp=None, P=None):
         """Boundary LDG common solution u_c = u_r(sol_spec=1 for walls,
         else the inviscid ghost) (ref:src/bdy_inters.cpp:309-324,
         ref:src/inters.cpp:640-643)."""
-        u_r0 = ghost_state(u_l, norm, sol_spec=0, fluc=fluc, ramp=ramp)
+        P = P if P is not None else P_default
+        u_r0 = ghost_state(u_l, norm, sol_spec=0, fluc=fluc, ramp=ramp, P=P)
         if any(f in flags_present for f in WALL_FLAGS):
-            u_r1 = ghost_state(u_l, norm, sol_spec=1, fluc=fluc, ramp=ramp)
+            u_r1 = ghost_state(u_l, norm, sol_spec=1, fluc=fluc, ramp=ramp,
+                               P=P)
             is_wall = jnp.isin(P["flag"], jnp.asarray(WALL_FLAGS))
             return jnp.where(is_wall[..., None], u_r1, u_r0)
         return u_r0
 
-    def boundary_gradients(u_r, grad_l, norm):
+    def boundary_gradients(u_r, grad_l, norm, P=None):
         """(ref:src/bdy_inters.cpp:1138-1188)."""
+        P = P if P is not None else P_default
         flag = P["flag"]
         zero_flags = (CHAR, SUP_IN, SUB_IN_SIMP, SUB_OUT_SIMP)
         zero = jnp.isin(flag, jnp.asarray(zero_flags))
@@ -400,13 +408,14 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
         wm_mask = jnp.asarray(P_np["use_wm"] > 0)
 
     def visc_common_flux(u_l, grad_l, norm, u_full=None, fluc=None,
-                         ramp=None):
+                         ramp=None, P=None):
+        P = P if P is not None else P_default
         """Boundary viscous common flux: f_r . n - tau (u_r - u_l)
         (ref:src/bdy_inters.cpp:1029-1093, ldg_flux flux_spec=1).
         Slip walls contribute no viscous flux; wall-modeled faces replace it
         with the modeled wall stress (ref::1095-1131)."""
-        u_r = ldg_solution(u_l, norm, fluc=fluc, ramp=ramp)
-        grad_r = boundary_gradients(u_r, grad_l, norm)
+        u_r = ldg_solution(u_l, norm, fluc=fluc, ramp=ramp, P=P)
+        grad_r = boundary_gradients(u_r, grad_l, norm, P=P)
         if rcfg.equation == 1:
             f_r = adv_diff_viscous_flux(grad_r, rcfg.diff_coeff)
         else:

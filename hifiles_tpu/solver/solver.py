@@ -215,8 +215,22 @@ class Solver:
         self.reg = jnp.zeros_like(self.u)
         self.time = 0.0
 
+        # running time averages (ref:src/eles.cpp:5630-5700
+        # CalcTimeAverageQuantities): avg <- a*avg + b*current each step
+        self._avg = bool(run_input.average_fields)
+        self.u_avg = None
+        if self._avg:
+            for f_ in run_input.average_fields:
+                if f_ not in ("rho_average", "u_average", "v_average",
+                              "w_average", "e_average"):
+                    raise ValueError(f"unknown average field '{f_}'")
+            self.u_avg = jnp.zeros(
+                (self.block.n_eles, ops.n_upts,
+                 len(run_input.average_fields)), dtype)
+        self._t_sim = jnp.asarray(0.0, dtype)
+
         self._simple = (self.turb_inlet is None and not self._has_ramp
-                        and not self._forcing)
+                        and not self._forcing and not self._avg)
         self._run_chunk = jax.jit(self._make_run_chunk(), static_argnums=2,
                                   donate_argnums=0)
 
@@ -230,10 +244,7 @@ class Solver:
         pre = self._pre_step
         p = self.p
         dtype = self.dtype
-        simple = (self.turb_inlet is None and not self._has_ramp
-                  and not self._forcing)
-
-        if simple:
+        if self._simple:
             def run_chunk(state, dt, n_steps):
                 def body(carry, _):
                     u, r = carry[0], carry[1]
@@ -260,11 +271,15 @@ class Solver:
             fwdA = jnp.asarray(self._force_wdA, dtype=dtype)
             area = p.body_force_area
             mdot0 = p.body_force_mdot0
-            d = self.n_dims
+        d = self.n_dims
+        avg = self._avg
+        if avg:
+            avg_fields = list(p.average_fields)
+            spinup = p.spinup_time
 
         def run_chunk(state, dt, n_steps):
             def body(carry, _):
-                u, r, k, ti_state, mdot_old = carry
+                u, r, k, ti_state, mdot_old, t_sim, u_avg = carry
                 if pre is not None:
                     u = pre(u)
                 ramp = k.astype(dtype) if has_ramp else None
@@ -300,7 +315,33 @@ class Solver:
                             p.adv_type, source_fn=source,
                             post_stage=post_stage)
                 u, r = inner(u, r, dt)
-                return (u, r, k + 1, ti_state, mdot_old), None
+                t_sim = t_sim + (jnp.min(dt) if hasattr(dt, "ndim")
+                                 and dt.ndim else dt)
+                if avg:
+                    # running average after the step
+                    # (ref:src/eles.cpp:5676-5698)
+                    rho = u[..., 0]
+                    cols = []
+                    for f_ in avg_fields:
+                        if f_ == "rho_average":
+                            cols.append(rho)
+                        elif f_ == "u_average":
+                            cols.append(u[..., 1] / rho)
+                        elif f_ == "v_average":
+                            cols.append(u[..., 2] / rho)
+                        elif f_ == "w_average":
+                            cols.append(u[..., 3] / rho)
+                        else:  # e_average
+                            cols.append(u[..., d + 1] / rho)
+                    cur = jnp.stack(cols, axis=-1)
+                    dts = jnp.min(dt) if hasattr(dt, "ndim") and dt.ndim \
+                        else dt
+                    t_rel = t_sim - spinup
+                    a = (t_rel - dts) / t_rel
+                    b = dts / t_rel
+                    u_avg = jnp.where(t_rel <= dts, cur,
+                                      a * u_avg + b * cur)
+                return (u, r, k + 1, ti_state, mdot_old, t_sim, u_avg), None
             state, _ = jax.lax.scan(body, state, None, length=n_steps)
             return state
 
@@ -353,12 +394,15 @@ class Solver:
             state = self._run_chunk((self.u, self.reg), dt_j, n_steps)
             self.u, self.reg = state
         else:
-            ti_state = self._ti_state
+            u_avg = self.u_avg if self.u_avg is not None \
+                else jnp.zeros((), self.dtype)
             state = self._run_chunk(
-                (self.u, self.reg, self._iter_k, ti_state, self._mdot_old),
-                dt_j, n_steps)
+                (self.u, self.reg, self._iter_k, self._ti_state,
+                 self._mdot_old, self._t_sim, u_avg), dt_j, n_steps)
             (self.u, self.reg, self._iter_k, self._ti_state,
-             self._mdot_old) = state
+             self._mdot_old, self._t_sim, u_avg) = state
+            if self._avg:
+                self.u_avg = u_avg
         self.time += dt_min * n_steps
         return self.u
 
