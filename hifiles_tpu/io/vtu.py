@@ -114,9 +114,43 @@ def diagnostic_fields(solver, u_ppts, grad_ppts, fields):
     return out
 
 
+class _MixedBlockView:
+    """A single-type view of a MixedSolver for the per-type writers."""
+
+    def __init__(self, mixed, ct, idx):
+        self.p = mixed.p
+        self.n_dims = mixed.n_dims
+        self.block = mixed.blocks[ct]
+        self.ops = self.block.ops
+        self.u = mixed.u[idx]
+        self.u_avg = None
+        self.sensor_fn = None
+        sel = mixed.mt.sels[ct]
+        m = mixed.mesh
+        self.mesh = type(m)(n_dims=m.n_dims, xv=m.xv,
+                            c2v=m.c2v[sel], c2n_v=m.c2n_v[sel],
+                            ctype=m.ctype[sel], bc_id=m.bc_id[sel],
+                            bc_names=list(m.bc_names))
+
+
 def write_vtu(solver, directory: str, step: int, rank: int = 0,
               n_ranks: int = 1) -> str:
-    """Write one rank's .vtu (+ the .pvtu index when rank 0)."""
+    """Write one rank's .vtu (+ the .pvtu index when rank 0).
+
+    MixedSolver input writes one piece per element type plus a .pvtu
+    listing all of them (the reference likewise loops element types,
+    ref:src/output.cpp:527-560)."""
+    if hasattr(solver, "cts"):           # MixedSolver
+        pieces = []
+        for idx, ct in enumerate(solver.cts):
+            view = _MixedBlockView(solver, ct, idx)
+            pieces.append(write_vtu(view, directory, step,
+                                    rank=rank * 8 + idx, n_ranks=0))
+        name = solver.p.data_file_name
+        pvtu = os.path.join(directory, f"{name}_{step:09d}.pvtu")
+        _write_pvtu(pvtu, solver.p, solver.n_dims,
+                    [os.path.relpath(f, directory) for f in pieces])
+        return pvtu
     p = solver.p
     nd = solver.n_dims
     name = p.data_file_name
@@ -198,21 +232,28 @@ def write_vtu(solver, directory: str, step: int, rank: int = 0,
             f.write('\n</DataArray>\n')
         f.write('</PointData>\n</Piece>\n</UnstructuredGrid>\n</VTKFile>\n')
 
-    if rank == 0:
+    if rank == 0 and n_ranks > 0:
         pvtu = os.path.join(directory, f"{name}_{step:09d}.pvtu")
-        with open(pvtu, "w") as f:
-            f.write('<?xml version="1.0"?>\n')
-            f.write('<VTKFile type="PUnstructuredGrid" version="0.1" '
-                    'byte_order="LittleEndian">\n<PUnstructuredGrid '
-                    'GhostLevel="0">\n')
-            f.write('<PPoints><PDataArray type="Float64" '
-                    'NumberOfComponents="3"/></PPoints>\n<PPointData>\n')
-            f.write('<PDataArray type="Float64" Name="rho"/>\n')
-            for fieldname in diag:
-                f.write(f'<PDataArray type="Float64" Name="{fieldname}"/>\n')
-            f.write('</PPointData>\n')
-            for r in range(n_ranks):
-                f.write(f'<Piece Source="{name}_{step:09d}/'
-                        f'{name}_{step:09d}_p{r:04d}.vtu"/>\n')
-            f.write('</PUnstructuredGrid>\n</VTKFile>\n')
+        _write_pvtu(pvtu, p, nd,
+                    [f"{name}_{step:09d}/{name}_{step:09d}_p{r:04d}.vtu"
+                     for r in range(n_ranks)])
     return fname
+
+
+def _write_pvtu(path: str, p, nd: int, piece_names: list) -> None:
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0"?>\n')
+        f.write('<VTKFile type="PUnstructuredGrid" version="0.1" '
+                'byte_order="LittleEndian">\n<PUnstructuredGrid '
+                'GhostLevel="0">\n')
+        f.write('<PPoints><PDataArray type="Float64" '
+                'NumberOfComponents="3"/></PPoints>\n<PPointData>\n')
+        f.write('<PDataArray type="Float64" Name="rho"/>\n')
+        for fieldname in p.average_fields:
+            f.write(f'<PDataArray type="Float64" Name="{fieldname}"/>\n')
+        for fieldname in p.diagnostic_fields:
+            f.write(f'<PDataArray type="Float64" Name="{fieldname}"/>\n')
+        f.write('</PPointData>\n')
+        for src in piece_names:
+            f.write(f'<Piece Source="{src}"/>\n')
+        f.write('</PUnstructuredGrid>\n</VTKFile>\n')

@@ -128,27 +128,34 @@ def graph_partition(conn: FaceConnectivity, n_cells: int,
 
 
 def build_shard_tables(conn: FaceConnectivity, shard_of: np.ndarray,
-                       n_shards: int, Pf: int, n_faces: int, order: int,
+                       n_shards: int, Pf: int,
+                       n_fpts_per_face: np.ndarray, order: int,
                        perm: np.ndarray,
                        pos_fpts: np.ndarray | None = None) -> ShardTables:
     """Construct halo-aware per-shard slot tables.
 
     ``shard_of``/``perm``: element partition and the reordering such that
-    shard s owns new-index elements [s*El, (s+1)*El).
+    shard s owns new-index elements [s*El, (s+1)*El).  Faces of different
+    shapes (prisms) have different fpt counts; rows are padded to nfp_max
+    with slot 0, never referenced through slot_src.
     """
     El = perm.size // n_shards
     inv = np.empty_like(perm)
     inv[perm] = np.arange(perm.size)
-    nfp = Pf // n_faces
+    n_fpts_per_face = np.asarray(n_fpts_per_face, dtype=np.int64)
+    fpt_off = np.concatenate([[0], np.cumsum(n_fpts_per_face)])
+    nfp = int(n_fpts_per_face.max())      # row width (padded)
 
     def local_slots(e_old, locf, lut_perm=None):
         e_new = inv[e_old]
         s, e_loc = divmod(e_new, El)
-        j = np.arange(nfp) if lut_perm is None else lut_perm
-        return s, e_loc * Pf + locf * nfp + j
+        j = np.arange(int(n_fpts_per_face[locf])) if lut_perm is None \
+            else lut_perm
+        return s, e_loc * Pf + fpt_off[locf] + j
 
     def global_slots(e_old, locf):
-        return e_old * Pf + locf * nfp + np.arange(nfp)
+        return (e_old * Pf + fpt_off[locf]
+                + np.arange(int(n_fpts_per_face[locf])))
 
     pf_flat = pos_fpts.reshape(-1, pos_fpts.shape[-1])
 
@@ -212,19 +219,21 @@ def build_shard_tables(conn: FaceConnectivity, shard_of: np.ndarray,
     for s in range(n_shards):
         # interior
         for k, (sl, sr) in enumerate(ints[s]):
-            int_l[s, k] = sl
-            int_r[s, k] = sr
-            base = np.arange(k * nfp, (k + 1) * nfp)
+            m = sl.size
+            int_l[s, k, :m] = sl
+            int_r[s, k, :m] = sr
+            base = k * nfp + np.arange(m)
             slot_src[s, sl] = base
             slot_sign[s, sl] = 1.0
             slot_src[s, sr] = base
             slot_sign[s, sr] = -1.0
         # boundary
         for k, (sl, bid) in enumerate(bdys[s]):
-            bdy[s, k] = sl
+            m = sl.size
+            bdy[s, k, :m] = sl
             bdy_bcid[s, k] = bid
             bdy_mask[s, k] = 1.0
-            base = Fi * nfp + np.arange(k * nfp, (k + 1) * nfp)
+            base = (Fi + k) * nfp + np.arange(m)
             slot_src[s, sl] = base
             slot_sign[s, sl] = 1.0
         # halo: receiver side; sender (s-o)%n appends its partner slots
@@ -238,12 +247,13 @@ def build_shard_tables(conn: FaceConnectivity, shard_of: np.ndarray,
         for o in offsets:
             t = (s - o) % n_shards
             for (sl, partner) in halo_sorted[s][o]:
-                halo_l[s, k] = sl
-                halo_recv[s, k] = (pos_in_offset[o] + recv_cursor[o]
-                                   + np.arange(nfp))
-                recv_cursor[o] += nfp
+                m = sl.size
+                halo_l[s, k, :m] = sl
+                halo_recv[s, k, :m] = (pos_in_offset[o] + recv_cursor[o]
+                                       + np.arange(m))
+                recv_cursor[o] += m
                 send_lists[o][t].extend(partner.tolist())
-                base = (Fi + Fb) * nfp + np.arange(k * nfp, (k + 1) * nfp)
+                base = (Fi + Fb + k) * nfp + np.arange(m)
                 slot_src[s, sl] = base
                 slot_sign[s, sl] = 1.0
                 k += 1
@@ -304,7 +314,8 @@ class ShardedSolver:
         Pf = ops.n_fpts
 
         self.tables = build_shard_tables(
-            conn, shard_of, self.n_shards, Pf, ops.n_faces, ops.order, order,
+            conn, shard_of, self.n_shards, Pf, ops.n_fpts_per_face,
+            ops.order, order,
             pos_fpts=block.pos_fpts.reshape(E, Pf, -1))
 
         # reorder per-element geometry into shard-major order and stack
@@ -359,7 +370,7 @@ class ShardedSolver:
                     "sharded runs: wall models / turbulent inlets / BC "
                     "ramping not partitioned yet")
             from ..solver.bc import _pack_params, make_bc_functions
-            nfp = Pf // ops.n_faces
+            nfp = int(ops.n_fpts_per_face.max())
             self.bc_fns = make_bc_functions(run_input, block, self.rcfg,
                                             dtype)
             bcid = np.repeat(t.bdy_bcid[:, :, None], nfp, axis=2)
@@ -396,7 +407,7 @@ class ShardedSolver:
         Pf = self.base.ops.n_fpts
         El = self.El
         nF = self.n_fields
-        nfp = Pf // self.base.ops.n_faces
+        nfp = int(self.base.ops.n_fpts_per_face.max())
         axis = self.axis
         offsets = self.offsets
         n = self.n_shards

@@ -104,3 +104,14 @@ def test_mixed_navier_stokes_stable():
     for u in s.u:
         assert np.isfinite(np.asarray(u)).all()
     assert abs(m1[0] - m0[0]) < 1e-10
+
+
+def test_mixed_vtu_output(tmp_path):
+    from hifiles_tpu.io.vtu import write_vtu
+    p = vortex_input(order=2)
+    p.diagnostic_fields = ["u", "v", "pressure"]
+    s = MixedSolver(p, periodic_mixed_mesh_2d(4, 4, -10, 10, -10, 10))
+    out = write_vtu(s, str(tmp_path), 3)
+    assert out.endswith(".pvtu")
+    txt = open(out).read()
+    assert txt.count("<Piece") == 2      # one piece per element type
