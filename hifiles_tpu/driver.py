@@ -44,6 +44,7 @@ def main(argv=None):
         return 1
     deck_path = argv[0]
     f64 = "--f64" in argv
+    profile = "--profile" in argv
     outdir = "."
     if "--outdir" in argv:
         outdir = argv[argv.index("--outdir") + 1]
@@ -87,6 +88,12 @@ def main(argv=None):
                      getattr(p, "probe_freq", 0) or 0})
     chunk = max(1, min(e for e in events if e > 0))
 
+    if profile:
+        # jax profiler trace for the first chunk (the survey's
+        # tracing/profiling slot; view with tensorboard or perfetto)
+        import jax
+        jax.profiler.start_trace(os.path.join(outdir, "jax_trace"))
+
     i = i0
     while i < i0 + p.n_steps:
         n = min(chunk, i0 + p.n_steps - i)
@@ -104,10 +111,10 @@ def main(argv=None):
             res_s = " ".join(f"{r:.6e}" for r in res)
             print(f"iter {i:8d}  t={solver.time:.6e}  res: {res_s}")
             if p.calc_force:
-                from .io.forces import compute_forces
-                fr = compute_forces(solver)
+                from .io.forces import write_force_file
+                write_force_file(solver, outdir, i)
                 print(f"         force: "
-                      + " ".join(f"{x:.6e}" for x in fr["force"]))
+                      + " ".join(f"{x:.6e}" for x in row["force"]))
         if probes is not None and getattr(p, "probe_freq", 0) \
                 and i % p.probe_freq == 0:
             probes.append(solver, i)
@@ -121,6 +128,11 @@ def main(argv=None):
                     "write_type 0 (ParaView) or 1 (Tecplot)")
             else:
                 write_vtu(solver, outdir, i)
+        if profile and i - i0 >= chunk:
+            import jax
+            jax.profiler.stop_trace()
+            profile = False
+            print(f"profiler trace written to {outdir}/jax_trace")
         if p.restart_dump_freq and i % p.restart_dump_freq == 0:
             if p.restart_ascii:
                 from .io.restart import write_restart_ascii

@@ -28,7 +28,9 @@ def compute_forces(solver) -> dict:
                   if flags.get(int(bcid), -1) in WALL_FLAGS]
     if not wall_faces:
         return {"force": np.zeros(nd), "inv_force": np.zeros(nd),
-                "vis_force": np.zeros(nd)}
+                "vis_force": np.zeros(nd), "coeff": np.zeros(nd),
+                "cp": np.zeros((0,)), "cp_pos": np.zeros((0, nd)),
+                "cp_mask": np.zeros((0,))}
 
     slots = block.bdy_slot[wall_faces]            # (Fw, nfp)
     mask = (block.bdy_mask[wall_faces]
@@ -80,7 +82,40 @@ def compute_forces(solver) -> dict:
 
     force = inv_force + vis_force
     out = {"force": force, "inv_force": inv_force, "vis_force": vis_force}
-    if p.viscous and np.isfinite(getattr(p, "uvw_ref", np.nan)):
-        q_inf = 0.5  # non-dim: rho_ref=1, u_ref=1 in code units
-        out["coeff"] = force / (q_inf * p.area_ref)
+    q_inf = 0.5  # non-dim: rho_ref=1, u_ref=1 in code units
+    out["coeff"] = force / (q_inf * p.area_ref)
+    # pressure-coefficient distribution at the wall flux points
+    # (ref:src/output.cpp:1934-1990 writes cp rows per wall point)
+    p_inf = getattr(p, "p_c_ic", 0.0) or 0.0
+    out["cp"] = (pres - p_inf) / q_inf
+    out["cp_pos"] = solver.block.pos_fpts[slots]
+    out["cp_mask"] = mask
     return out
+
+
+def write_force_file(solver, directory: str, iteration: int) -> str:
+    """Append the total force/coefficients to force.dat and dump the wall
+    cp distribution to cp_%09d.dat (ref:src/output.cpp:1915-2016)."""
+    import os
+    fr = compute_forces(solver)
+    path = os.path.join(directory, "force.dat")
+    new = not os.path.exists(path)
+    nd = solver.n_dims
+    with open(path, "a") as f:
+        if new:
+            f.write("# iter " + " ".join(f"F{a}" for a in "xyz"[:nd])
+                    + " " + " ".join(f"C{a}" for a in "xyz"[:nd]) + "\n")
+        f.write(f"{iteration} "
+                + " ".join(f"{x:.10e}" for x in fr["force"]) + " "
+                + " ".join(f"{x:.10e}" for x in fr["coeff"]) + "\n")
+    if "cp" in fr and fr["cp"].size:
+        cp_path = os.path.join(directory, f"cp_{iteration:09d}.dat")
+        pos = fr["cp_pos"].reshape(-1, nd)
+        cp = fr["cp"].reshape(-1)
+        m = fr["cp_mask"].reshape(-1) > 0
+        with open(cp_path, "w") as f:
+            f.write("# " + " ".join("xyz"[:nd]) + " cp\n")
+            for row, c in zip(pos[m], cp[m]):
+                f.write(" ".join(f"{x:.10e}" for x in row)
+                        + f" {c:.10e}\n")
+    return path

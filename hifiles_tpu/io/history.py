@@ -70,8 +70,15 @@ class HistoryWriter:
         self.path = path
         self.solver = solver
         self.t0 = _time.time()
+        nd = solver.n_dims
+        self.with_force = bool(solver.p.calc_force) \
+            and getattr(solver.p, "bc_list", None)
+        force_cols = ([f"F{ax}" for ax in "xyz"[:nd]]
+                      + [f"C{ax}" for ax in "xyz"[:nd]]) \
+            if self.with_force else []
         names = (["iter", "res_rho"]
                  + [f"res_{i}" for i in range(1, solver.n_fields)]
+                 + force_cols
                  + list(solver.p.integral_quantities)
                  + ["nd_time", "compute_minutes"])
         with open(path, "w") as f:
@@ -86,10 +93,20 @@ class HistoryWriter:
                 f"NaN residual at iteration {iteration} "
                 "(ref:src/output.cpp:2243-2245 aborts here)")
         ints = integral_quantities(s, s.p.integral_quantities)
+        out = {"residual": res, **ints}
+        force_vals = []
+        if self.with_force:
+            from .forces import compute_forces
+            fr = compute_forces(s)
+            q_inf = 0.5  # code units: rho_ref = u_ref = 1
+            coeff = fr["force"] / (q_inf * s.p.area_ref)
+            force_vals = list(fr["force"]) + list(coeff)
+            out["force"] = fr["force"]
+            out["coeff"] = coeff
         row = ([iteration] + [np.log10(max(r, 1e-300)) for r in res]
-               + list(ints.values())
+               + force_vals + list(ints.values())
                + [s.time, (_time.time() - self.t0) / 60.0])
         with open(self.path, "a") as f:
             f.write(" ".join(f"{v:.10e}" if isinstance(v, float) else str(v)
                              for v in row) + "\n")
-        return {"residual": res, **ints}
+        return out

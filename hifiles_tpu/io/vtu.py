@@ -89,7 +89,7 @@ def diagnostic_fields(solver, u_ppts, grad_ppts, fields):
         elif name == "mach":
             c = np.sqrt(p.gamma * pres / rho)
             out[name] = np.sqrt(np.sum(vel**2, axis=-1)) / c
-        elif name in ("vorticity", "q_criterion"):
+        elif name in ("vorticity", "q_criterion", "scaled_q_criterion"):
             dvel = (grad_ppts[..., 1:1 + nd, :]
                     - vel[..., :, None] * grad_ppts[..., 0, None, :]) \
                 / rho[..., None, None]
@@ -104,8 +104,13 @@ def diagnostic_fields(solver, u_ppts, grad_ppts, fields):
             else:
                 S = 0.5 * (dvel + np.swapaxes(dvel, -1, -2))
                 W = 0.5 * (dvel - np.swapaxes(dvel, -1, -2))
-                out[name] = 0.5 * (np.sum(W**2, axis=(-2, -1))
-                                   - np.sum(S**2, axis=(-2, -1)))
+                SS = np.sum(S**2, axis=(-2, -1))
+                q = 0.5 * (np.sum(W**2, axis=(-2, -1)) - SS)
+                if name == "q_criterion":
+                    out[name] = q
+                else:
+                    # normalized Q (ref:src/eles.cpp:3972-3978)
+                    out[name] = q / (SS + 1e-24)
         elif name == "sensor" and solver.sensor_fn is not None:
             s = np.asarray(solver.sensor_fn(solver.u))
             out[name] = np.broadcast_to(s[:, None], rho.shape)

@@ -626,3 +626,37 @@ class ShardedSolver:
         out = np.empty_like(u)
         out[self.perm] = u
         return out
+
+    # ------------------------------------------------------------------
+    # checkpoint/resume: the same rank-count-independent HDF5 layout as
+    # single-device runs, keyed by global element id (the survey's
+    # "sharded checkpoint keyed by global element ID";
+    # ref:src/output.cpp:1822-1914 global-index hyperslabs)
+    def save_checkpoint(self, directory: str, step: int) -> str:
+        from ..io.restart import write_restart
+
+        class _View:
+            u = self.gather_u()
+            mesh = self.base.mesh
+            ops = self.base.ops
+            time = self.time
+            p = self.p
+        return write_restart(directory, _View(), step=step)
+
+    def load_checkpoint(self, path: str) -> float:
+        from ..io.restart import read_restart
+
+        class _View:
+            mesh = self.base.mesh
+            ops = self.base.ops
+            p = self.p
+            dtype = self.dtype
+            n_fields = self.n_fields
+        v = _View()
+        t = read_restart(path, v)
+        u = np.asarray(v.u)
+        self.u = jax.device_put(
+            jnp.asarray(u[self.perm].reshape(self.u.shape), self.dtype),
+            self.u.sharding)
+        self.time = t
+        return t

@@ -81,9 +81,9 @@ def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
     Same pipeline as residual.make_residual_fn (see its stage comments /
     reference citations); volume stages run per block, face stages run once
     in the global slot space."""
-    if cfg.over_int or cfg.les or cfg.rans:
+    if cfg.rans or (cfg.les and cfg.sgs_model in (2, 4)):
         raise NotImplementedError(
-            "mixed meshes: over_int/LES/RANS not wired yet")
+            "mixed meshes: RANS and similarity SGS models not wired yet")
     cts = mt.cts
     d = mt.blocks[cts[0]].ops.n_dims
     nF = cfg.n_fields
@@ -121,14 +121,27 @@ def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
         ws = jnp.asarray(cfg.wave_speed[:d], dtype=u_l.dtype)
         return riemann.lax_friedrichs_flux(u_l, u_r, norm, ws, cfg.lambda_lf)
 
-    def phys_visc_flux(u, grad):
+    def phys_visc_flux(u, grad, delta=None, wdist=None):
         if cfg.equation == 0:
-            return viscous_flux(
+            fv = viscous_flux(
                 u, grad, gamma=cfg.gamma, prandtl=cfg.prandtl,
                 mu_inf=cfg.mu_inf, rt_inf=cfg.rt_inf, c_sth=cfg.c_sth,
                 fix_vis=cfg.fix_vis, n_dims=d, rans=False,
                 prandtl_t=cfg.prandtl_t)
+            # eddy-viscosity SGS models (ref:src/eles.cpp:2330-2361)
+            if cfg.les and cfg.sgs_model in (0, 1) and delta is not None:
+                from ..models.sgs import sgs_flux
+                fv = fv + sgs_flux(
+                    u, grad, cfg.filter_ratio * delta, wdist,
+                    sgs_model=cfg.sgs_model, C_s=cfg.C_s, gamma=cfg.gamma,
+                    prandtl_t=cfg.prandtl_t, n_dims=d, kappa=cfg.kappa)
+            return fv
         return adv_diff_viscous_flux(grad, cfg.diff_coeff)
+
+    # LES cutoff lengths / wall distances (global slot concat per block)
+    if cfg.les:
+        g_delta_slot = jnp.concatenate([B[ct].delta_slot for ct in cts])
+        g_wdist_slot = jnp.concatenate([B[ct].wdist_slot for ct in cts])
 
     def residual(u_tuple):
         us = dict(zip(cts, u_tuple))
@@ -180,8 +193,16 @@ def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
         # 4+5. common interface fluxes (global)
         fn_int = common_inv_flux(u_l, u_r, g_norm_int_l)
         if cfg.viscous:
-            fv_l = phys_visc_flux(u_l, grad_f_flat[g_int_l])
-            fv_r = phys_visc_flux(u_r, grad_f_flat[g_int_r])
+            if cfg.les:
+                fv_l = phys_visc_flux(u_l, grad_f_flat[g_int_l],
+                                      g_delta_slot[g_int_l],
+                                      g_wdist_slot[g_int_l])
+                fv_r = phys_visc_flux(u_r, grad_f_flat[g_int_r],
+                                      g_delta_slot[g_int_r],
+                                      g_wdist_slot[g_int_r])
+            else:
+                fv_l = phys_visc_flux(u_l, grad_f_flat[g_int_l])
+                fv_r = phys_visc_flux(u_r, grad_f_flat[g_int_r])
             fn_int = fn_int + riemann.ldg_common_flux(
                 u_l, u_r, fv_l, fv_r, g_norm_int_l, cfg.ldg_tau,
                 cfg.ldg_beta)
@@ -205,10 +226,29 @@ def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
             b = B[ct]
             E, U, Pf = b.n_eles, b.n_upts, b.n_fpts
             lo, hi = seg[ct]
-            fl = phys_flux(us[ct])
-            if cfg.viscous:
-                fl = fl + phys_visc_flux(us[ct], grad_u[ct])
-            tdisf_cat = adj_apply_cat(b.jginv_upts, fl)
+            if cfg.over_int:
+                # de-aliased inviscid flux (ref:src/eles.cpp:1480-1545)
+                from .kernels import adj_apply
+                u_over = opmat(b.opp_over, us[ct], dtype, prec)
+                f_over = phys_flux(u_over)
+                tdisf = opmat_md(b.over_filter,
+                                 adj_apply(b.jginv_over, f_over),
+                                 dtype, prec)
+                if cfg.viscous:
+                    fv = phys_visc_flux(us[ct], grad_u[ct],
+                                        b.delta_upts if cfg.les else None,
+                                        b.wdist_upts if cfg.les else None)
+                    tdisf = tdisf + adj_apply(b.jginv_upts, fv)
+                tdisf_cat = jnp.concatenate(
+                    [tdisf[..., l] for l in range(d)], axis=1)
+            else:
+                fl = phys_flux(us[ct])
+                if cfg.viscous:
+                    fl = fl + phys_visc_flux(
+                        us[ct], grad_u[ct],
+                        b.delta_upts if cfg.les else None,
+                        b.wdist_upts if cfg.les else None)
+                tdisf_cat = adj_apply_cat(b.jginv_upts, fl)
             norm_tconf = norm_tconf_flat[lo:hi].reshape(E, Pf, nF)
             rhs_cat = jnp.concatenate([tdisf_cat, norm_tconf], axis=1)
             div = opmat(b.opp_div_all, rhs_cat, dtype, prec)
@@ -233,13 +273,11 @@ class MixedSolver:
         self.n_fields = run_input.n_fields_for(self.n_dims)
         if run_input.wall_model:
             raise NotImplementedError("mixed meshes: wall models")
-        # gate here, not just in the residual: these flags are NOT forwarded
-        # into ResidualConfig below, so without the gate they would be
-        # silently ignored
-        if run_input.LES or run_input.RANS or run_input.over_int \
-                or run_input.shock_cap:
+        if run_input.RANS:
+            raise NotImplementedError("mixed meshes: RANS not wired yet")
+        if run_input.LES and run_input.SGS_model in (2, 4):
             raise NotImplementedError(
-                "mixed meshes: LES/RANS/over_int/shock capture not wired yet")
+                "mixed meshes: similarity SGS models not wired yet")
 
         if (mesh.bc_names and not run_input.bc_list
                 and run_input._deck is not None):
@@ -274,7 +312,10 @@ class MixedSolver:
             ldg_beta=run_input.ldg_beta,
             wave_speed=tuple(run_input.wave_speed),
             lambda_lf=run_input.lambda_lf, diff_coeff=run_input.diff_coeff,
-            n_fields=self.n_fields)
+            n_fields=self.n_fields, over_int=bool(run_input.over_int),
+            les=bool(run_input.LES), sgs_model=run_input.SGS_model,
+            C_s=run_input.C_s, filter_ratio=run_input.filter_ratio,
+            filter_type=run_input.filter_type, kappa=run_input.Kappa)
 
         bc_fns = None
         if self.mt.bdy_slot.size:
@@ -284,7 +325,34 @@ class MixedSolver:
 
         self.residual_fn = make_mixed_residual_fn(self.mt, self.rcfg, dtype,
                                                   bc_fns)
-        self._step = make_step_fn(self.residual_fn, run_input.adv_type)
+
+        # per-block shock capture / SVV (ref:src/HiFiLES.cpp:211-218,
+        # ref:src/eles.cpp:2087-2089)
+        post_stage = None
+        self.sensor_fns = None
+        if run_input.shock_cap:
+            from ..ops.stabilization import make_shock_capture_fn
+            caps = {}
+            for ct in cts:
+                caps[ct] = make_shock_capture_fn(
+                    ops_by_ct[ct], run_input.s0, run_input.expf_fac,
+                    run_input.expf_order, run_input.expf_cutoff,
+                    run_input.shock_det_field, self.n_dims, dtype)
+            post_stage = lambda ut: tuple(
+                caps[ct](u)[0] for ct, u in zip(cts, ut))
+            self.sensor_fns = {ct: (lambda u, c=caps[ct]: c(u)[1])
+                               for ct in cts}
+        self._pre_step = None
+        if run_input.LES and run_input.SGS_model == 3:
+            from ..ops.les_filter import build_les_filter
+            svv = {ct: jnp.asarray(build_les_filter(
+                ops_by_ct[ct], run_input.filter_type,
+                run_input.filter_ratio), dtype=dtype) for ct in cts}
+            self._pre_step = lambda ut: tuple(
+                jnp.einsum("ku,euf->ekf", svv[ct], u)
+                for ct, u in zip(cts, ut))
+        self._step = make_step_fn(self.residual_fn, run_input.adv_type,
+                                  post_stage=post_stage)
         self.n_stages = N_STAGES[run_input.adv_type]
 
         self.u = tuple(
@@ -298,6 +366,8 @@ class MixedSolver:
         def run_chunk(state, dt, n_steps):
             def body(carry, _):
                 u, r = carry
+                if self._pre_step is not None:
+                    u = self._pre_step(u)
                 return self._step(u, r, dt), None
             state, _ = jax.lax.scan(body, state, None, length=n_steps)
             return state

@@ -115,3 +115,25 @@ def test_mixed_vtu_output(tmp_path):
     assert out.endswith(".pvtu")
     txt = open(out).read()
     assert txt.count("<Piece") == 2      # one piece per element type
+
+
+def test_mixed_les_over_int_shock_capture():
+    """LES (WALE), de-aliasing, and shock capture all run on the mixed
+    mesh (previously gated)."""
+    p = vortex_input(order=3, viscous=1)
+    p.LES, p.SGS_model, p.C_s = 1, 1, 0.5
+    p.filter_ratio = 2.0
+    p.over_int, p.over_int_order = 1, 4
+    p.shock_cap, p.shock_det = 1, 0
+    p.s0, p.expf_fac, p.expf_order = -6.0, 4.0, 4
+    mesh = periodic_mixed_mesh_2d(4, 4, -10, 10, -10, 10)
+    s = MixedSolver(p, mesh)
+    assert s.sensor_fns is not None
+    s.run(20, dt=5e-4)
+    for u in s.u:
+        assert np.isfinite(np.asarray(u)).all()
+    # similarity SGS stays gated with a precise message
+    p2 = vortex_input(order=2, viscous=1)
+    p2.LES, p2.SGS_model = 1, 4
+    with pytest.raises(NotImplementedError, match="similarity"):
+        MixedSolver(p2, mesh)
