@@ -173,6 +173,10 @@ class RunInput:
     patch_x: float = 0.0
     x_shock_ic: float = 0.0
     perturb_ic: int = 0
+    # ic_form=6 polynomial velocity coefficients (ref:src/input.cpp:313-325)
+    x_coeffs: list[float] = field(default_factory=list)
+    y_coeffs: list[float] = field(default_factory=list)
+    z_coeffs: list[float] = field(default_factory=list)
     forcing: int = 0
     # channel/hill body-force geometry; defaults are the reference's
     # hard-coded HIOCFD3 C3.4 periodic-hill values (ref:src/eles.cpp:5390-5397)
@@ -421,6 +425,10 @@ class RunInput:
             p.body_force_mdot0 = g("body_force_mdot0", float, 9.162)
             p.body_force_type = g("body_force_type", int, 0)
         p.perturb_ic = g("perturb_ic", int, 0)
+        if p.ic_form == 6:
+            p.x_coeffs = [float(x) for x in d.get_vector("x_coeffs")]
+            p.y_coeffs = [float(x) for x in d.get_vector("y_coeffs")]
+            p.z_coeffs = [float(x) for x in d.get_vector("z_coeffs")]
 
         if setup:
             p.setup_params()

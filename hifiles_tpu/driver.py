@@ -60,9 +60,20 @@ def main(argv=None):
     print(f"mesh: {mesh.n_cells} cells, {mesh.n_verts} vertices, "
           f"boundaries {mesh.bc_names}")
 
-    solver = Solver(p, mesh, dtype=jnp.float64 if f64 else jnp.float32)
+    if np.unique(mesh.ctype).size > 1:
+        from .solver.multiblock import MixedSolver
+        solver = MixedSolver(p, mesh,
+                             dtype=jnp.float64 if f64 else jnp.float32)
+        dof = sum(solver.blocks[ct].n_eles * solver.blocks[ct].ops.n_upts
+                  for ct in solver.cts)
+        if p.restart_flag or 0 < p.restart_dump_freq < 2**31 - 1:
+            raise NotImplementedError(
+                "mixed-mesh restart files not implemented yet")
+    else:
+        solver = Solver(p, mesh, dtype=jnp.float64 if f64 else jnp.float32)
+        dof = solver.block.n_eles * solver.ops.n_upts
     print(f"solver: order {p.order}, {solver.n_fields} fields, "
-          f"{solver.block.n_eles * solver.ops.n_upts} DOF/field")
+          f"{dof} DOF/field")
 
     if p.restart_flag:
         path = restart_filename(outdir, p.restart_iter)
@@ -115,6 +126,12 @@ def main(argv=None):
                 write_force_file(solver, outdir, i)
                 print(f"         force: "
                       + " ".join(f"{x:.6e}" for x in row["force"]))
+        if (p.calc_force and 0 < p.monitor_cp_freq < 2**31 - 1
+                and i % p.monitor_cp_freq == 0):
+            # cp-distribution dumps at their own cadence
+            # (ref:src/HiFiLES.cpp monitor_cp_freq)
+            from .io.forces import write_force_file
+            write_force_file(solver, outdir, i)
         if probes is not None and getattr(p, "probe_freq", 0) \
                 and i % p.probe_freq == 0:
             probes.append(solver, i)
@@ -139,7 +156,7 @@ def main(argv=None):
                 write_restart_ascii(outdir, solver, step=i)
             else:
                 write_restart(outdir, solver, step=i)
-            if solver.turb_inlet is not None \
+            if getattr(solver, "turb_inlet", None) is not None \
                     and solver.turb_inlet.inlet_type == 2:
                 from .io.restart import write_sem_restart
                 write_sem_restart(outdir, i, solver.turb_inlet,

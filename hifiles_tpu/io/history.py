@@ -16,6 +16,15 @@ def integral_quantities(solver, names: list[str]) -> dict[str, float]:
     (ref:src/eles.cpp:5545-5616).  Integrated at solution points with the
     quadrature weights (the reference integrates at volume cubature
     points; identical for Gauss solution points)."""
+    if hasattr(solver, "cts"):      # MixedSolver: accumulate per block
+        from ..io.vtu import _MixedBlockView
+        out = {n: 0.0 for n in names}
+        for idx, ct in enumerate(solver.cts):
+            sub = integral_quantities(_MixedBlockView(solver, ct, idx),
+                                      names)
+            for n in names:
+                out[n] += sub[n]
+        return out
     p = solver.p
     nd = solver.n_dims
     u = np.asarray(solver.u, dtype=np.float64)

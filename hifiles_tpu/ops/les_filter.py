@@ -93,8 +93,10 @@ def build_les_filter(ops: ElementOps, filter_type: int,
         for _ in range(ops.n_dims - 1):
             F = np.kron(f1, F)
         return F
-    if ops.ele_type == TRI:
-        # modal Gaussian in Dubiner space (ref:src/eles_tris.cpp:786+)
+    if ops.vandermonde is not None:
+        # modal Gaussian in the (Dubiner / hybrid) modal space — the same
+        # SD3D form the reference uses for tris and tets
+        # (ref:src/eles_tris.cpp:786+, ref:src/eles_tets.cpp:666-700)
         N = ops.n_upts
         sigma = np.exp(-(2.0 * np.arange(N) / N) ** 2 / 48.0)
         return ops.vandermonde @ (sigma[:, None] * ops.inv_vandermonde)

@@ -131,6 +131,34 @@ def initial_condition(run_input, pos: np.ndarray, n_fields: int) -> np.ndarray:
         u[..., 0] = eval_sphere_wave(pos, p_in.wave_speed, 0.0)
     elif p_in.ic_form == 5:
         u[..., 0] = p_in.rho_c_ic
+    elif p_in.ic_form == 6:
+        # constant rho/p, polynomial velocity profile (the reference marks
+        # this path deprecated but keeps it, ref:src/eles.cpp:337-348,
+        # ref:src/funcs.cpp:1926-1965 eval_poly_ic; the periodic-hill hack
+        # zeroing velocity below y=1 is reproduced)
+        def poly(coeffs):
+            c = np.zeros(13)
+            c[:len(coeffs)] = coeffs
+            v = (c[0] + c[1] * pos[..., 0] + c[2] * pos[..., 0]**2
+                 + c[3] * pos[..., 0]**3 + c[4] * pos[..., 0]**4
+                 + c[5] * pos[..., 1] + c[6] * pos[..., 1]**2
+                 + c[7] * pos[..., 1]**3 + c[8] * pos[..., 1]**4)
+            if n_dims == 3:
+                v += (c[9] * pos[..., 2] + c[10] * pos[..., 2]**2
+                      + c[11] * pos[..., 2]**3 + c[12] * pos[..., 2]**4)
+            return v
+        vel = np.zeros(pos.shape[:-1] + (n_dims,))
+        vel[..., 0] = poly(p_in.x_coeffs)
+        vel[..., 1] = poly(p_in.y_coeffs)
+        if n_dims == 3:
+            vel[..., 2] = poly(p_in.z_coeffs)
+        vel[pos[..., 1] < 1.0] = 0.0
+        rho = np.full(pos.shape[:-1], p_in.rho_c_ic)
+        # note: the reference stores the polynomials as MOMENTA (ics(1..))
+        u[..., 0] = rho
+        u[..., 1:1 + n_dims] = vel
+        u[..., n_dims + 1] = (p_in.p_c_ic / (gamma - 1.0)
+                              + 0.5 * np.sum(vel**2, axis=-1) / rho)
     elif p_in.ic_form == 7:
         # Taylor-Green vortex (ref:src/eles.cpp:348-371)
         V0 = p_in.uvw_c_ic / p_in.uvw_ref
