@@ -169,6 +169,18 @@ class BlockArrays:
                 self.perm_onehot = f(P)
                 self.src_face = i(src_face)
                 self.tdA_b = f(block.tdA_fpts.reshape(Bk, nfp))
+                # per-side face geometry for gather-then-transform
+                # (int_slot_r rows are already in partner order)
+                self.jginv_int_l = f(block.jginv_fpts[block.int_slot_l])
+                self.jginv_int_r = f(block.jginv_fpts[block.int_slot_r])
+                self.inv_detjac_int_l = f(
+                    1.0 / block.detjac_fpts[block.int_slot_l])
+                self.inv_detjac_int_r = f(
+                    1.0 / block.detjac_fpts[block.int_slot_r])
+                if Fb:
+                    self.jginv_bdy = f(block.jginv_fpts[block.bdy_slot])
+                    self.inv_detjac_bdy = f(
+                        1.0 / block.detjac_fpts[block.bdy_slot])
         else:
             self.uniform = False
 
@@ -276,14 +288,18 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
                 [opmat(B.opp_5_stack[g], delta, dtype, prec)
                  for g in range(d)], axis=-1)
             grad_u = adjT_apply(B.jginv_upts, tgrad, B.inv_detjac_upts)
-            tgrad_f = opmat_md(B.opp_0, tgrad, dtype, prec).reshape(
-                E * Pf, nF, d)
-            grad_f_flat = adjT_apply(B.jginv_fpts, tgrad_f,
-                                     B.inv_detjac_fpts)
-            gb = grad_f_flat.reshape(Bk, nfp * nF * d)
-            g_l = gb[B.fidx_l].reshape(Fi, nfp, nF, d)
-            g_r = perm_apply(gb[B.fidx_r].reshape(Fi, nfp, nF * d)
-                             ).reshape(Fi, nfp, nF, d)
+            # gather the TRANSFORMED gradient's face rows first and apply
+            # the adjugate after, with per-side pre-gathered jginv: the
+            # (S, F, d) physical gradient otherwise forces XLA into a
+            # layout-change copy + reshape pair costing ~7 ms/stage
+            # (half the residual) on TPU v5e
+            tb = opmat(B.opp_0, tgrad.reshape(E, U, nF * d), dtype,
+                       prec).reshape(Bk, nfp * nF * d)
+            tg_l = tb[B.fidx_l].reshape(Fi, nfp, nF, d)
+            g_l = adjT_apply(B.jginv_int_l, tg_l, B.inv_detjac_int_l)
+            tg_r = perm_apply(tb[B.fidx_r].reshape(Fi, nfp, nF * d)
+                              ).reshape(Fi, nfp, nF, d)
+            g_r = adjT_apply(B.jginv_int_r, tg_r, B.inv_detjac_int_r)
 
         if cfg.over_int:
             u_over = opmat(B.opp_over, u, dtype, prec)
@@ -313,9 +329,11 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
         if has_bdy:
             fn_bdy = bc_fns.inv_common_flux(u_bl, norm_b, fluc=fluc, ramp=ramp)
             if cfg.viscous:
+                g_b = adjT_apply(B.jginv_bdy,
+                                 tb[B.bidx].reshape(Fb, nfp, nF, d),
+                                 B.inv_detjac_bdy)
                 fn_bdy = fn_bdy + bc_fns.visc_common_flux(
-                    u_bl, gb[B.bidx].reshape(Fb, nfp, nF, d), norm_b, u,
-                    fluc=fluc, ramp=ramp)
+                    u_bl, g_b, norm_b, u, fluc=fluc, ramp=ramp)
             fn_rows.append(fn_bdy.reshape(Fb, nfp * nF))
         fn_cat = jnp.concatenate(fn_rows)
         norm_tconf = (fn_cat[B.src_face].reshape(Bk, nfp, nF)
@@ -485,3 +503,226 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
         return rhs
 
     return residual_face if use_face_path else residual
+
+
+def make_residual_fm(block: ElementBlock, cfg: ResidualConfig, dtype,
+                     bc_fns=None):
+    """Field-major residual: state (E, F, U) with the solution-point axis
+    minor.
+
+    The (E, U, F) layout keeps F=5 on the minor axis, which the TPU tiles
+    to (8, 128) — a 25x padded HBM footprint that showed up in profiles as
+    layout-change copies eating half of every stage.  Here every persistent
+    volume tensor is (E, F, U) (minor U ≈ 125, a full lane tile), volume
+    GEMMs are dot_generals contracting the minor axis, and the only
+    AoS data are the small per-face row blocks the face stage always needed.
+
+    Returns residual_fm(u_fm, fluc=None, ramp=None) -> rhs (E, F, U), or
+    None when this configuration isn't supported (LES/RANS/over-int/
+    non-fused fall back to the face/slot paths)."""
+    B = BlockArrays(block, dtype)
+    if not B.uniform or cfg.les or cfg.rans or cfg.over_int or not cfg.fused:
+        return None
+    d = B.n_dims
+    E, U, Pf = B.n_eles, B.n_upts, B.n_fpts
+    nF = cfg.n_fields
+    if nF != d + 2 and cfg.equation == 0:
+        return None                      # SA field handled by face path
+    Fi, Fb = B.n_int_faces, B.n_bdy_faces
+    nfp, nf, Bk = B.nfp, B.nfaces, B.n_blocks
+    has_bdy = block.bdy_slot.size > 0
+    prec = jax.lax.Precision[cfg.precision.upper()]
+
+    def dg(x, A):
+        """(E, C, U') contract minor with A (K, U') -> (E, C, K)."""
+        return jax.lax.dot_general(
+            x, A, (((2,), (1,)), ((), ())), precision=prec,
+            preferred_element_type=dtype)
+
+    f32 = lambda a: jnp.asarray(a, dtype=dtype)
+    # jginv planes (E, 1, U) for broadcast against (E, F, U)
+    jg_u = [[f32(block.jginv_upts[:, :, l, m])[:, None, :]
+             for m in range(d)] for l in range(d)]
+    inv_det_u = f32(1.0 / block.detjac_upts)[:, None, :]
+
+    def to_rows(x, C):
+        """(E, C, Pf) -> (Bk, nfp*C) face rows, point-major within a row."""
+        return jnp.transpose(x.reshape(E, C, nf, nfp),
+                             (0, 2, 3, 1)).reshape(Bk, nfp * C)
+
+    def from_rows(r, C):
+        """(Bk, nfp*C) -> (E, C, Pf)."""
+        return jnp.transpose(r.reshape(E, nf, nfp, C),
+                             (0, 3, 1, 2)).reshape(E, C, Pf)
+
+    def perm_apply(x):
+        return jnp.einsum("fjk,fkw->fjw", B.perm_onehot, x,
+                          preferred_element_type=dtype, precision=prec)
+
+    def perm_T_apply(x):
+        return jnp.einsum("fjk,fjw->fkw", B.perm_onehot, x,
+                          preferred_element_type=dtype, precision=prec)
+
+    # --- field-plane physics ------------------------------------------
+    gamma, mu0, Pr = cfg.gamma, cfg.mu_inf, cfg.prandtl
+
+    def planes_flux(u):
+        """Per-dim inviscid flux planes: [d] of (E, F, U)
+        (ref:src/flux.cpp:33-125)."""
+        if cfg.equation == 1:
+            return [u * cfg.wave_speed[m] for m in range(d)]
+        rho = u[:, 0]
+        m_ = [u[:, 1 + i] for i in range(d)]
+        en = u[:, d + 1]
+        inv_rho = 1.0 / rho
+        v = [mi * inv_rho for mi in m_]
+        q2 = sum(vi * vi for vi in v)
+        p = (gamma - 1.0) * (en - 0.5 * rho * q2)
+        hp = en + p
+        out = []
+        for mm in range(d):
+            rows = [m_[mm]]
+            for i in range(d):
+                r = m_[i] * v[mm]
+                if i == mm:
+                    r = r + p
+                rows.append(r)
+            rows.append(hp * v[mm])
+            out.append(jnp.stack(rows, axis=1))
+        return out
+
+    def planes_visc_flux(u, gr):
+        """Viscous flux planes from gradient planes gr[l] (E, F, U)
+        (same algebra as models/viscous.py; fix_vis=1 or Sutherland)."""
+        if cfg.equation == 1:
+            return [-cfg.diff_coeff * gr[m] for m in range(d)]
+        rho = u[:, 0]
+        m_ = [u[:, 1 + i] for i in range(d)]
+        en = u[:, d + 1]
+        inv_rho = 1.0 / rho
+        v = [mi * inv_rho for mi in m_]
+        q2 = sum(vi * vi for vi in v)
+        inte = en * inv_rho - 0.5 * q2
+        if cfg.fix_vis:
+            mu = mu0
+        else:
+            rt_ratio = (gamma - 1.0) * inte / cfg.rt_inf
+            mu = (mu0 * rt_ratio ** 1.5 * (1.0 + cfg.c_sth)
+                  / (rt_ratio + cfg.c_sth))
+        gr_rho = [gr[l][:, 0] for l in range(d)]
+        gr_m = [[gr[l][:, 1 + i] for l in range(d)] for i in range(d)]
+        gr_e = [gr[l][:, d + 1] for l in range(d)]
+        dv = [[(gr_m[i][l] - v[i] * gr_rho[l]) * inv_rho for l in range(d)]
+              for i in range(d)]
+        dint = [(gr_e[l] - (0.5 * q2 + inte) * gr_rho[l]) * inv_rho
+                - sum(v[i] * dv[i][l] for i in range(d)) for l in range(d)]
+        div = sum(dv[i][i] for i in range(d))
+        tau = [[mu * (dv[i][l] + dv[l][i]) for l in range(d)]
+               for i in range(d)]
+        for i in range(d):
+            tau[i][i] = tau[i][i] - 2.0 / 3.0 * mu * div
+        kth = mu * gamma / Pr
+        out = []
+        zero = jnp.zeros_like(rho)
+        for mm in range(d):
+            rows = [zero]
+            for i in range(d):
+                rows.append(-tau[i][mm])
+            rows.append(-(sum(v[i] * tau[i][mm] for i in range(d))
+                          + kth * dint[mm]))
+            out.append(jnp.stack(rows, axis=1))
+        return out
+
+    def common_inv_flux(u_l, u_r, norm):
+        if cfg.equation == 0:
+            return riemann.solve(cfg.riemann_solve_type, u_l, u_r, norm,
+                                 gamma=cfg.gamma, n_dims=d)
+        ws = jnp.asarray(cfg.wave_speed[:d], dtype=u_l.dtype)
+        return riemann.lax_friedrichs_flux(u_l, u_r, norm, ws, cfg.lambda_lf)
+
+    def face_visc_flux(u, grad):
+        """AoS viscous flux at face points (small arrays)."""
+        if cfg.equation == 0:
+            return viscous_flux(
+                u, grad, gamma=cfg.gamma, prandtl=cfg.prandtl,
+                mu_inf=cfg.mu_inf, rt_inf=cfg.rt_inf, c_sth=cfg.c_sth,
+                fix_vis=cfg.fix_vis, n_dims=d, rans=False,
+                prandtl_t=cfg.prandtl_t)
+        return adv_diff_viscous_flux(grad, cfg.diff_coeff)
+
+    def residual_fm(u, fluc=None, ramp=None):
+        # 1. extrapolate + face rows
+        disu_f = dg(u, B.opp_0)               # (E, F, Pf)
+        fb = to_rows(disu_f, nF)              # (Bk, nfp*F)
+        u_l = fb[B.fidx_l].reshape(Fi, nfp, nF)
+        u_r = perm_apply(fb[B.fidx_r].reshape(Fi, nfp, nF))
+        norm_l = B.norm_int_l
+        if has_bdy:
+            u_bl = fb[B.bidx].reshape(Fb, nfp, nF)
+            norm_b = B.norm_bdy
+
+        if cfg.viscous:
+            # LDG common solution & per-slot delta (face rows)
+            u_c_int = riemann.ldg_common_solution(u_l, u_r, norm_l,
+                                                  cfg.ldg_beta)
+            rows = [u_c_int.reshape(Fi, nfp * nF),
+                    perm_T_apply(u_c_int).reshape(Fi, nfp * nF)]
+            if has_bdy:
+                u_c_bdy = bc_fns.ldg_solution(u_bl, norm_b, fluc=fluc,
+                                              ramp=ramp)
+                rows.append(u_c_bdy.reshape(Fb, nfp * nF))
+            delta_rows = jnp.concatenate(rows)[B.src_face] - fb
+            delta = from_rows(delta_rows, nF)          # (E, F, Pf)
+            # corrected transformed gradient planes
+            tg = [dg(u, B.opp_2_stack[g]) + dg(delta, B.opp_5_stack[g])
+                  for g in range(d)]
+            # physical gradient planes at upts
+            gr = [sum(jg_u[m][l] * tg[m] for m in range(d)) * inv_det_u
+                  for l in range(d)]
+            # transformed gradient to face rows (order (F, d) per point)
+            tgf = dg(jnp.concatenate(tg, axis=1), B.opp_0)  # (E, d*F, Pf)
+            tgfr = jnp.transpose(
+                tgf.reshape(E, d, nF, nf, nfp),
+                (0, 3, 4, 2, 1)).reshape(Bk, nfp * nF * d)
+            tg_l = tgfr[B.fidx_l].reshape(Fi, nfp, nF, d)
+            g_l = adjT_apply(B.jginv_int_l, tg_l, B.inv_detjac_int_l)
+            tg_r = perm_apply(tgfr[B.fidx_r].reshape(Fi, nfp, nF * d)
+                              ).reshape(Fi, nfp, nF, d)
+            g_r = adjT_apply(B.jginv_int_r, tg_r, B.inv_detjac_int_r)
+
+        # 2. volume transformed flux planes -> (E, F, d*U)
+        fl = planes_flux(u)
+        if cfg.viscous:
+            fv = planes_visc_flux(u, gr)
+            fl = [fl[m] + fv[m] for m in range(d)]
+        tdisf = jnp.concatenate(
+            [sum(jg_u[l][m] * fl[m] for m in range(d)) for l in range(d)],
+            axis=2)                                     # (E, F, d*U)
+
+        # 3. common interface fluxes (AoS face rows)
+        fn_int = common_inv_flux(u_l, u_r, norm_l)
+        if cfg.viscous:
+            fn_int = fn_int + riemann.ldg_common_flux(
+                u_l, u_r, face_visc_flux(u_l, g_l), face_visc_flux(u_r, g_r),
+                norm_l, cfg.ldg_tau, cfg.ldg_beta)
+        fn_rows = [fn_int.reshape(Fi, nfp * nF),
+                   -perm_T_apply(fn_int).reshape(Fi, nfp * nF)]
+        if has_bdy:
+            fn_bdy = bc_fns.inv_common_flux(u_bl, norm_b, fluc=fluc,
+                                            ramp=ramp)
+            if cfg.viscous:
+                g_b = adjT_apply(B.jginv_bdy,
+                                 tgfr[B.bidx].reshape(Fb, nfp, nF, d),
+                                 B.inv_detjac_bdy)
+                fn_bdy = fn_bdy + bc_fns.visc_common_flux(
+                    u_bl, g_b, norm_b, None, fluc=fluc, ramp=ramp)
+            fn_rows.append(fn_bdy.reshape(Fb, nfp * nF))
+        ntc_rows = (jnp.concatenate(fn_rows)[B.src_face].reshape(Bk, nfp, nF)
+                    * B.tdA_b[..., None]).reshape(Bk, nfp * nF)
+        ntc = from_rows(ntc_rows, nF)                   # (E, F, Pf)
+
+        # 4. merged divergence GEMM on the minor axis
+        div = dg(jnp.concatenate([tdisf, ntc], axis=2), B.opp_div_all)
+        return -div * inv_det_u
+
+    return residual_fm

@@ -135,6 +135,18 @@ class Solver:
 
         self.residual_fn = make_residual_fn(self.block, self.rcfg, dtype,
                                             bc_fns)
+        # field-major (E, F, U) residual: numerically identical (1e-11)
+        # but measured SLOWER than the face path on TPU v5e (254x vs 295x
+        # baseline on the TGV bench — its explicit face-row transposes cost
+        # more than the layout copies it removes), so it is opt-in via
+        # HIFILES_FM=1 for layout experiments
+        self.residual_fm = None
+        import os as _os
+        if _os.environ.get("HIFILES_FM") and not run_input.shock_cap \
+                and not run_input.wall_model:
+            from .residual import make_residual_fm
+            self.residual_fm = make_residual_fm(self.block, self.rcfg,
+                                                dtype, bc_fns)
 
         # turbulent inlet (white noise / SEM), updated once per step at
         # stage 0 (ref:src/solver.cpp:111-118)
@@ -245,6 +257,24 @@ class Solver:
         p = self.p
         dtype = self.dtype
         if self._simple:
+            if self.residual_fm is not None and pre is None:
+                from .step import make_step_fn as _mk
+                step_fm = _mk(self.residual_fm, p.adv_type)
+
+                def run_chunk(state, dt, n_steps):
+                    # transpose to field-major once per chunk; the whole
+                    # scan runs on (E, F, U) state
+                    ufm = jnp.transpose(state[0], (0, 2, 1))
+                    rfm = jnp.transpose(state[1], (0, 2, 1))
+
+                    def body(carry, _):
+                        return step_fm(carry[0], carry[1], dt), None
+                    (ufm, rfm), _ = jax.lax.scan(body, (ufm, rfm), None,
+                                                 length=n_steps)
+                    return (jnp.transpose(ufm, (0, 2, 1)),
+                            jnp.transpose(rfm, (0, 2, 1)))
+                return run_chunk
+
             def run_chunk(state, dt, n_steps):
                 def body(carry, _):
                     u, r = carry[0], carry[1]

@@ -94,3 +94,18 @@ def test_prism_falls_back_to_slot_path():
     assert s.residual_fn.__name__ == "residual"
     r = np.asarray(s.residual_fn(s.u))
     assert np.isfinite(r).all()
+
+
+def test_field_major_residual_matches(monkeypatch):
+    """The opt-in field-major (E,F,U) residual is numerically identical to
+    the face path (kept for layout experiments; measured slower on v5e)."""
+    import jax.numpy as jnp
+    monkeypatch.setenv("HIFILES_FM", "1")
+    p = tgv_input()
+    s = Solver(p, periodic_hex_mesh(3, 3, 3))
+    assert s.residual_fm is not None
+    r_aos = np.asarray(s.residual_fn(s.u))
+    ufm = jnp.transpose(s.u, (0, 2, 1))
+    r_fm = np.transpose(np.asarray(s.residual_fm(ufm)), (0, 2, 1))
+    scale = np.abs(r_aos).max()
+    assert np.abs(r_aos - r_fm).max() < 1e-10 * max(scale, 1.0)
