@@ -66,9 +66,6 @@ def main(argv=None):
                              dtype=jnp.float64 if f64 else jnp.float32)
         dof = sum(solver.blocks[ct].n_eles * solver.blocks[ct].ops.n_upts
                   for ct in solver.cts)
-        if p.restart_flag or 0 < p.restart_dump_freq < 2**31 - 1:
-            raise NotImplementedError(
-                "mixed-mesh restart files not implemented yet")
     else:
         solver = Solver(p, mesh, dtype=jnp.float64 if f64 else jnp.float32)
         dof = solver.block.n_eles * solver.ops.n_upts

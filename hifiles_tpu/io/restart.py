@@ -27,30 +27,53 @@ def restart_filename(directory: str, step: int) -> str:
     return os.path.join(directory, f"Rest_{step:09d}.h5")
 
 
+def _type_info(ops, order):
+    if ops.ele_type in (QUAD, HEX):
+        return ops.loc_upts[:order + 1, 0]
+    return ops.loc_upts.ravel()
+
+
 def write_restart(path: str, solver, step: int | None = None) -> str:
-    """Write the solver state; returns the file path."""
+    """Write the solver state; returns the file path.
+
+    Mixed meshes write one dataset sized by the largest present type's
+    n_upts; each type hyperslab-writes its own columns by global cell id
+    (exactly the reference's layout, ref:src/output.cpp:1841-1875)."""
     import h5py
 
     if step is not None:
         path = restart_filename(path, step)
-    u = np.asarray(solver.u, dtype=np.float64)      # (E, U, F)
-    E, U, F = u.shape
     icg = solver.mesh.ic2icg
     n_global = int(icg.max()) + 1
 
     with h5py.File(path, "w") as f:
         f.attrs["nd_time"] = np.float64(solver.time)
         f.attrs["order"] = np.int32(solver.p.order)
+        if hasattr(solver, "cts"):           # MixedSolver
+            F = solver.n_fields
+            U_max = max(solver.blocks[ct].ops.n_upts for ct in solver.cts)
+            dset = f.create_dataset("data", (F, n_global, U_max),
+                                    dtype=np.float64)
+            for ct, u in zip(solver.cts, solver.u):
+                ub = np.asarray(u, dtype=np.float64)
+                gids = icg[solver.mt.sels[ct]]
+                dset[:, gids, :ub.shape[1]] = ub.transpose(2, 0, 1)
+                f.create_dataset(
+                    TYPE_DSET[ct],
+                    data=np.asarray(_type_info(solver.blocks[ct].ops,
+                                               solver.p.order),
+                                    dtype=np.float64))
+            return path
+        u = np.asarray(solver.u, dtype=np.float64)      # (E, U, F)
+        E, U, F = u.shape
         dset = f.create_dataset("data", (F, n_global, U), dtype=np.float64)
         # data[k, global_cell, upt] (ref write_restart_data_hdf5)
         dset[:, icg, :] = u.transpose(2, 0, 1)
         ct = solver.ops.ele_type
-        if ct in (QUAD, HEX):
-            info = solver.ops.loc_upts[:solver.p.order + 1, 0]
-        else:
-            info = solver.ops.loc_upts.ravel()
-        f.create_dataset(TYPE_DSET[ct], data=np.asarray(info,
-                                                        dtype=np.float64))
+        f.create_dataset(
+            TYPE_DSET[ct],
+            data=np.asarray(_type_info(solver.ops, solver.p.order),
+                            dtype=np.float64))
     return path
 
 
@@ -206,6 +229,19 @@ def read_restart(path: str, solver) -> float:
         data = f["data"][...]                       # (F, n_global, U_rest)
 
     icg = solver.mesh.ic2icg
+    if hasattr(solver, "cts"):                      # MixedSolver
+        if order_rest != solver.p.order:
+            raise NotImplementedError(
+                "cross-order restart on mixed meshes")
+        us = []
+        for ct in solver.cts:
+            Ub = solver.blocks[ct].ops.n_upts
+            gids = icg[solver.mt.sels[ct]]
+            us.append(jnp.asarray(
+                data[:, gids, :Ub].transpose(1, 2, 0), dtype=solver.dtype))
+        solver.u = tuple(us)
+        solver.time = time
+        return time
     u = data[:, icg, :].transpose(1, 2, 0)          # (E, U_rest, F)
 
     if order_rest != solver.p.order:

@@ -137,3 +137,24 @@ def test_mixed_les_over_int_shock_capture():
     p2.LES, p2.SGS_model = 1, 4
     with pytest.raises(NotImplementedError, match="similarity"):
         MixedSolver(p2, mesh)
+
+
+def test_mixed_restart_roundtrip(tmp_path):
+    """Mixed HDF5 restart: one dataset sized by the largest type, per-type
+    hyperslabs by global cell id (ref:src/output.cpp:1841-1875)."""
+    from hifiles_tpu.io.restart import read_restart, write_restart
+    p = vortex_input(order=2)
+    mesh = periodic_mixed_mesh_2d(4, 4, -10, 10, -10, 10)
+    s = MixedSolver(p, mesh)
+    s.run(10, dt=5e-4)
+    refs = [np.asarray(u).copy() for u in s.u]
+    path = write_restart(str(tmp_path), s, step=10)
+
+    s2 = MixedSolver(vortex_input(order=2), mesh)
+    t = read_restart(path, s2)
+    assert abs(t - s.time) < 1e-15
+    for a, b in zip(s2.u, refs):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-14)
+    s2.run(5, dt=5e-4)
+    for u in s2.u:
+        assert np.isfinite(np.asarray(u)).all()
