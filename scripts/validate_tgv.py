@@ -1,0 +1,124 @@
+"""TGV Re=1600 validation vs DNS data (SURVEY §4c).
+
+Runs the reference's Taylor-Green case (16^3 hexes, p=4 by default — an
+~80^3-resolution run) to t = 14 t_c, records the volume-averaged kinetic
+energy, and compares the dissipation rate -d(TKE)/dt against the DNS
+reference curve shipped with the reference
+(testcases/navier-stokes/Taylor_Green_vortex/data/Beck-TGV-dissrate-DNS2-
+1600.dat; normalization follows the case's plotstats.py: TKE integral /
+(rho0 V0^2 vol), vol = 8 pi^3).
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/validate_tgv.py
+Writes validation/tgv_re1600.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+DNS = ("/root/reference/testcases/navier-stokes/Taylor_Green_vortex/data/"
+       "Beck-TGV-dissrate-DNS2-1600.dat")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from hifiles_tpu.config.params import RunInput
+    from hifiles_tpu.io.history import integral_quantities
+    from hifiles_tpu.mesh.generate import periodic_hex_mesh
+    from hifiles_tpu.solver.solver import Solver
+    from hifiles_tpu.utils import enable_persistent_cache
+    enable_persistent_cache()
+
+    order = int(os.environ.get("TGV_ORDER", 4))
+    n1 = int(os.environ.get("TGV_MESH", 16))
+    t_end = float(os.environ.get("TGV_TEND", 14.0))
+
+    # the shipped TGV deck (ref testcases/.../input_TGV_SD_hex)
+    p = RunInput()
+    p.equation = 0
+    p.viscous = 1
+    p.order = order
+    p.ic_form = 7
+    p.adv_type = 3
+    p.riemann_solve_type = 3
+    p.dt_type = 0
+    p.vcjh_scheme_hexa = 1
+    p.dx_cyclic = p.dy_cyclic = p.dz_cyclic = 2 * np.pi
+    p.gamma, p.R_gas, p.fix_vis = 1.4, 286.9, 1
+    p.prandtl = 0.72
+    p.Mach_free_stream, p.T_free_stream = 0.1, 300.0
+    p.rho_free_stream = 0.0008421095852102401
+    p.mu_gas = 1.827e-5
+    p.L_free_stream = 1.0
+    p.Mach_c_ic, p.T_c_ic, p.rho_c_ic = 0.1, 300.0, 0.0008421095852102401
+    p.dt = 1.440389e-5
+    p.setup_params()
+
+    s = Solver(p, periodic_hex_mesh(n1, n1, n1), dtype=jnp.float32)
+    dt = p.dt
+    chunk = max(1, int(round(0.05 / dt)))      # sample every 0.05 t_c
+    n_chunks = int(round(t_end / (chunk * dt)))
+    vol = 8.0 * np.pi ** 3
+
+    ts, tkes = [0.0], []
+    tkes.append(integral_quantities(s, ["kineticenergy"])["kineticenergy"]
+                / vol)
+    t0 = time.time()
+    for i in range(n_chunks):
+        s.run(chunk, dt=dt)
+        ts.append(s.time)
+        tkes.append(integral_quantities(
+            s, ["kineticenergy"])["kineticenergy"] / vol)
+        if (i + 1) % 40 == 0:
+            print(f"t = {s.time:6.2f}  tke = {tkes[-1]:.6f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+    ts = np.array(ts)
+    tkes = np.array(tkes)
+
+    # dissipation rate -d(tke)/dt (plotstats.py TGV_dissrate)
+    tm = 0.5 * (ts[1:] + ts[:-1])
+    diss = -np.diff(tkes) / np.diff(ts)
+
+    dns = np.loadtxt(DNS)
+    i_pk = int(np.argmax(diss))
+    dns_pk = int(np.argmax(dns[:, 1]))
+    # DNS curve interpolated onto our times over the resolved range
+    mask = (tm >= dns[0, 0]) & (tm <= min(dns[-1, 0], t_end))
+    dns_i = np.interp(tm[mask], dns[:, 0], dns[:, 1])
+    rms = float(np.sqrt(np.mean((diss[mask] - dns_i) ** 2)))
+    out = {
+        "order": order, "mesh": f"{n1}^3", "t_end": float(ts[-1]),
+        "tke0": float(tkes[0]),
+        "peak_dissipation": float(diss[i_pk]),
+        "peak_time": float(tm[i_pk]),
+        "dns_peak_dissipation": float(dns[dns_pk, 1]),
+        "dns_peak_time": float(dns[dns_pk, 0]),
+        "rms_vs_dns": rms,
+        "wall_seconds": time.time() - t0,
+        "t": tm.tolist(), "dissipation": diss.tolist(),
+    }
+    os.makedirs(os.path.join(ROOT, "validation"), exist_ok=True)
+    with open(os.path.join(ROOT, "validation", "tgv_re1600.json"),
+              "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"TKE(0) = {tkes[0]:.5f} (theory ~0.125)")
+    print(f"peak dissipation {out['peak_dissipation']:.5f} at "
+          f"t = {out['peak_time']:.2f}  (DNS {out['dns_peak_dissipation']:.5f}"
+          f" at t = {out['dns_peak_time']:.2f})")
+    print(f"RMS vs DNS over resolved range: {rms:.5f}")
+    ok = (abs(out["peak_time"] - out["dns_peak_time"])
+          <= 0.15 * out["dns_peak_time"]
+          and abs(out["peak_dissipation"] - out["dns_peak_dissipation"])
+          <= 0.2 * out["dns_peak_dissipation"])
+    print("VALIDATION", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
