@@ -80,12 +80,16 @@ def locate_points(mesh, pts: np.ndarray, tol: float = 1e-8):
     ref_out = np.zeros((pts.shape[0], d))
 
     def inside_ref(r):
-        if ct == 1:      # quad
-            return np.all(np.abs(r) <= 1 + 1e-6)
-        if ct == 4:      # hex
-            return np.all(np.abs(r) <= 1 + 1e-6)
-        if ct == 0:      # tri
-            return (r >= -1 - 1e-6).all() and r.sum() <= 1e-6
+        tol_r = 1e-6
+        if ct in (1, 4):     # quad / hex
+            return np.all(np.abs(r) <= 1 + tol_r)
+        if ct == 0:          # tri: r,s >= -1, r+s <= 0
+            return (r >= -1 - tol_r).all() and r.sum() <= tol_r
+        if ct == 2:          # tet: r,s,t >= -1, r+s+t <= -1
+            return (r >= -1 - tol_r).all() and r.sum() <= -1 + tol_r
+        if ct == 3:          # prism: tri in (r,s), |z| <= 1
+            return ((r[:2] >= -1 - tol_r).all()
+                    and r[0] + r[1] <= tol_r and abs(r[2]) <= 1 + tol_r)
         raise NotImplementedError
 
     for ip, x in enumerate(pts):

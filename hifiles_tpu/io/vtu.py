@@ -14,12 +14,14 @@ import os
 
 import numpy as np
 
-from .. import HEX, QUAD, TRI
+from .. import HEX, PRISM, QUAD, TET, TRI
 
 # VTK cell type codes
 VTK_QUAD = 9
 VTK_TRIANGLE = 5
 VTK_HEXAHEDRON = 12
+VTK_TETRA = 10
+VTK_WEDGE = 13
 
 
 def _plot_points(ele_type: int, p_res: int):
@@ -62,6 +64,52 @@ def _plot_points(ele_type: int, p_res: int):
                                  v + n * n, v + n * n + 1,
                                  v + n * n + 1 + n, v + n * n + n])
         return pts, np.array(conn), VTK_HEXAHEDRON
+    if ele_type == TET:
+        # barycentric lattice + standard tet/octahedron decomposition
+        n = p_res
+        pts, idx = [], {}
+        for k in range(n):
+            for j in range(n - k):
+                for i in range(n - k - j):
+                    idx[(i, j, k)] = len(pts)
+                    pts.append((-1 + 2 * i / (n - 1), -1 + 2 * j / (n - 1),
+                                -1 + 2 * k / (n - 1)))
+        conn = []
+
+        def add(*vs):
+            conn.append([idx[v] for v in vs])
+
+        for k in range(n - 1):
+            for j in range(n - 1 - k):
+                for i in range(n - 1 - k - j):
+                    s = i + j + k
+                    add((i, j, k), (i + 1, j, k), (i, j + 1, k),
+                        (i, j, k + 1))
+                    if s <= n - 3:
+                        add((i + 1, j, k), (i, j + 1, k), (i, j, k + 1),
+                            (i + 1, j, k + 1))
+                        add((i + 1, j, k), (i + 1, j + 1, k), (i, j + 1, k),
+                            (i + 1, j, k + 1))
+                        add((i, j + 1, k), (i, j + 1, k + 1), (i, j, k + 1),
+                            (i + 1, j, k + 1))
+                        add((i, j + 1, k), (i + 1, j + 1, k),
+                            (i + 1, j, k + 1), (i, j + 1, k + 1))
+                    if s <= n - 4:
+                        add((i + 1, j + 1, k), (i, j + 1, k + 1),
+                            (i + 1, j, k + 1), (i + 1, j + 1, k + 1))
+        return np.array(pts), np.array(conn), VTK_TETRA
+    if ele_type == PRISM:
+        tri_pts, tri_conn, _ = _plot_points(TRI, p_res)
+        zs = np.linspace(-1.0, 1.0, p_res)
+        npt = tri_pts.shape[0]
+        pts = np.concatenate([
+            np.column_stack([tri_pts, np.full(npt, z)]) for z in zs])
+        conn = []
+        for k in range(p_res - 1):
+            lo, hi = k * npt, (k + 1) * npt
+            for tri in tri_conn:
+                conn.append([lo + v for v in tri] + [hi + v for v in tri])
+        return pts, np.array(conn), VTK_WEDGE
     raise NotImplementedError(f"vtu plot points for ctype {ele_type}")
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .. import HEX, QUAD, TRI
+from .. import HEX, PRISM, QUAD, TET, TRI
 from .basis import tensor_legendre_modes
 from .operators import ElementOps
 
@@ -32,10 +32,10 @@ def build_exp_filter(ops: ElementOps, expf_fac: float, expf_order: int,
             sigma[mask] *= np.exp(-expf_fac
                                   * ((eta[mask] - eta_c) / (1 - eta_c))
                                   ** expf_order)
-    elif ops.ele_type == TRI:
-        from .simplex import tri_modes
-        # decay by total degree (ref:src/eles_tris.cpp:444-462)
-        deg = np.array([i + j for (i, j) in tri_modes(order)])
+    elif ops.ele_type in (TRI, TET, PRISM):
+        # decay by total mode degree (ref:src/eles_tris.cpp:444-462; tets
+        # and prisms follow the same Dubiner-degree rule)
+        deg = _mode_degrees(ops)
         eta = deg / order
         mask = eta > eta_c
         sigma[mask] = np.exp(-expf_fac * ((eta[mask] - eta_c) / (1 - eta_c))
@@ -45,17 +45,30 @@ def build_exp_filter(ops: ElementOps, expf_fac: float, expf_order: int,
     return ops.vandermonde @ (sigma[:, None] * ops.inv_vandermonde)
 
 
+def _mode_degrees(ops: ElementOps) -> np.ndarray:
+    """Total polynomial degree of each modal basis function."""
+    from .simplex import tet_modes, tri_modes
+    order = ops.order
+    if ops.ele_type == TRI:
+        return np.array([i + j for (i, j) in tri_modes(order)])
+    if ops.ele_type == TET:
+        return np.array([i + j + k for (i, j, k) in tet_modes(order)])
+    if ops.ele_type == PRISM:
+        # hybrid basis: tri Dubiner x 1-D Legendre, z mode outer
+        tri_deg = np.array([i + j for (i, j) in tri_modes(order)])
+        n_tri = tri_deg.size
+        return np.concatenate([tri_deg + kz for kz in range(order + 1)])
+    raise NotImplementedError(f"mode degrees for ctype {ops.ele_type}")
+
+
 def persson_top_mode_mask(ops: ElementOps) -> np.ndarray:
     """Modes counted as 'highest order' by the Persson sensor."""
     order = ops.order
     if ops.ele_type in (QUAD, HEX):
         modes = tensor_legendre_modes(order, ops.n_dims)
         return (modes == order).any(axis=1)
-    if ops.ele_type == TRI:
-        from .simplex import tri_modes
-        deg = np.array([i + j for (i, j) in tri_modes(order)])
-        return deg >= order  # last (order+1) modes (ref:src/eles_tris.cpp:475)
-    raise NotImplementedError
+    # simplex/hybrid: top total degree (ref:src/eles_tris.cpp:475)
+    return _mode_degrees(ops) >= order
 
 
 def make_shock_capture_fn(ops: ElementOps, s0: float, expf_fac: float,
@@ -102,8 +115,14 @@ def build_over_int_ops(ops: ElementOps, over_int_order: int):
         loc, w = tri_interior_cubature(min(over_int_order, 7))
         phi = dubiner_2d(loc, ops.order)
         norms = np.ones(ops.n_upts)
+    elif ops.ele_type == TET:
+        from .simplex import dubiner_3d, tet_interior_cubature
+        loc, w = tet_interior_cubature(min(over_int_order, 6))
+        phi = dubiner_3d(loc, ops.order)
+        norms = np.ones(ops.n_upts)
     else:
-        raise NotImplementedError
+        raise NotImplementedError(
+            f"over-integration for ctype {ops.ele_type}")
     opp_over = ops.interp_to(loc)                        # (C, U)
     # modal projection: m_hat = phi^T W / norms; nodal = V @ m_hat
     proj = (phi / norms[None, :]).T * w[None, :]         # (n_modes, C)

@@ -131,3 +131,28 @@ def test_sem_restart_roundtrip(tmp_path):
                                atol=1e-10)
     np.testing.assert_allclose(np.asarray(s2._ti_state[1]), sgn_ref)
     assert not read_sem_restart(str(tmp_path), 99, s2)   # missing file
+
+
+def test_tet_prism_vtu_and_probes(tmp_path):
+    """ParaView output + probe location for 3-D simplex/hybrid types."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from hifiles_tpu.mesh.generate import (periodic_prism_mesh,
+                                           periodic_tet_mesh)
+    from hifiles_tpu.io.vtu import write_vtu
+    from hifiles_tpu.io.probes import ProbeSet
+    from test_face_path import tgv_input
+    for gen in (periodic_tet_mesh, periodic_prism_mesh):
+        p = tgv_input()
+        p.viscous = 0
+        p.mu_inf = float("nan")
+        p.order = 2
+        p.diagnostic_fields = ["u", "pressure"]
+        s = Solver(p, gen(2, 2, 2))
+        f = write_vtu(s, str(tmp_path), 1)
+        assert "<VTKFile" in open(f).read()
+        ps = ProbeSet(s, np.array([[0.3, 0.2, 0.1], [1.0, -1.0, 2.0]]),
+                      ["rho", "pressure"])
+        assert ps.owned.size == 2
+        vals = ps.sample()
+        assert np.isfinite(vals).all() and vals.shape == (2, 2)
