@@ -1,0 +1,518 @@
+"""Multi-chip domain decomposition for MIXED-element-type meshes.
+
+Combines the per-type block structure of solver/multiblock.py with the
+shard_map + ppermute halo machinery of parallel/sharding.py: every shard
+owns an equal number of elements OF EACH TYPE (the SPMD shapes must match
+across shards), per-type volume GEMMs run per shard, and the face exchange
+happens in a per-shard LOCAL slot space
+  slot = off_local[ctype] + e_local * Pf_ct + fpt_off_ct[locf] + j
+with halo faces riding lax.ppermute ring shifts (the reference couples its
+ParMETIS partition, mixed eles objects, and mpi_inters the same way:
+ref:src/mesh.cpp:72-314, ref:src/geometry.cpp:250-420,
+ref:src/mpi_inters.cpp:218-398).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config.params import RunInput
+from ..mesh.core import MeshData, build_faces
+from ..models.euler import inviscid_flux
+from ..models.viscous import adv_diff_viscous_flux, viscous_flux
+from ..ops import riemann
+from ..solver.elements import build_element_block, match_fpts_grouped
+from ..solver.kernels import adj_apply_cat, adjT_apply, opmat, opmat_md
+from ..solver.ics import initial_condition
+from ..solver.multiblock import _build_ops
+from ..solver.residual import BlockArrays, ResidualConfig
+from ..solver.step import RK414_A, RK414_B, RK45_A, RK45_B
+
+
+class ShardedMixedSolver:
+    """shard_map FR solver for meshes with several element types."""
+
+    def __init__(self, run_input: RunInput, mesh: MeshData, devices=None,
+                 dtype=jnp.float32, axis_name: str = "x"):
+        from ..utils import enable_persistent_cache
+        enable_persistent_cache()
+        if run_input.LES or run_input.RANS or run_input.wall_model \
+                or run_input.over_int or run_input.shock_cap:
+            raise NotImplementedError(
+                "sharded mixed meshes: LES/RANS/wall models/over-int/"
+                "shock capture not wired yet")
+        self.p = run_input
+        self.mesh = mesh
+        self.dtype = dtype
+        self.axis = axis_name
+        devices = devices if devices is not None else jax.devices()
+        n = self.n_shards = len(devices)
+        self.jmesh = Mesh(np.array(devices), (axis_name,))
+        self.n_dims = mesh.n_dims
+        nF = self.n_fields = run_input.n_fields_for(self.n_dims)
+
+        if (mesh.bc_names and not run_input.bc_list
+                and run_input._deck is not None):
+            run_input.read_boundary_params(mesh.bc_names)
+        if run_input.bc_list:
+            bc_flags = {i: bc.flag for i, bc in enumerate(run_input.bc_list)}
+        else:
+            from ..config.params import CYCLIC
+            bc_flags = {0: CYCLIC}
+        delta_cyclic = np.array([run_input.dx_cyclic, run_input.dy_cyclic,
+                                 run_input.dz_cyclic])[:self.n_dims]
+        conn = build_faces(mesh, bc_flags, delta_cyclic)
+
+        cts = self.cts = sorted(int(c) for c in np.unique(mesh.ctype))
+        ops_by_ct = {ct: _build_ops(run_input, ct) for ct in cts}
+        self.ops_by_ct = ops_by_ct
+        d = self.n_dims
+
+        # --- per-type equal partition (contiguous chunks within type)
+        sels, E_loc, loc_idx = {}, {}, np.zeros(mesh.n_cells, dtype=np.int64)
+        for ct in cts:
+            sel = np.where(mesh.ctype == ct)[0]
+            if sel.size % n:
+                raise ValueError(
+                    f"type {ct}: {sel.size} elements not divisible by "
+                    f"{n} shards")
+            sels[ct] = sel
+            E_loc[ct] = sel.size // n
+            loc_idx[sel] = np.arange(sel.size)
+        self.sels, self.E_loc = sels, E_loc
+
+        # per-type geometry blocks (global; leading axis later split (n, .))
+        blocks = {ct: build_element_block(
+            mesh, None, ops_by_ct[ct], sel=sels[ct], face_tables=False)
+            for ct in cts}
+        self.blocks = blocks
+
+        # --- local slot space
+        fpt_off = {ct: np.concatenate(
+            [[0], np.cumsum(ops_by_ct[ct].n_fpts_per_face)]) for ct in cts}
+        off_local, off = {}, 0
+        for ct in cts:
+            off_local[ct] = off
+            off += E_loc[ct] * ops_by_ct[ct].n_fpts
+        S_loc = off
+        nfp_max = max(int(ops_by_ct[ct].n_fpts_per_face.max())
+                      for ct in cts)
+
+        def shard_slots(ele, locf):
+            ct = int(mesh.ctype[ele])
+            s, e_loc = divmod(int(loc_idx[ele]), E_loc[ct])
+            nfp = int(ops_by_ct[ct].n_fpts_per_face[locf])
+            return s, (off_local[ct] + e_loc * ops_by_ct[ct].n_fpts
+                       + fpt_off[ct][locf] + np.arange(nfp))
+
+        # global fpt positions for geometric matching
+        pos_cat = np.concatenate([blocks[ct].pos_fpts for ct in cts])
+        goff, go = {}, 0
+        for ct in cts:
+            goff[ct] = go
+            go += sels[ct].size * ops_by_ct[ct].n_fpts
+
+        def global_slots(ele, locf):
+            ct = int(mesh.ctype[ele])
+            nfp = int(ops_by_ct[ct].n_fpts_per_face[locf])
+            return (goff[ct] + loc_idx[ele] * ops_by_ct[ct].n_fpts
+                    + fpt_off[ct][locf] + np.arange(nfp))
+
+        Fi_all = conn.int_ele_l.size
+        gls = [global_slots(conn.int_ele_l[f], conn.int_locf_l[f])
+               for f in range(Fi_all)]
+        grs = [global_slots(conn.int_ele_r[f], conn.int_locf_r[f])
+               for f in range(Fi_all)]
+        luts = match_fpts_grouped(pos_cat, gls, grs)
+
+        ints = [[] for _ in range(n)]
+        bdys = [[] for _ in range(n)]
+        halos = [[] for _ in range(n)]
+        for f in range(Fi_all):
+            s_l, sl = shard_slots(conn.int_ele_l[f], conn.int_locf_l[f])
+            s_r, sr0 = shard_slots(conn.int_ele_r[f], conn.int_locf_r[f])
+            sr = sr0[luts[f]]
+            if s_l == s_r:
+                ints[s_l].append((sl, sr))
+            else:
+                halos[s_l].append((sl, (s_l - s_r) % n, sr))
+                halos[s_r].append((sr, (s_r - s_l) % n, sl))
+        for f in range(conn.bdy_ele.size):
+            s, sl = shard_slots(conn.bdy_ele[f], conn.bdy_locf[f])
+            bdys[s].append((sl, int(conn.bdy_bcid[f])))
+
+        Fi = max((len(x) for x in ints), default=0)
+        Fb = max((len(x) for x in bdys), default=0)
+        Fh = max((len(x) for x in halos), default=0)
+        offsets = sorted({o for h in halos for (_, o, _) in h})
+        self.n_int, self.n_bdy, self.n_halo = Fi, Fb, Fh
+        self.nfp_max, self.S_loc = nfp_max, S_loc
+
+        int_l = np.zeros((n, Fi, nfp_max), dtype=np.int64)
+        int_r = np.zeros((n, Fi, nfp_max), dtype=np.int64)
+        bdy = np.zeros((n, Fb, nfp_max), dtype=np.int64)
+        bdy_bcid = np.zeros((n, Fb), dtype=np.int64)
+        halo_l = np.zeros((n, Fh, nfp_max), dtype=np.int64)
+        halo_recv = np.zeros((n, Fh, nfp_max), dtype=np.int64)
+        slot_src = -np.ones((n, S_loc), dtype=np.int64)
+        slot_sign = np.zeros((n, S_loc))
+        send_lists = {o: [[] for _ in range(n)] for o in offsets}
+        halo_sorted = []
+        for s in range(n):
+            by_off = {o: [] for o in offsets}
+            for (sl, o, partner) in halos[s]:
+                by_off[o].append((sl, partner))
+            halo_sorted.append(by_off)
+        n_send_max = {o: max((sum(len(x[1]) for x in halo_sorted[s][o])
+                              for s in range(n)), default=0)
+                      for o in offsets}
+        for s in range(n):
+            for k, (sl, sr) in enumerate(ints[s]):
+                m = sl.size
+                int_l[s, k, :m] = sl
+                int_r[s, k, :m] = sr
+                base = k * nfp_max + np.arange(m)
+                slot_src[s, sl] = base
+                slot_sign[s, sl] = 1.0
+                slot_src[s, sr] = base
+                slot_sign[s, sr] = -1.0
+            for k, (sl, bid) in enumerate(bdys[s]):
+                m = sl.size
+                bdy[s, k, :m] = sl
+                bdy_bcid[s, k] = bid
+                base = (Fi + k) * nfp_max + np.arange(m)
+                slot_src[s, sl] = base
+                slot_sign[s, sl] = 1.0
+            cum, pos_in_offset = 0, {}
+            for o in offsets:
+                pos_in_offset[o] = cum
+                cum += n_send_max[o]
+            recv_cursor = {o: 0 for o in offsets}
+            k = 0
+            for o in offsets:
+                t = (s - o) % n
+                for (sl, partner) in halo_sorted[s][o]:
+                    m = sl.size
+                    halo_l[s, k, :m] = sl
+                    halo_recv[s, k, :m] = (pos_in_offset[o]
+                                           + recv_cursor[o] + np.arange(m))
+                    recv_cursor[o] += m
+                    send_lists[o][t].extend(partner.tolist())
+                    base = (Fi + Fb + k) * nfp_max + np.arange(m)
+                    slot_src[s, sl] = base
+                    slot_sign[s, sl] = 1.0
+                    k += 1
+        if np.any(slot_src < 0):
+            raise AssertionError("uncovered slots in sharded mixed tables")
+        send_idx = {}
+        for o in offsets:
+            arr = np.zeros((n, n_send_max[o]), dtype=np.int64)
+            for t in range(n):
+                arr[t, :len(send_lists[o][t])] = send_lists[o][t]
+            send_idx[o] = arr
+        self.offsets = offsets
+
+        # --- per-shard geometry operands
+        f = lambda a: jnp.asarray(a, dtype=dtype)
+        i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
+
+        def shard_flat(getter, trailing):
+            """Per-type flat slot arrays -> (n, S_loc, *trailing)."""
+            parts = [getter(ct).reshape(
+                (n, E_loc[ct] * ops_by_ct[ct].n_fpts) + trailing)
+                for ct in cts]
+            return np.concatenate(parts, axis=1)
+
+        self.geo = dict(
+            tdA=f(shard_flat(lambda ct: blocks[ct].tdA_fpts, ())),
+            norm=f(shard_flat(lambda ct: blocks[ct].norm_fpts, (d,))),
+            inv_detjac_f=f(1.0 / shard_flat(
+                lambda ct: blocks[ct].detjac_fpts, ())),
+            jginv_f=f(shard_flat(lambda ct: blocks[ct].jginv_fpts, (d, d))))
+        for ct in cts:
+            b, U = blocks[ct], ops_by_ct[ct].n_upts
+            self.geo[f"detjac_upts_{ct}"] = f(
+                b.detjac_upts.reshape(n, E_loc[ct], U))
+            self.geo[f"jginv_upts_{ct}"] = f(
+                b.jginv_upts.reshape(n, E_loc[ct], U, d, d))
+        self.tabs = dict(
+            int_l=i32(int_l), int_r=i32(int_r), bdy=i32(bdy),
+            halo_l=i32(halo_l), halo_recv=i32(halo_recv),
+            slot_src=i32(slot_src), slot_sign=f(slot_sign))
+        self.send_idx = {o: i32(v) for o, v in send_idx.items()}
+        self.B = {ct: BlockArrays(blocks[ct], dtype) for ct in cts}
+
+        self.rcfg = ResidualConfig(
+            equation=run_input.equation, viscous=bool(run_input.viscous),
+            riemann_solve_type=run_input.riemann_solve_type,
+            gamma=run_input.gamma, prandtl=run_input.prandtl,
+            prandtl_t=run_input.prandtl_t,
+            mu_inf=0.0 if np.isnan(run_input.mu_inf) else run_input.mu_inf,
+            rt_inf=1.0 if np.isnan(run_input.rt_inf) else run_input.rt_inf,
+            c_sth=0.0 if np.isnan(run_input.c_sth) else run_input.c_sth,
+            fix_vis=run_input.fix_vis, ldg_tau=run_input.ldg_tau,
+            ldg_beta=run_input.ldg_beta,
+            wave_speed=tuple(run_input.wave_speed),
+            lambda_lf=run_input.lambda_lf, diff_coeff=run_input.diff_coeff,
+            n_fields=nF)
+
+        # boundary conditions (partitioned parameter tables)
+        self.bc_fns = None
+        self.bcP = {}
+        if Fb:
+            from ..solver.bc import _pack_params, make_bc_functions
+            from ..io.vtu import _MixedBlockView  # noqa: F401
+            from ..solver.multiblock import _BCBlockFacade, \
+                build_mixed_blocks  # reuse global facade for closures
+            mt = build_mixed_blocks(mesh, conn, ops_by_ct)
+            self.bc_fns = make_bc_functions(run_input, _BCBlockFacade(mt),
+                                            self.rcfg, dtype)
+            bcid = np.repeat(bdy_bcid[:, :, None], nfp_max, axis=2)
+            P_np = _pack_params(run_input, bcid, d)
+            self.bcP = {k: jnp.asarray(
+                v, dtype=dtype if k != "flag" else jnp.int32)
+                for k, v in P_np.items()}
+
+        # initial condition per type, shard-major
+        sharding = NamedSharding(self.jmesh, P(self.axis))
+        us = []
+        for ct in cts:
+            u0 = initial_condition(run_input, blocks[ct].pos_upts, nF)
+            us.append(jax.device_put(jnp.asarray(
+                u0.reshape(n, E_loc[ct], ops_by_ct[ct].n_upts, nF),
+                dtype=dtype), sharding))
+        self.u = tuple(us)
+        self.reg = jax.tree.map(jnp.zeros_like, self.u)
+        self.time = 0.0
+
+        self._step_jit = jax.jit(self._make_step(), static_argnums=2,
+                                 donate_argnums=0)
+
+    # ------------------------------------------------------------------
+    def _make_shard_residual(self):
+        cfg = self.rcfg
+        dtype = self.dtype
+        d = self.n_dims
+        nF = self.n_fields
+        cts = self.cts
+        E_loc = self.E_loc
+        B = self.B
+        axis, offsets, n = self.axis, self.offsets, self.n_shards
+        n_bdy, nfp_max = self.n_bdy, self.nfp_max
+        bc_fns = self.bc_fns
+        prec = jax.lax.Precision[cfg.precision.upper()]
+        seg = {}
+        off = 0
+        for ct in cts:
+            seg[ct] = (off, off + E_loc[ct] * self.ops_by_ct[ct].n_fpts)
+            off = seg[ct][1]
+
+        def exchange(flat, sends):
+            recvs = []
+            for o in offsets:
+                send = flat[sends[o]]
+                perm = [(i, (i + o) % n) for i in range(n)]
+                recvs.append(jax.lax.ppermute(send, axis, perm))
+            return jnp.concatenate(recvs) if recvs else None
+
+        def phys_flux(u):
+            if cfg.equation == 0:
+                return inviscid_flux(u, cfg.gamma, d)
+            ws = jnp.asarray(cfg.wave_speed[:d], dtype=u.dtype)
+            return u[..., None] * ws
+
+        def common_inv_flux(u_l, u_r, norm):
+            if cfg.equation == 0:
+                return riemann.solve(cfg.riemann_solve_type, u_l, u_r, norm,
+                                     gamma=cfg.gamma, n_dims=d)
+            ws = jnp.asarray(cfg.wave_speed[:d], dtype=u_l.dtype)
+            return riemann.lax_friedrichs_flux(u_l, u_r, norm, ws,
+                                               cfg.lambda_lf)
+
+        def phys_visc_flux(u, grad):
+            if cfg.equation == 0:
+                return viscous_flux(
+                    u, grad, gamma=cfg.gamma, prandtl=cfg.prandtl,
+                    mu_inf=cfg.mu_inf, rt_inf=cfg.rt_inf, c_sth=cfg.c_sth,
+                    fix_vis=cfg.fix_vis, n_dims=d, rans=False,
+                    prandtl_t=cfg.prandtl_t)
+            return adv_diff_viscous_flux(grad, cfg.diff_coeff)
+
+        def residual(us, geo, tab, sends, bcP):
+            flat = jnp.concatenate([
+                jnp.einsum("pu,euf->epf", B[ct].opp_0, us[i],
+                           preferred_element_type=dtype,
+                           precision=prec).reshape(-1, nF)
+                for i, ct in enumerate(cts)])
+            u_l = flat[tab["int_l"]]
+            u_r = flat[tab["int_r"]]
+            norm_l = geo["norm"][tab["int_l"]]
+            halo_recv = exchange(flat, sends)
+            u_hl = flat[tab["halo_l"]]
+            u_hr = halo_recv[tab["halo_recv"]] if halo_recv is not None \
+                else u_hl
+            norm_h = geo["norm"][tab["halo_l"]]
+            if n_bdy:
+                u_bl = flat[tab["bdy"]]
+                norm_b = geo["norm"][tab["bdy"]]
+
+            if cfg.viscous:
+                u_c_int = riemann.ldg_common_solution(u_l, u_r, norm_l,
+                                                      cfg.ldg_beta)
+                u_c_halo = riemann.ldg_common_solution(u_hl, u_hr, norm_h,
+                                                       cfg.ldg_beta)
+                u_c_bdy = (bc_fns.ldg_solution(u_bl, norm_b, P=bcP)
+                           .reshape(-1, nF) if n_bdy
+                           else jnp.zeros((0, nF), dtype=dtype))
+                u_c_all = jnp.concatenate([
+                    u_c_int.reshape(-1, nF), u_c_bdy,
+                    u_c_halo.reshape(-1, nF)])
+                delta_flat = u_c_all[tab["slot_src"]] - flat
+                grad_u = []
+                tgf_parts = []
+                for i, ct in enumerate(cts):
+                    b = B[ct]
+                    lo, hi = seg[ct]
+                    tg = jnp.stack(
+                        [opmat(b.opp_2_stack[g], us[i], dtype, prec)
+                         for g in range(d)], axis=-1)
+                    delta = delta_flat[lo:hi].reshape(
+                        E_loc[ct], b.n_fpts, nF)
+                    tg = tg + jnp.stack(
+                        [opmat(b.opp_5_stack[g], delta, dtype, prec)
+                         for g in range(d)], axis=-1)
+                    grad_u.append(adjT_apply(geo[f"jginv_upts_{ct}"], tg,
+                                             1.0 / geo[f"detjac_upts_{ct}"]))
+                    tgf_parts.append(opmat_md(b.opp_0, tg, dtype,
+                                              prec).reshape(-1, nF, d))
+                grad_f = adjT_apply(geo["jginv_f"],
+                                    jnp.concatenate(tgf_parts),
+                                    geo["inv_detjac_f"])
+
+            fn_int = common_inv_flux(u_l, u_r, norm_l)
+            fn_halo = common_inv_flux(u_hl, u_hr, norm_h)
+            if n_bdy:
+                fn_bdy = bc_fns.inv_common_flux(u_bl, norm_b, P=bcP)
+            if cfg.viscous:
+                fn_int = fn_int + riemann.ldg_common_flux(
+                    u_l, u_r, phys_visc_flux(u_l, grad_f[tab["int_l"]]),
+                    phys_visc_flux(u_r, grad_f[tab["int_r"]]), norm_l,
+                    cfg.ldg_tau, cfg.ldg_beta)
+                g_hl = grad_f[tab["halo_l"]]
+                grad_recv = exchange(
+                    grad_f.reshape(flat.shape[0], nF * d), sends)
+                g_hr = (grad_recv[tab["halo_recv"]].reshape(g_hl.shape)
+                        if grad_recv is not None else g_hl)
+                fn_halo = fn_halo + riemann.ldg_common_flux(
+                    u_hl, u_hr, phys_visc_flux(u_hl, g_hl),
+                    phys_visc_flux(u_hr, g_hr), norm_h, cfg.ldg_tau,
+                    cfg.ldg_beta)
+                if n_bdy:
+                    fn_bdy = fn_bdy + bc_fns.visc_common_flux(
+                        u_bl, grad_f[tab["bdy"]], norm_b, None, P=bcP)
+            fn_all = jnp.concatenate([
+                fn_int.reshape(-1, nF),
+                fn_bdy.reshape(-1, nF) if n_bdy
+                else jnp.zeros((0, nF), dtype=dtype),
+                fn_halo.reshape(-1, nF)])
+            ntc_flat = fn_all[tab["slot_src"]] \
+                * (tab["slot_sign"] * geo["tdA"])[:, None]
+
+            out = []
+            for i, ct in enumerate(cts):
+                b = B[ct]
+                lo, hi = seg[ct]
+                fl = phys_flux(us[i])
+                if cfg.viscous:
+                    fl = fl + phys_visc_flux(us[i], grad_u[i])
+                tdisf_cat = adj_apply_cat(geo[f"jginv_upts_{ct}"], fl)
+                ntc = ntc_flat[lo:hi].reshape(E_loc[ct], b.n_fpts, nF)
+                div = opmat(b.opp_div_all,
+                            jnp.concatenate([tdisf_cat, ntc], axis=1),
+                            dtype, prec)
+                out.append(-div / geo[f"detjac_upts_{ct}"][..., None])
+            return tuple(out)
+
+        return residual
+
+    # ------------------------------------------------------------------
+    def _make_step(self):
+        adv = self.p.adv_type
+        residual = self._make_shard_residual()
+        n_types = len(self.cts)
+
+        def sq(tree):
+            return jax.tree.map(lambda v: v[0], tree)
+
+        def shard_body(us, regs, dt, geo, tabs, sends, bcP):
+            us = tuple(u[0] for u in us)
+            regs = tuple(r[0] for r in regs)
+            dt = dt[0] if dt.ndim else dt
+            geo, tabs, sends, bcP = sq(geo), sq(tabs), sq(sends), sq(bcP)
+
+            def rhs(x):
+                return residual(x, geo, tabs, sends, bcP)
+
+            tmap = jax.tree.map
+            if adv == 0:
+                us = tmap(lambda u, k: u + dt * k, us, rhs(us))
+            elif adv in (3, 4):
+                A = RK45_A if adv == 3 else RK414_A
+                Bc = RK45_B if adv == 3 else RK414_B
+                r = tmap(lambda x: x * 0.0, regs)
+                for s_ in range(len(A)):
+                    r = tmap(lambda ri, ki, a=A[s_]: a * ri + dt * ki,
+                             r, rhs(us))
+                    us = tmap(lambda ui, ri, b=Bc[s_]: ui + b * ri, us, r)
+                regs = r
+            else:
+                raise NotImplementedError(f"adv_type {adv} sharded mixed")
+            return (tuple(u[None] for u in us),
+                    tuple(r[None] for r in regs))
+
+        from jax import shard_map
+
+        def sharded_spec(tree):
+            return jax.tree.map(
+                lambda v: P(self.axis, *([None] * (v.ndim - 1))), tree)
+
+        specs = (tuple(P(self.axis) for _ in range(n_types)),
+                 tuple(P(self.axis) for _ in range(n_types)),
+                 P(), sharded_spec(self.geo), sharded_spec(self.tabs),
+                 sharded_spec(self.send_idx), sharded_spec(self.bcP))
+        out_specs = (tuple(P(self.axis) for _ in range(n_types)),
+                     tuple(P(self.axis) for _ in range(n_types)))
+
+        def run_chunk(state, dt, n_steps, geo, tabs, sends, bcP):
+            def body(carry, _):
+                u, r = carry
+                u, r = shard_map(shard_body, mesh=self.jmesh,
+                                 in_specs=specs, out_specs=out_specs,
+                                 check_vma=False)(u, r, dt, geo, tabs,
+                                                  sends, bcP)
+                return (u, r), None
+            state, _ = jax.lax.scan(body, state, None, length=n_steps)
+            return state
+
+        return run_chunk
+
+    # ------------------------------------------------------------------
+    def run(self, n_steps: int, dt: float):
+        state = self._step_jit((self.u, self.reg),
+                               jnp.asarray(dt, self.dtype), n_steps,
+                               self.geo, self.tabs, self.send_idx,
+                               self.bcP)
+        self.u, self.reg = state
+        self.time += dt * n_steps
+        return self.u
+
+    def gather_u(self):
+        """Per-type solutions in the MixedSolver's (E_ct, U, F) layout."""
+        out = []
+        for ct, u in zip(self.cts, self.u):
+            a = np.asarray(u)
+            out.append(a.reshape(-1, a.shape[2], a.shape[3]))
+        return tuple(out)

@@ -1,0 +1,56 @@
+"""Sharded mixed-type meshes: per-type equal partition, local mixed slot
+space, ppermute halos (parallel/mixed_sharding.py)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from hifiles_tpu.config.params import RunInput
+from hifiles_tpu.mesh.generate import periodic_mixed_mesh_2d
+from hifiles_tpu.parallel.mixed_sharding import ShardedMixedSolver
+from hifiles_tpu.solver.multiblock import MixedSolver
+
+
+def vortex_input(viscous=0):
+    p = RunInput()
+    p.equation = 0
+    p.viscous = viscous
+    p.order = 2
+    p.ic_form = 0
+    p.test_case = 1
+    p.adv_type = 3
+    p.riemann_solve_type = 0
+    p.dt_type = 0
+    p.dt = 5e-4
+    p.mach_free_stream = 0.3
+    p.dx_cyclic = 20.0
+    p.dy_cyclic = 20.0
+    if viscous:
+        p.mu_inf = 1e-4
+        p.rt_inf = 1.0
+        p.c_sth = 0.0
+        p.fix_vis = 1
+        p.prandtl = 0.72
+    return p
+
+
+@pytest.mark.parametrize("viscous", [0, 1])
+def test_sharded_mixed_matches_single(viscous):
+    mesh = periodic_mixed_mesh_2d(8, 8, -10, 10, -10, 10)
+    s1 = MixedSolver(vortex_input(viscous), mesh, dtype=jnp.float64)
+    s1.run(15, dt=5e-4)
+
+    sh = ShardedMixedSolver(vortex_input(viscous), mesh,
+                            devices=jax.devices()[:4], dtype=jnp.float64)
+    assert sh.n_halo > 0
+    sh.run(15, dt=5e-4)
+    for a, b in zip(sh.gather_u(), s1.u):
+        np.testing.assert_allclose(a, np.asarray(b), rtol=0, atol=1e-11)
+
+
+def test_sharded_mixed_indivisible_rejected():
+    mesh = periodic_mixed_mesh_2d(5, 3, -10, 10, -10, 10)   # 9 quads
+    with pytest.raises(ValueError, match="not divisible"):
+        ShardedMixedSolver(vortex_input(), mesh,
+                           devices=jax.devices()[:4])
