@@ -459,6 +459,20 @@ class ShardedMixedSolver:
             tmap = jax.tree.map
             if adv == 0:
                 us = tmap(lambda u, k: u + dt * k, us, rhs(us))
+            elif adv == 1:     # SSP-RK24 (ref:src/eles.cpp:1117-1170)
+                u0 = us
+                for _ in range(3):
+                    us = tmap(lambda u, k: u + dt / 3.0 * k, us, rhs(us))
+                us = tmap(lambda u, u0i, k: 0.75 * u + 0.25 * u0i
+                          + dt / 4.0 * k, us, u0, rhs(us))
+            elif adv == 2:     # SSP-RK34 (ref:src/eles.cpp:1172-1220)
+                u0 = us
+                half = lambda u, k: u + dt / 2.0 * k
+                us = tmap(half, us, rhs(us))
+                us = tmap(half, us, rhs(us))
+                us = tmap(lambda u, u0i, k: u / 3.0 + 2.0 / 3.0 * u0i
+                          + dt / 6.0 * k, us, u0, rhs(us))
+                us = tmap(half, us, rhs(us))
             elif adv in (3, 4):
                 A = RK45_A if adv == 3 else RK414_A
                 Bc = RK45_B if adv == 3 else RK414_B
@@ -469,7 +483,7 @@ class ShardedMixedSolver:
                     us = tmap(lambda ui, ri, b=Bc[s_]: ui + b * ri, us, r)
                 regs = r
             else:
-                raise NotImplementedError(f"adv_type {adv} sharded mixed")
+                raise ValueError(f"adv_type {adv}")
             return (tuple(u[None] for u in us),
                     tuple(r[None] for r in regs))
 
