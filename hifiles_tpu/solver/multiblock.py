@@ -81,9 +81,7 @@ def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
     Same pipeline as residual.make_residual_fn (see its stage comments /
     reference citations); volume stages run per block, face stages run once
     in the global slot space."""
-    if cfg.rans or (cfg.les and cfg.sgs_model in (2, 4)):
-        raise NotImplementedError(
-            "mixed meshes: RANS and similarity SGS models not wired yet")
+    use_similarity = cfg.les and cfg.sgs_model in (2, 4)
     cts = mt.cts
     d = mt.blocks[cts[0]].ops.n_dims
     nF = cfg.n_fields
@@ -126,10 +124,10 @@ def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
             fv = viscous_flux(
                 u, grad, gamma=cfg.gamma, prandtl=cfg.prandtl,
                 mu_inf=cfg.mu_inf, rt_inf=cfg.rt_inf, c_sth=cfg.c_sth,
-                fix_vis=cfg.fix_vis, n_dims=d, rans=False,
+                fix_vis=cfg.fix_vis, n_dims=d, rans=cfg.rans,
                 prandtl_t=cfg.prandtl_t)
             # eddy-viscosity SGS models (ref:src/eles.cpp:2330-2361)
-            if cfg.les and cfg.sgs_model in (0, 1) and delta is not None:
+            if cfg.les and cfg.sgs_model in (0, 1, 2) and delta is not None:
                 from ..models.sgs import sgs_flux
                 fv = fv + sgs_flux(
                     u, grad, cfg.filter_ratio * delta, wdist,
@@ -142,6 +140,11 @@ def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
     if cfg.les:
         g_delta_slot = jnp.concatenate([B[ct].delta_slot for ct in cts])
         g_wdist_slot = jnp.concatenate([B[ct].wdist_slot for ct in cts])
+    if use_similarity:
+        from ..ops.les_filter import build_les_filter
+        les_filter = {ct: jnp.asarray(
+            build_les_filter(mt.blocks[ct].ops, cfg.filter_type,
+                             cfg.filter_ratio), dtype=dtype) for ct in cts}
 
     def residual(u_tuple):
         us = dict(zip(cts, u_tuple))
@@ -158,6 +161,19 @@ def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
         u_r = disu_f_flat[g_int_r]
         if has_bdy:
             u_bl = disu_f_flat[g_bdy]
+
+        # similarity-model Leonard tensors per block, extrapolated to the
+        # global slots (ref:src/eles.cpp:2091-2218, :2615-2644)
+        if use_similarity:
+            from ..models.sgs import similarity_flux, similarity_terms
+            simf_upts = {}
+            parts = []
+            for ct in cts:
+                Lu, Le = similarity_terms(us[ct], les_filter[ct], d)
+                simf_upts[ct] = similarity_flux(us[ct], Lu, Le, cfg.gamma, d)
+                parts.append(opmat_md(B[ct].opp_0, simf_upts[ct], dtype,
+                                      prec).reshape(-1, nF, d))
+            simf_fpts = jnp.concatenate(parts)
 
         # 3. viscous gradient path
         if cfg.viscous:
@@ -203,6 +219,9 @@ def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
             else:
                 fv_l = phys_visc_flux(u_l, grad_f_flat[g_int_l])
                 fv_r = phys_visc_flux(u_r, grad_f_flat[g_int_r])
+            if use_similarity:
+                fv_l = fv_l + simf_fpts[g_int_l]
+                fv_r = fv_r + simf_fpts[g_int_r]
             fn_int = fn_int + riemann.ldg_common_flux(
                 u_l, u_r, fv_l, fv_r, g_norm_int_l, cfg.ldg_tau,
                 cfg.ldg_beta)
@@ -248,11 +267,25 @@ def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
                         us[ct], grad_u[ct],
                         b.delta_upts if cfg.les else None,
                         b.wdist_upts if cfg.les else None)
+                    if use_similarity:
+                        fl = fl + simf_upts[ct]
                 tdisf_cat = adj_apply_cat(b.jginv_upts, fl)
             norm_tconf = norm_tconf_flat[lo:hi].reshape(E, Pf, nF)
             rhs_cat = jnp.concatenate([tdisf_cat, norm_tconf], axis=1)
             div = opmat(b.opp_div_all, rhs_cat, dtype, prec)
-            out.append(-div * b.inv_detjac_upts[..., None])
+            rhs = -div * b.inv_detjac_upts[..., None]
+            if cfg.rans:
+                # SA source per block (ref:src/source.cpp:33-105)
+                from ..models.sa import sa_source
+                src = sa_source(
+                    us[ct], grad_u[ct], b.wdist_upts, gamma=cfg.gamma,
+                    mu_inf=cfg.mu_inf, rt_inf=cfg.rt_inf, c_sth=cfg.c_sth,
+                    fix_vis=cfg.fix_vis, kappa=cfg.kappa, c_v1=cfg.c_v1,
+                    c_v2=cfg.c_v2, c_v3=cfg.c_v3, c_b1=cfg.c_b1,
+                    c_b2=cfg.c_b2, c_w2=cfg.c_w2, c_w3=cfg.c_w3,
+                    omega=cfg.omega, n_dims=d)
+                rhs = rhs.at[..., d + 2].add(src)
+            out.append(rhs)
         return tuple(out)
 
     return residual
@@ -273,11 +306,7 @@ class MixedSolver:
         self.n_fields = run_input.n_fields_for(self.n_dims)
         if run_input.wall_model:
             raise NotImplementedError("mixed meshes: wall models")
-        if run_input.RANS:
-            raise NotImplementedError("mixed meshes: RANS not wired yet")
-        if run_input.LES and run_input.SGS_model in (2, 4):
-            raise NotImplementedError(
-                "mixed meshes: similarity SGS models not wired yet")
+
 
         if (mesh.bc_names and not run_input.bc_list
                 and run_input._deck is not None):
@@ -315,7 +344,27 @@ class MixedSolver:
             n_fields=self.n_fields, over_int=bool(run_input.over_int),
             les=bool(run_input.LES), sgs_model=run_input.SGS_model,
             C_s=run_input.C_s, filter_ratio=run_input.filter_ratio,
-            filter_type=run_input.filter_type, kappa=run_input.Kappa)
+            filter_type=run_input.filter_type, kappa=run_input.Kappa,
+            rans=bool(run_input.RANS),
+            c_v1=run_input.c_v1, c_v2=run_input.c_v2, c_v3=run_input.c_v3,
+            c_b1=run_input.c_b1, c_b2=run_input.c_b2, c_w2=run_input.c_w2,
+            c_w3=run_input.c_w3, omega=run_input.omega)
+
+        # wall distance per block (ref:src/geometry.cpp:708-894) for SA /
+        # wall-damped Smagorinsky
+        if (run_input.RANS
+                or (run_input.LES and run_input.SGS_model == 0)):
+            from ..config.params import ADIABAT_WALL, ISOTHERM_WALL
+            wall_slots = []
+            for fi, bcid in enumerate(self.mt.bdy_bcid):
+                if bc_flags.get(int(bcid), -1) in (ISOTHERM_WALL,
+                                                   ADIABAT_WALL):
+                    sl = self.mt.bdy_slot[fi][self.mt.bdy_mask[fi] > 0]
+                    wall_slots.append(sl)
+            wall_pts = (self.mt.pos_fpts[np.concatenate(wall_slots)]
+                        if wall_slots else np.empty((0, self.n_dims)))
+            for ct in cts:
+                self.blocks[ct].compute_wall_distance(wall_pts)
 
         bc_fns = None
         if self.mt.bdy_slot.size:

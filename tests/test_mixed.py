@@ -132,11 +132,14 @@ def test_mixed_les_over_int_shock_capture():
     s.run(20, dt=5e-4)
     for u in s.u:
         assert np.isfinite(np.asarray(u)).all()
-    # similarity SGS stays gated with a precise message
+    # pure similarity model (4) also runs now
     p2 = vortex_input(order=2, viscous=1)
     p2.LES, p2.SGS_model = 1, 4
-    with pytest.raises(NotImplementedError, match="similarity"):
-        MixedSolver(p2, mesh)
+    p2.filter_type, p2.filter_ratio = 2, 2.0
+    s2 = MixedSolver(p2, mesh)
+    s2.run(10, dt=5e-4)
+    for u in s2.u:
+        assert np.isfinite(np.asarray(u)).all()
 
 
 def test_mixed_restart_roundtrip(tmp_path):
@@ -156,5 +159,28 @@ def test_mixed_restart_roundtrip(tmp_path):
     for a, b in zip(s2.u, refs):
         np.testing.assert_allclose(np.asarray(a), b, atol=1e-14)
     s2.run(5, dt=5e-4)
+    for u in s2.u:
+        assert np.isfinite(np.asarray(u)).all()
+
+
+def test_mixed_similarity_and_rans():
+    """Similarity SGS (WSM, model 2) and SA-RANS run on mixed meshes."""
+    mesh = periodic_mixed_mesh_2d(4, 4, -10, 10, -10, 10)
+    p = vortex_input(order=2, viscous=1)
+    p.LES, p.SGS_model, p.C_s = 1, 2, 0.5
+    p.filter_type, p.filter_ratio = 2, 2.0
+    s = MixedSolver(p, mesh)
+    s.run(15, dt=5e-4)
+    for u in s.u:
+        assert np.isfinite(np.asarray(u)).all()
+
+    p2 = vortex_input(order=1, viscous=1)
+    p2.RANS = 1
+    p2.mu_tilde_c_ic = 5e-4
+    p2.mu_tilde_inf = 5e-4
+    p2.Kappa = 0.41
+    s2 = MixedSolver(p2, mesh)
+    assert s2.n_fields == 5          # 2-D + SA working variable
+    s2.run(15, dt=2e-4)
     for u in s2.u:
         assert np.isfinite(np.asarray(u)).all()
