@@ -293,6 +293,12 @@ class ShardedSolver:
         self.p = run_input
         self.dtype = dtype
 
+        if run_input.wall_model or any(
+                getattr(b, "inlet_type", 0)
+                for b in (run_input.bc_list or [])):
+            raise NotImplementedError(
+                "sharded runs: wall models / turbulent inlets not "
+                "partitioned yet")
         # reuse the single-device setup for geometry/ops/conn
         base = Solver(run_input, mesh_data, dtype=dtype)
         self.base = base
@@ -335,6 +341,21 @@ class ShardedSolver:
                                                   ops.n_dims)[order].reshape(
                 self.n_shards, El * Pf, ops.n_dims, ops.n_dims)),
         )
+        if run_input.LES or run_input.RANS:
+            # LES cutoff length / wall distance per shard (the base Solver
+            # already computed wall distances when the model needs them)
+            from ..solver.residual import BlockArrays as _BA
+            ba = _BA(block, dtype)
+            self.geo["delta_upts"] = f(np.asarray(
+                ba.delta_upts)[order].reshape(self.n_shards, El,
+                                              ops.n_upts))
+            self.geo["wdist_upts"] = f(np.asarray(
+                ba.wdist_upts)[order].reshape(self.n_shards, El,
+                                              ops.n_upts))
+            self.geo["delta_slot"] = f(np.asarray(ba.delta_slot).reshape(
+                E, Pf)[order].reshape(self.n_shards, El * Pf))
+            self.geo["wdist_slot"] = f(np.asarray(ba.wdist_slot).reshape(
+                E, Pf)[order].reshape(self.n_shards, El * Pf))
         self.opp = dict(
             opp_0=f(ops.opp_0), opp_2_cat=f(ops.opp_2_cat),
             opp_3=f(ops.opp_3), opp_div_fused=f(ops.opp_div_fused),
@@ -362,13 +383,10 @@ class ShardedSolver:
         if t.n_bdy:
             # partitioned BC parameter tables: the bc closures take their
             # shard's P rows as an explicit operand inside shard_map
-            if run_input.wall_model or run_input.LES or any(
-                    getattr(b, "pressure_ramp", 0) or
-                    getattr(b, "inlet_type", 0)
-                    for b in (run_input.bc_list or [])):
+            if any(getattr(b, "pressure_ramp", 0)
+                   for b in (run_input.bc_list or [])):
                 raise NotImplementedError(
-                    "sharded runs: wall models / turbulent inlets / BC "
-                    "ramping not partitioned yet")
+                    "sharded runs: BC ramping not wired yet")
             from ..solver.bc import _pack_params, make_bc_functions
             nfp = int(ops.n_fpts_per_face.max())
             self.bc_fns = make_bc_functions(run_input, block, self.rcfg,
@@ -441,13 +459,30 @@ class ShardedSolver:
             return riemann.lax_friedrichs_flux(u_l, u_r, norm, ws,
                                                cfg.lambda_lf)
 
-        def phys_visc_flux(u, grad):
+        use_similarity = cfg.les and cfg.sgs_model in (2, 4)
+        if use_similarity:
+            from ..ops.les_filter import build_les_filter
+            les_filter = jnp.asarray(
+                build_les_filter(self.base.ops, cfg.filter_type,
+                                 cfg.filter_ratio), dtype=dtype)
+
+        def phys_visc_flux(u, grad, delta=None, wdist=None):
             if cfg.equation == 0:
-                return viscous_flux(
+                fv = viscous_flux(
                     u, grad, gamma=cfg.gamma, prandtl=cfg.prandtl,
                     mu_inf=cfg.mu_inf, rt_inf=cfg.rt_inf, c_sth=cfg.c_sth,
                     fix_vis=cfg.fix_vis, n_dims=d, rans=cfg.rans,
                     prandtl_t=cfg.prandtl_t)
+                # eddy-viscosity SGS models (ref:src/eles.cpp:2330-2361)
+                if cfg.les and cfg.sgs_model in (0, 1, 2) \
+                        and delta is not None:
+                    from ..models.sgs import sgs_flux
+                    fv = fv + sgs_flux(
+                        u, grad, cfg.filter_ratio * delta, wdist,
+                        sgs_model=cfg.sgs_model, C_s=cfg.C_s,
+                        gamma=cfg.gamma, prandtl_t=cfg.prandtl_t, n_dims=d,
+                        kappa=cfg.kappa)
+                return fv
             return adv_diff_viscous_flux(grad, cfg.diff_coeff)
 
         def residual(u, geo, tab, sends, bcP):
@@ -469,6 +504,20 @@ class ShardedSolver:
             if n_bdy:
                 u_bl = flat[tab["bdy_slot"]]
                 norm_b = geo["norm"][tab["bdy_slot"]]
+
+            # similarity Leonard terms + the reference's third halo
+            # exchange (send_sgsf_fpts, ref:src/mpi_inters.cpp:339-398)
+            if use_similarity:
+                from ..models.sgs import similarity_flux, similarity_terms
+                Lu, Le = similarity_terms(u, les_filter, d)
+                simf_upts = similarity_flux(u, Lu, Le, cfg.gamma, d)
+                simf_f = opmat_md(opp["opp_0"], simf_upts, dtype,
+                                  prec).reshape(El * Pf, nF * d)
+                simf_recv = exchange(simf_f, sends)
+                simf_hl = simf_f[tab["halo_slot_l"]].reshape(
+                    u_hl.shape + (d,))
+                simf_hr = (simf_recv[tab["halo_recv_idx"]].reshape(
+                    simf_hl.shape) if simf_recv is not None else simf_hl)
 
             if cfg.viscous:
                 tgrad = jnp.stack(
@@ -503,7 +552,11 @@ class ShardedSolver:
 
             f = phys_flux(u)
             if cfg.viscous:
-                f = f + phys_visc_flux(u, grad_u)
+                f = f + phys_visc_flux(
+                    u, grad_u,
+                    geo.get("delta_upts"), geo.get("wdist_upts"))
+                if use_similarity:
+                    f = f + simf_upts
             tdisf_cat = adj_apply_cat(geo["jginv_upts"], f)
 
             fn_int = common_inv_flux(u_l, u_r, norm_l)
@@ -511,12 +564,36 @@ class ShardedSolver:
             if n_bdy:
                 fn_bdy = bc_fns.inv_common_flux(u_bl, norm_b, P=bcP)
             if cfg.viscous:
-                fv_l = phys_visc_flux(u_l, grad_f[tab["int_slot_l"]])
-                fv_r = phys_visc_flux(u_r, grad_f[tab["int_slot_r"]])
+                dsl = geo.get("delta_slot")
+                wsl = geo.get("wdist_slot")
+                sel = lambda a, idx: a[idx] if a is not None else None
+                fv_l = phys_visc_flux(u_l, grad_f[tab["int_slot_l"]],
+                                      sel(dsl, tab["int_slot_l"]),
+                                      sel(wsl, tab["int_slot_l"]))
+                fv_r = phys_visc_flux(u_r, grad_f[tab["int_slot_r"]],
+                                      sel(dsl, tab["int_slot_r"]),
+                                      sel(wsl, tab["int_slot_r"]))
+                if use_similarity:
+                    fv_l = fv_l + simf_f.reshape(El * Pf, nF, d)[
+                        tab["int_slot_l"]]
+                    fv_r = fv_r + simf_f.reshape(El * Pf, nF, d)[
+                        tab["int_slot_r"]]
                 fn_int = fn_int + riemann.ldg_common_flux(
                     u_l, u_r, fv_l, fv_r, norm_l, cfg.ldg_tau, cfg.ldg_beta)
-                fv_hl = phys_visc_flux(u_hl, g_hl)
-                fv_hr = phys_visc_flux(u_hr, g_hr)
+                fv_hl = phys_visc_flux(u_hl, g_hl,
+                                       sel(dsl, tab["halo_slot_l"]),
+                                       sel(wsl, tab["halo_slot_l"]))
+                # halo partner: its delta/wdist live on the other shard;
+                # both sides of the TGV-type periodic meshes share the
+                # cutoff scale, and the reference likewise evaluates the
+                # partner SGS flux remotely and ships it (we ship simf,
+                # eddy-viscosity uses the local-scale approximation)
+                fv_hr = phys_visc_flux(u_hr, g_hr,
+                                       sel(dsl, tab["halo_slot_l"]),
+                                       sel(wsl, tab["halo_slot_l"]))
+                if use_similarity:
+                    fv_hl = fv_hl + simf_hl
+                    fv_hr = fv_hr + simf_hr
                 fn_halo = fn_halo + riemann.ldg_common_flux(
                     u_hl, u_hr, fv_hl, fv_hr, norm_h, cfg.ldg_tau,
                     cfg.ldg_beta)
@@ -536,7 +613,18 @@ class ShardedSolver:
 
             rhs_cat = jnp.concatenate([tdisf_cat, norm_tconf], axis=1)
             div = opmat(opp["opp_div_all"], rhs_cat, dtype, prec)
-            return -div / geo["detjac_upts"][..., None]
+            rhs = -div / geo["detjac_upts"][..., None]
+            if cfg.rans:
+                from ..models.sa import sa_source
+                src = sa_source(
+                    u, grad_u, geo["wdist_upts"], gamma=cfg.gamma,
+                    mu_inf=cfg.mu_inf, rt_inf=cfg.rt_inf, c_sth=cfg.c_sth,
+                    fix_vis=cfg.fix_vis, kappa=cfg.kappa, c_v1=cfg.c_v1,
+                    c_v2=cfg.c_v2, c_v3=cfg.c_v3, c_b1=cfg.c_b1,
+                    c_b2=cfg.c_b2, c_w2=cfg.c_w2, c_w3=cfg.c_w3,
+                    omega=cfg.omega, n_dims=d)
+                rhs = rhs.at[..., d + 2].add(src)
+            return rhs
 
         return residual
 
@@ -545,6 +633,11 @@ class ShardedSolver:
         from ..solver.step import RK45_A, RK45_B, RK414_A, RK414_B
         adv = self.p.adv_type
         residual = self._residual_shard
+        # shock capture after every stage + SVV pre-filter per step
+        # (closures are shard-shape agnostic; ref:src/HiFiLES.cpp:211-218)
+        post = self.base._post_stage
+        ps = post if post is not None else (lambda x: x)
+        pre = self.base._pre_step
 
         def sq(tree):
             return jax.tree.map(lambda v: v[0], tree)
@@ -561,26 +654,28 @@ class ShardedSolver:
             def rhs(x):
                 return residual(x, geo, tabs, sends, bcP)
 
+            if pre is not None:
+                u = pre(u)
             if adv == 0:
-                u = u + dt * rhs(u)
+                u = ps(u + dt * rhs(u))
             elif adv == 1:
                 u0 = u
                 for _ in range(3):
-                    u = u + dt / 3.0 * rhs(u)
-                u = 0.75 * u + 0.25 * u0 + dt / 4.0 * rhs(u)
+                    u = ps(u + dt / 3.0 * rhs(u))
+                u = ps(0.75 * u + 0.25 * u0 + dt / 4.0 * rhs(u))
             elif adv == 2:
                 u0 = u
-                u = u + dt / 2.0 * rhs(u)
-                u = u + dt / 2.0 * rhs(u)
-                u = u / 3.0 + 2.0 / 3.0 * u0 + dt / 6.0 * rhs(u)
-                u = u + dt / 2.0 * rhs(u)
+                u = ps(u + dt / 2.0 * rhs(u))
+                u = ps(u + dt / 2.0 * rhs(u))
+                u = ps(u / 3.0 + 2.0 / 3.0 * u0 + dt / 6.0 * rhs(u))
+                u = ps(u + dt / 2.0 * rhs(u))
             elif adv in (3, 4):
                 A = RK45_A if adv == 3 else RK414_A
                 Bc = RK45_B if adv == 3 else RK414_B
                 r = reg * 0.0
                 for s_ in range(len(A)):
                     r = A[s_] * r + dt * rhs(u)
-                    u = u + Bc[s_] * r
+                    u = ps(u + Bc[s_] * r)
                 reg = r
             return u[None], reg[None]
 

@@ -81,3 +81,54 @@ def test_sharded_matches_single_device_hex_viscous():
     s8.run(3, dt=p.dt)
     u_sh = s8.gather_u()
     np.testing.assert_allclose(u_sh, u_ref, rtol=0, atol=1e-12)
+
+
+def _tgv3d_input(les=0, sgs=0, shock=0):
+    import numpy as np
+    from hifiles_tpu.config.params import RunInput
+    p = RunInput()
+    p.equation = 0
+    p.viscous = 1
+    p.order = 2
+    p.ic_form = 7
+    p.adv_type = 3
+    p.riemann_solve_type = 3
+    p.dt_type = 0
+    p.vcjh_scheme_hexa = 1
+    p.dx_cyclic = p.dy_cyclic = p.dz_cyclic = 2 * np.pi
+    p.gamma, p.R_gas, p.fix_vis = 1.4, 286.9, 1
+    p.prandtl = 0.72
+    p.Mach_free_stream, p.T_free_stream = 0.1, 300.0
+    p.rho_free_stream = 0.0008421095852102401
+    p.mu_gas = 1.827e-5
+    p.L_free_stream = 1.0
+    p.Mach_c_ic, p.T_c_ic, p.rho_c_ic = 0.1, 300.0, 0.0008421095852102401
+    p.dt = 1.440389e-5
+    if les:
+        p.LES, p.SGS_model, p.C_s = 1, sgs, 0.1
+        p.filter_type, p.filter_ratio = 2, 2.0
+    if shock:
+        p.shock_cap, p.shock_det = 1, 0
+        p.s0, p.expf_fac, p.expf_order = -6.0, 4.0, 4
+    p.setup_params()
+    return p
+
+
+@pytest.mark.parametrize("les,sgs,shock", [(1, 1, 0), (1, 2, 0), (0, 0, 1)])
+def test_sharded_les_and_shock_capture_match_single(les, sgs, shock):
+    """Sharded LES (WALE + WSM incl. the third SGS-flux halo exchange) and
+    sharded shock capture match the single-device solver — these paths
+    previously dropped the terms silently."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from hifiles_tpu.mesh.generate import periodic_hex_mesh
+    from hifiles_tpu.solver.solver import Solver
+    mesh = periodic_hex_mesh(4, 2, 2)
+    s1 = Solver(_tgv3d_input(les, sgs, shock), mesh, dtype=jnp.float64)
+    s1.run(8, dt=s1.p.dt)
+    sh = ShardedSolver(_tgv3d_input(les, sgs, shock), mesh,
+                       devices=jax.devices()[:4], dtype=jnp.float64)
+    sh.run(8, dt=sh.p.dt)
+    np.testing.assert_allclose(sh.gather_u(), np.asarray(s1.u),
+                               rtol=0, atol=1e-12)
