@@ -383,10 +383,6 @@ class ShardedSolver:
         if t.n_bdy:
             # partitioned BC parameter tables: the bc closures take their
             # shard's P rows as an explicit operand inside shard_map
-            if any(getattr(b, "pressure_ramp", 0)
-                   for b in (run_input.bc_list or [])):
-                raise NotImplementedError(
-                    "sharded runs: BC ramping not wired yet")
             from ..solver.bc import _pack_params, make_bc_functions
             nfp = int(ops.n_fpts_per_face.max())
             self.bc_fns = make_bc_functions(run_input, block, self.rcfg,
@@ -405,6 +401,7 @@ class ShardedSolver:
             jnp.asarray(u0.reshape(self.n_shards, El, ops.n_upts,
                                    base.n_fields), dtype=dtype), sharding)
         self.reg = jnp.zeros_like(self.u)
+        self._iter_k = jnp.asarray(1, jnp.int32)  # ref:src/input.cpp:377
         self.time = 0.0
         self.n_fields = base.n_fields
 
@@ -485,9 +482,9 @@ class ShardedSolver:
                 return fv
             return adv_diff_viscous_flux(grad, cfg.diff_coeff)
 
-        def residual(u, geo, tab, sends, bcP):
+        def residual(u, geo, tab, sends, bcP, ramp=None):
             """u: (El, U, F) local block; geo/tab/sends/bcP: this shard's
-            rows."""
+            rows; ramp: traced iteration counter for BC ramping."""
             disu_f = jnp.einsum("pu,euf->epf", opp["opp_0"], u,
                                 preferred_element_type=dtype, precision=prec)
             flat = disu_f.reshape(El * Pf, nF)
@@ -528,8 +525,8 @@ class ShardedSolver:
                 u_c_halo = riemann.ldg_common_solution(u_hl, u_hr, norm_h,
                                                        cfg.ldg_beta)
                 if n_bdy:
-                    u_c_bdy = bc_fns.ldg_solution(u_bl, norm_b,
-                                                  P=bcP).reshape(-1, nF)
+                    u_c_bdy = bc_fns.ldg_solution(
+                        u_bl, norm_b, P=bcP, ramp=ramp).reshape(-1, nF)
                 else:
                     u_c_bdy = jnp.zeros((0, nF), dtype=dtype)
                 u_c_all = jnp.concatenate([
@@ -562,7 +559,8 @@ class ShardedSolver:
             fn_int = common_inv_flux(u_l, u_r, norm_l)
             fn_halo = common_inv_flux(u_hl, u_hr, norm_h)
             if n_bdy:
-                fn_bdy = bc_fns.inv_common_flux(u_bl, norm_b, P=bcP)
+                fn_bdy = bc_fns.inv_common_flux(u_bl, norm_b, P=bcP,
+                                                ramp=ramp)
             if cfg.viscous:
                 dsl = geo.get("delta_slot")
                 wsl = geo.get("wdist_slot")
@@ -600,7 +598,7 @@ class ShardedSolver:
                 if n_bdy:
                     fn_bdy = fn_bdy + bc_fns.visc_common_flux(
                         u_bl, grad_f[tab["bdy_slot"]], norm_b, None,
-                        P=bcP)
+                        P=bcP, ramp=ramp)
 
             fn_all = jnp.concatenate([
                 fn_int.reshape(-1, nF),
@@ -642,7 +640,10 @@ class ShardedSolver:
         def sq(tree):
             return jax.tree.map(lambda v: v[0], tree)
 
-        def shard_body(u, reg, dt, geo, tabs, sends, bcP):
+        has_ramp = any(getattr(b, "pressure_ramp", 0)
+                       for b in (self.p.bc_list or []))
+
+        def shard_body(u, reg, dt, k, geo, tabs, sends, bcP):
             u = u[0]        # (1, El, ...) -> (El, ...)
             reg = reg[0]
             dt = dt[0] if dt.ndim else dt
@@ -650,9 +651,10 @@ class ShardedSolver:
             tabs = sq(tabs)
             sends = sq(sends)
             bcP = sq(bcP)
+            ramp = k.astype(u.dtype) if has_ramp else None
 
             def rhs(x):
-                return residual(x, geo, tabs, sends, bcP)
+                return residual(x, geo, tabs, sends, bcP, ramp)
 
             if pre is not None:
                 u = pre(u)
@@ -685,21 +687,21 @@ class ShardedSolver:
             return jax.tree.map(
                 lambda v: P(self.axis, *([None] * (v.ndim - 1))), tree)
 
-        specs = (P(self.axis), P(self.axis), P(), sharded_spec(self.geo),
-                 sharded_spec(self.tabs), sharded_spec(self.send_idx),
-                 sharded_spec(self.bcP))
+        specs = (P(self.axis), P(self.axis), P(), P(),
+                 sharded_spec(self.geo), sharded_spec(self.tabs),
+                 sharded_spec(self.send_idx), sharded_spec(self.bcP))
 
-        def step_shard(u, reg, dt, geo, tabs, sends, bcP):
+        def step_shard(u, reg, dt, k, geo, tabs, sends, bcP):
             return shard_map(
                 shard_body, mesh=self.mesh, in_specs=specs,
                 out_specs=(P(self.axis), P(self.axis)),
-                check_vma=False)(u, reg, dt, geo, tabs, sends, bcP)
+                check_vma=False)(u, reg, dt, k, geo, tabs, sends, bcP)
 
         def run_chunk(state, dt, n_steps, geo, tabs, sends, bcP):
             def body(carry, _):
-                u, r = carry
-                u, r = step_shard(u, r, dt, geo, tabs, sends, bcP)
-                return (u, r), None
+                u, r, k = carry
+                u, r = step_shard(u, r, dt, k, geo, tabs, sends, bcP)
+                return (u, r, k + 1), None
             state, _ = jax.lax.scan(body, state, None, length=n_steps)
             return state
 
@@ -707,11 +709,11 @@ class ShardedSolver:
 
     # ------------------------------------------------------------------
     def run(self, n_steps: int, dt: float):
-        state = self._step_jit((self.u, self.reg),
-                               jnp.asarray(dt, self.dtype), n_steps,
-                               self.geo, self.tabs, self.send_idx,
-                               self.bcP)
-        self.u, self.reg = state
+        state = self._step_jit(
+            (self.u, self.reg, self._iter_k),
+            jnp.asarray(dt, self.dtype), n_steps,
+            self.geo, self.tabs, self.send_idx, self.bcP)
+        self.u, self.reg, self._iter_k = state
         self.time += dt * n_steps
         return self.u
 

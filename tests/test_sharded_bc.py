@@ -74,3 +74,30 @@ def test_sharded_wall_model_gated():
     mesh = channel_quad_mesh(8, 4, 0.0, 2.0, 0.0, 1.0)
     with pytest.raises(NotImplementedError):
         ShardedSolver(p, mesh, devices=jax.devices()[:4])
+
+
+def test_sharded_pressure_ramp_matches_single():
+    """SUB_IN_CHAR ramping sharded: the iteration counter rides the scan
+    carry and reaches the BC closures inside shard_map."""
+    from hifiles_tpu.config.params import SUB_IN_CHAR
+    mesh = channel_quad_mesh(8, 4, 0.0, 2.0, 0.0, 1.0)
+
+    def ramped():
+        p = channel_input(0)
+        p.bc_list[0] = BCParams(
+            name="Inflow", flag=SUB_IN_CHAR, p_total=30.0, T_total=350.0,
+            nx=1.0, ny=0.0, pressure_ramp=1, p_ramp_coeff=0.05,
+            T_ramp_coeff=0.0, p_total_old=20.0, T_total_old=350.0)
+        return p
+
+    from hifiles_tpu.solver.solver import Solver
+    s1 = Solver(ramped(), mesh, dtype=jnp.float64)
+    assert s1._has_ramp
+    s1.run(12, dt=1e-4)
+
+    sh = ShardedSolver(ramped(), mesh, devices=jax.devices()[:4],
+                       dtype=jnp.float64)
+    sh.run(12, dt=1e-4)
+    assert int(sh._iter_k) == 13
+    np.testing.assert_allclose(sh.gather_u(), np.asarray(s1.u),
+                               rtol=0, atol=1e-11)
