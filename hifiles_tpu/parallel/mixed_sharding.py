@@ -39,11 +39,11 @@ class ShardedMixedSolver:
                  dtype=jnp.float32, axis_name: str = "x"):
         from ..utils import enable_persistent_cache
         enable_persistent_cache()
-        if run_input.LES or run_input.RANS or run_input.wall_model \
-                or run_input.over_int or run_input.shock_cap:
+        if run_input.RANS or run_input.wall_model \
+                or (run_input.LES and run_input.SGS_model in (2, 4)):
             raise NotImplementedError(
-                "sharded mixed meshes: LES/RANS/wall models/over-int/"
-                "shock capture not wired yet")
+                "sharded mixed meshes: RANS / wall models / similarity "
+                "SGS not wired yet")
         self.p = run_input
         self.mesh = mesh
         self.dtype = dtype
@@ -86,7 +86,9 @@ class ShardedMixedSolver:
 
         # per-type geometry blocks (global; leading axis later split (n, .))
         blocks = {ct: build_element_block(
-            mesh, None, ops_by_ct[ct], sel=sels[ct], face_tables=False)
+            mesh, None, ops_by_ct[ct], sel=sels[ct], face_tables=False,
+            over_int_order=(run_input.over_int_order if run_input.over_int
+                            else None))
             for ct in cts}
         self.blocks = blocks
 
@@ -218,6 +220,9 @@ class ShardedMixedSolver:
         # --- per-shard geometry operands
         f = lambda a: jnp.asarray(a, dtype=dtype)
         i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
+        self.B = {ct: BlockArrays(blocks[ct], dtype) for ct in cts}
+        self.B_delta = {ct: self.B[ct].delta_slot for ct in cts}
+        self.B_wdist = {ct: self.B[ct].wdist_slot for ct in cts}
 
         def shard_flat(getter, trailing):
             """Per-type flat slot arrays -> (n, S_loc, *trailing)."""
@@ -238,12 +243,27 @@ class ShardedMixedSolver:
                 b.detjac_upts.reshape(n, E_loc[ct], U))
             self.geo[f"jginv_upts_{ct}"] = f(
                 b.jginv_upts.reshape(n, E_loc[ct], U, d, d))
+            if run_input.over_int:
+                C2 = b.jginv_over.shape[1]
+                self.geo[f"jginv_over_{ct}"] = f(
+                    b.jginv_over.reshape(n, E_loc[ct], C2, d, d))
+        if run_input.LES:
+            self.geo["delta_slot"] = f(shard_flat(
+                lambda ct: np.asarray(self.B_delta[ct]), ()))
+            self.geo["wdist_slot"] = f(shard_flat(
+                lambda ct: np.asarray(self.B_wdist[ct]), ()))
+            for ct in cts:
+                self.geo[f"delta_upts_{ct}"] = f(np.asarray(
+                    self.B[ct].delta_upts).reshape(
+                    n, E_loc[ct], ops_by_ct[ct].n_upts))
+                self.geo[f"wdist_upts_{ct}"] = f(np.asarray(
+                    self.B[ct].wdist_upts).reshape(
+                    n, E_loc[ct], ops_by_ct[ct].n_upts))
         self.tabs = dict(
             int_l=i32(int_l), int_r=i32(int_r), bdy=i32(bdy),
             halo_l=i32(halo_l), halo_recv=i32(halo_recv),
             slot_src=i32(slot_src), slot_sign=f(slot_sign))
         self.send_idx = {o: i32(v) for o, v in send_idx.items()}
-        self.B = {ct: BlockArrays(blocks[ct], dtype) for ct in cts}
 
         self.rcfg = ResidualConfig(
             equation=run_input.equation, viscous=bool(run_input.viscous),
@@ -257,7 +277,10 @@ class ShardedMixedSolver:
             ldg_beta=run_input.ldg_beta,
             wave_speed=tuple(run_input.wave_speed),
             lambda_lf=run_input.lambda_lf, diff_coeff=run_input.diff_coeff,
-            n_fields=nF)
+            n_fields=nF, over_int=bool(run_input.over_int),
+            les=bool(run_input.LES), sgs_model=run_input.SGS_model,
+            C_s=run_input.C_s, filter_ratio=run_input.filter_ratio,
+            filter_type=run_input.filter_type, kappa=run_input.Kappa)
 
         # boundary conditions (partitioned parameter tables)
         self.bc_fns = None
@@ -332,13 +355,21 @@ class ShardedMixedSolver:
             return riemann.lax_friedrichs_flux(u_l, u_r, norm, ws,
                                                cfg.lambda_lf)
 
-        def phys_visc_flux(u, grad):
+        def phys_visc_flux(u, grad, delta=None, wdist=None):
             if cfg.equation == 0:
-                return viscous_flux(
+                fv = viscous_flux(
                     u, grad, gamma=cfg.gamma, prandtl=cfg.prandtl,
                     mu_inf=cfg.mu_inf, rt_inf=cfg.rt_inf, c_sth=cfg.c_sth,
                     fix_vis=cfg.fix_vis, n_dims=d, rans=False,
                     prandtl_t=cfg.prandtl_t)
+                if cfg.les and cfg.sgs_model in (0, 1) and delta is not None:
+                    from ..models.sgs import sgs_flux
+                    fv = fv + sgs_flux(
+                        u, grad, cfg.filter_ratio * delta, wdist,
+                        sgs_model=cfg.sgs_model, C_s=cfg.C_s,
+                        gamma=cfg.gamma, prandtl_t=cfg.prandtl_t,
+                        n_dims=d, kappa=cfg.kappa)
+                return fv
             return adv_diff_viscous_flux(grad, cfg.diff_coeff)
 
         def residual(us, geo, tab, sends, bcP):
@@ -397,19 +428,31 @@ class ShardedMixedSolver:
             if n_bdy:
                 fn_bdy = bc_fns.inv_common_flux(u_bl, norm_b, P=bcP)
             if cfg.viscous:
+                sel = (lambda key, idx: geo[key][idx]
+                       if key in geo else None)
                 fn_int = fn_int + riemann.ldg_common_flux(
-                    u_l, u_r, phys_visc_flux(u_l, grad_f[tab["int_l"]]),
-                    phys_visc_flux(u_r, grad_f[tab["int_r"]]), norm_l,
-                    cfg.ldg_tau, cfg.ldg_beta)
+                    u_l, u_r,
+                    phys_visc_flux(u_l, grad_f[tab["int_l"]],
+                                   sel("delta_slot", tab["int_l"]),
+                                   sel("wdist_slot", tab["int_l"])),
+                    phys_visc_flux(u_r, grad_f[tab["int_r"]],
+                                   sel("delta_slot", tab["int_r"]),
+                                   sel("wdist_slot", tab["int_r"])),
+                    norm_l, cfg.ldg_tau, cfg.ldg_beta)
                 g_hl = grad_f[tab["halo_l"]]
                 grad_recv = exchange(
                     grad_f.reshape(flat.shape[0], nF * d), sends)
                 g_hr = (grad_recv[tab["halo_recv"]].reshape(g_hl.shape)
                         if grad_recv is not None else g_hl)
                 fn_halo = fn_halo + riemann.ldg_common_flux(
-                    u_hl, u_hr, phys_visc_flux(u_hl, g_hl),
-                    phys_visc_flux(u_hr, g_hr), norm_h, cfg.ldg_tau,
-                    cfg.ldg_beta)
+                    u_hl, u_hr,
+                    phys_visc_flux(u_hl, g_hl,
+                                   sel("delta_slot", tab["halo_l"]),
+                                   sel("wdist_slot", tab["halo_l"])),
+                    phys_visc_flux(u_hr, g_hr,
+                                   sel("delta_slot", tab["halo_l"]),
+                                   sel("wdist_slot", tab["halo_l"])),
+                    norm_h, cfg.ldg_tau, cfg.ldg_beta)
                 if n_bdy:
                     fn_bdy = fn_bdy + bc_fns.visc_common_flux(
                         u_bl, grad_f[tab["bdy"]], norm_b, None, P=bcP)
@@ -425,10 +468,30 @@ class ShardedMixedSolver:
             for i, ct in enumerate(cts):
                 b = B[ct]
                 lo, hi = seg[ct]
-                fl = phys_flux(us[i])
-                if cfg.viscous:
-                    fl = fl + phys_visc_flux(us[i], grad_u[i])
-                tdisf_cat = adj_apply_cat(geo[f"jginv_upts_{ct}"], fl)
+                if cfg.over_int:
+                    from ..solver.kernels import adj_apply
+                    u_over = opmat(b.opp_over, us[i], dtype, prec)
+                    tdisf = opmat_md(
+                        b.over_filter,
+                        adj_apply(geo[f"jginv_over_{ct}"],
+                                  phys_flux(u_over)), dtype, prec)
+                    if cfg.viscous:
+                        fv = phys_visc_flux(
+                            us[i], grad_u[i],
+                            geo.get(f"delta_upts_{ct}"),
+                            geo.get(f"wdist_upts_{ct}"))
+                        tdisf = tdisf + adj_apply(
+                            geo[f"jginv_upts_{ct}"], fv)
+                    tdisf_cat = jnp.concatenate(
+                        [tdisf[..., l] for l in range(d)], axis=1)
+                else:
+                    fl = phys_flux(us[i])
+                    if cfg.viscous:
+                        fl = fl + phys_visc_flux(
+                            us[i], grad_u[i],
+                            geo.get(f"delta_upts_{ct}"),
+                            geo.get(f"wdist_upts_{ct}"))
+                    tdisf_cat = adj_apply_cat(geo[f"jginv_upts_{ct}"], fl)
                 ntc = ntc_flat[lo:hi].reshape(E_loc[ct], b.n_fpts, nF)
                 div = opmat(b.opp_div_all,
                             jnp.concatenate([tdisf_cat, ntc], axis=1),
@@ -443,6 +506,26 @@ class ShardedMixedSolver:
         adv = self.p.adv_type
         residual = self._make_shard_residual()
         n_types = len(self.cts)
+        ps = lambda x: x
+        if self.p.shock_cap:
+            from ..ops.stabilization import make_shock_capture_fn
+            caps = {ct: make_shock_capture_fn(
+                self.ops_by_ct[ct], self.p.s0, self.p.expf_fac,
+                self.p.expf_order, self.p.expf_cutoff,
+                self.p.shock_det_field, self.n_dims, self.dtype)
+                for ct in self.cts}
+            ps = lambda ut: tuple(caps[ct](u)[0]
+                                  for ct, u in zip(self.cts, ut))
+        pre = None
+        if self.p.LES and self.p.SGS_model == 3:
+            from ..ops.les_filter import build_les_filter
+            svv = {ct: jnp.asarray(build_les_filter(
+                self.ops_by_ct[ct], self.p.filter_type,
+                self.p.filter_ratio), dtype=self.dtype)
+                for ct in self.cts}
+            pre = lambda ut: tuple(
+                jnp.einsum("ku,euf->ekf", svv[ct], u)
+                for ct, u in zip(self.cts, ut))
 
         def sq(tree):
             return jax.tree.map(lambda v: v[0], tree)
@@ -457,22 +540,25 @@ class ShardedMixedSolver:
                 return residual(x, geo, tabs, sends, bcP)
 
             tmap = jax.tree.map
+            if pre is not None:
+                us = pre(us)
             if adv == 0:
-                us = tmap(lambda u, k: u + dt * k, us, rhs(us))
+                us = ps(tmap(lambda u, k: u + dt * k, us, rhs(us)))
             elif adv == 1:     # SSP-RK24 (ref:src/eles.cpp:1117-1170)
                 u0 = us
                 for _ in range(3):
-                    us = tmap(lambda u, k: u + dt / 3.0 * k, us, rhs(us))
-                us = tmap(lambda u, u0i, k: 0.75 * u + 0.25 * u0i
-                          + dt / 4.0 * k, us, u0, rhs(us))
+                    us = ps(tmap(lambda u, k: u + dt / 3.0 * k, us,
+                                 rhs(us)))
+                us = ps(tmap(lambda u, u0i, k: 0.75 * u + 0.25 * u0i
+                             + dt / 4.0 * k, us, u0, rhs(us)))
             elif adv == 2:     # SSP-RK34 (ref:src/eles.cpp:1172-1220)
                 u0 = us
                 half = lambda u, k: u + dt / 2.0 * k
-                us = tmap(half, us, rhs(us))
-                us = tmap(half, us, rhs(us))
-                us = tmap(lambda u, u0i, k: u / 3.0 + 2.0 / 3.0 * u0i
-                          + dt / 6.0 * k, us, u0, rhs(us))
-                us = tmap(half, us, rhs(us))
+                us = ps(tmap(half, us, rhs(us)))
+                us = ps(tmap(half, us, rhs(us)))
+                us = ps(tmap(lambda u, u0i, k: u / 3.0 + 2.0 / 3.0 * u0i
+                             + dt / 6.0 * k, us, u0, rhs(us)))
+                us = ps(tmap(half, us, rhs(us)))
             elif adv in (3, 4):
                 A = RK45_A if adv == 3 else RK414_A
                 Bc = RK45_B if adv == 3 else RK414_B
@@ -480,7 +566,8 @@ class ShardedMixedSolver:
                 for s_ in range(len(A)):
                     r = tmap(lambda ri, ki, a=A[s_]: a * ri + dt * ki,
                              r, rhs(us))
-                    us = tmap(lambda ui, ri, b=Bc[s_]: ui + b * ri, us, r)
+                    us = ps(tmap(lambda ui, ri, b=Bc[s_]: ui + b * ri,
+                                 us, r))
                 regs = r
             else:
                 raise ValueError(f"adv_type {adv}")

@@ -54,3 +54,27 @@ def test_sharded_mixed_indivisible_rejected():
     with pytest.raises(ValueError, match="not divisible"):
         ShardedMixedSolver(vortex_input(), mesh,
                            devices=jax.devices()[:4])
+
+
+def test_sharded_mixed_les_shock_overint_match_single():
+    """Sharded mixed mesh with WALE LES, de-aliasing, and shock capture all
+    active matches the single-device MixedSolver."""
+    mesh = periodic_mixed_mesh_2d(8, 8, -10, 10, -10, 10)
+
+    def cfg():
+        p = vortex_input(viscous=1)
+        p.order = 3
+        p.LES, p.SGS_model, p.C_s = 1, 1, 0.5
+        p.filter_type, p.filter_ratio = 2, 2.0
+        p.over_int, p.over_int_order = 1, 4
+        p.shock_cap, p.shock_det = 1, 0
+        p.s0, p.expf_fac, p.expf_order = -6.0, 4.0, 4
+        return p
+
+    s1 = MixedSolver(cfg(), mesh, dtype=jnp.float64)
+    s1.run(10, dt=5e-4)
+    sh = ShardedMixedSolver(cfg(), mesh, devices=jax.devices()[:4],
+                            dtype=jnp.float64)
+    sh.run(10, dt=5e-4)
+    for a, b in zip(sh.gather_u(), s1.u):
+        np.testing.assert_allclose(a, np.asarray(b), rtol=0, atol=1e-11)
