@@ -4,8 +4,9 @@ TPU-native replacement of the reference's MPI layer
 (ref:src/mpi_inters.cpp:218-398 send/receive_solution & gradients,
 ref:src/mesh.cpp:72-313 ParMETIS partition):
 
-  * elements are partitioned into equal per-chip blocks and the state array
-    (E, U, F) is sharded on its element axis over a 1-D device mesh
+  * elements are partitioned into near-balanced per-chip blocks (padded
+    with frozen clone elements when counts are unequal) and the state
+    array (E, U, F) is sharded on its element axis over a 1-D device mesh
   * faces whose two elements live on different chips become *halo faces*;
     each side computes the face flux itself from its own outward normal
     (exactly the reference's mpi_inters contract, where both ranks run the
@@ -30,7 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..mesh.core import FaceConnectivity, MeshData, build_faces
-from ..models.euler import inviscid_flux
+from ..models.euler import inviscid_flux, max_wavespeed
 from ..models.viscous import adv_diff_viscous_flux, viscous_flux
 from ..ops import riemann
 from ..solver.elements import (build_element_block, match_fpts,
@@ -65,10 +66,13 @@ class ShardTables:
 
 
 def _contiguous_partition(n_eles: int, n_shards: int) -> np.ndarray:
-    if n_eles % n_shards:
-        raise ValueError(f"{n_eles} elements not divisible by {n_shards} "
-                         f"shards (padding not implemented yet)")
-    return np.repeat(np.arange(n_shards), n_eles // n_shards)
+    """Near-balanced contiguous chunks; the first ``n_eles % n_shards``
+    shards get one extra element.  Shards below the max size are padded
+    with clone elements by the solver (the reference's ParMETIS partition
+    is likewise only near-balanced, ref:src/mesh.cpp:169)."""
+    base, extra = divmod(n_eles, n_shards)
+    sizes = base + (np.arange(n_shards) < extra)
+    return np.repeat(np.arange(n_shards), sizes)
 
 
 def graph_partition(conn: FaceConnectivity, n_cells: int,
@@ -130,25 +134,24 @@ def graph_partition(conn: FaceConnectivity, n_cells: int,
 def build_shard_tables(conn: FaceConnectivity, shard_of: np.ndarray,
                        n_shards: int, Pf: int,
                        n_fpts_per_face: np.ndarray, order: int,
-                       perm: np.ndarray,
+                       loc_of: np.ndarray, El: int,
                        pos_fpts: np.ndarray | None = None) -> ShardTables:
     """Construct halo-aware per-shard slot tables.
 
-    ``shard_of``/``perm``: element partition and the reordering such that
-    shard s owns new-index elements [s*El, (s+1)*El).  Faces of different
+    ``shard_of``/``loc_of``: per-element shard id and local index within the
+    shard; ``El`` is the (max, padded) per-shard block size.  Local indices
+    in [sizes[s], El) are padding clones with no faces — their slots get
+    slot_sign 0, so they receive no face correction.  Faces of different
     shapes (prisms) have different fpt counts; rows are padded to nfp_max
     with slot 0, never referenced through slot_src.
     """
-    El = perm.size // n_shards
-    inv = np.empty_like(perm)
-    inv[perm] = np.arange(perm.size)
+    sizes = np.bincount(shard_of, minlength=n_shards)
     n_fpts_per_face = np.asarray(n_fpts_per_face, dtype=np.int64)
     fpt_off = np.concatenate([[0], np.cumsum(n_fpts_per_face)])
     nfp = int(n_fpts_per_face.max())      # row width (padded)
 
     def local_slots(e_old, locf, lut_perm=None):
-        e_new = inv[e_old]
-        s, e_loc = divmod(e_new, El)
+        s, e_loc = int(shard_of[e_old]), int(loc_of[e_old])
         j = np.arange(int(n_fpts_per_face[locf])) if lut_perm is None \
             else lut_perm
         return s, e_loc * Pf + fpt_off[locf] + j
@@ -258,8 +261,14 @@ def build_shard_tables(conn: FaceConnectivity, shard_of: np.ndarray,
                 slot_sign[s, sl] = 1.0
                 k += 1
 
-    if np.any(slot_src < 0):
-        raise AssertionError("uncovered slots in sharded tables")
+    # padding-clone slots (local element index >= sizes[s]) have no faces:
+    # point them at entry 0 with sign 0 so they gather zero correction
+    for s in range(n_shards):
+        pad_lo = int(sizes[s]) * Pf
+        pad = slot_src[s, pad_lo:]
+        if np.any(slot_src[s, :pad_lo] < 0):
+            raise AssertionError("uncovered slots in sharded tables")
+        slot_src[s, pad_lo:] = np.where(pad < 0, 0, pad)
 
     send_idx = {}
     for o in offsets:
@@ -311,35 +320,55 @@ class ShardedSolver:
         shard_of = (partition if partition is not None
                     else _contiguous_partition(E, self.n_shards))
         sizes = np.bincount(shard_of, minlength=self.n_shards)
-        if not np.all(sizes == sizes[0]):
-            raise ValueError(f"shards must be equal-sized, got {sizes}")
+        El = int(sizes.max())
+        # owner[s, i] = original element id of shard s's i-th local slot;
+        # shards below El are padded with clones of their first element
+        # (finite geometry + state; zero face correction via slot_sign 0)
         order = np.argsort(shard_of, kind="stable")
-        self.perm = order
-        El = E // self.n_shards
+        loc_of = np.empty(E, dtype=np.int64)
+        owner = np.empty((self.n_shards, El), dtype=np.int64)
+        pad_mask = np.zeros((self.n_shards, El))
+        off = 0
+        for s in range(self.n_shards):
+            mine = order[off:off + sizes[s]]
+            off += sizes[s]
+            loc_of[mine] = np.arange(sizes[s])
+            owner[s, :sizes[s]] = mine
+            owner[s, sizes[s]:] = mine[0] if sizes[s] else 0
+            pad_mask[s, :sizes[s]] = 1.0
+        self.owner = owner
+        self.pad_mask = pad_mask
+        self.sizes = sizes
+        owner_flat = owner.reshape(-1)
+        # original-element index per (padded) shard slot: u0[perm] scatters
+        # a full-mesh array into the sharded layout (clones included)
+        self.perm = owner_flat
         self.n_eles, self.El = E, El
         Pf = ops.n_fpts
 
         self.tables = build_shard_tables(
             conn, shard_of, self.n_shards, Pf, ops.n_fpts_per_face,
-            ops.order, order,
+            ops.order, loc_of, El,
             pos_fpts=block.pos_fpts.reshape(E, Pf, -1))
 
-        # reorder per-element geometry into shard-major order and stack
+        # reorder per-element geometry into shard-major (padded) order
         f = lambda a: jnp.asarray(a, dtype=dtype)
         self.geo = dict(
-            detjac_upts=f(block.detjac_upts[order].reshape(
+            detjac_upts=f(block.detjac_upts[owner_flat].reshape(
                 self.n_shards, El, ops.n_upts)),
-            jginv_upts=f(block.jginv_upts[order].reshape(
+            jginv_upts=f(block.jginv_upts[owner_flat].reshape(
                 self.n_shards, El, ops.n_upts, ops.n_dims, ops.n_dims)),
-            tdA=f(block.tdA_fpts.reshape(E, Pf)[order].reshape(
+            tdA=f(block.tdA_fpts.reshape(E, Pf)[owner_flat].reshape(
                 self.n_shards, El * Pf)),
-            norm=f(block.norm_fpts.reshape(E, Pf, -1)[order].reshape(
+            norm=f(block.norm_fpts.reshape(E, Pf, -1)[owner_flat].reshape(
                 self.n_shards, El * Pf, ops.n_dims)),
-            detjac_fpts=f(block.detjac_fpts.reshape(E, Pf)[order].reshape(
-                self.n_shards, El * Pf)),
-            jginv_fpts=f(block.jginv_fpts.reshape(E, Pf, ops.n_dims,
-                                                  ops.n_dims)[order].reshape(
+            detjac_fpts=f(block.detjac_fpts.reshape(
+                E, Pf)[owner_flat].reshape(self.n_shards, El * Pf)),
+            jginv_fpts=f(block.jginv_fpts.reshape(
+                E, Pf, ops.n_dims, ops.n_dims)[owner_flat].reshape(
                 self.n_shards, El * Pf, ops.n_dims, ops.n_dims)),
+            h_ref=f(block.h_ref[owner_flat].reshape(self.n_shards, El)),
+            pad_mask=f(pad_mask),
         )
         if run_input.LES or run_input.RANS:
             # LES cutoff length / wall distance per shard (the base Solver
@@ -347,15 +376,15 @@ class ShardedSolver:
             from ..solver.residual import BlockArrays as _BA
             ba = _BA(block, dtype)
             self.geo["delta_upts"] = f(np.asarray(
-                ba.delta_upts)[order].reshape(self.n_shards, El,
-                                              ops.n_upts))
+                ba.delta_upts)[owner_flat].reshape(self.n_shards, El,
+                                                   ops.n_upts))
             self.geo["wdist_upts"] = f(np.asarray(
-                ba.wdist_upts)[order].reshape(self.n_shards, El,
-                                              ops.n_upts))
+                ba.wdist_upts)[owner_flat].reshape(self.n_shards, El,
+                                                   ops.n_upts))
             self.geo["delta_slot"] = f(np.asarray(ba.delta_slot).reshape(
-                E, Pf)[order].reshape(self.n_shards, El * Pf))
+                E, Pf)[owner_flat].reshape(self.n_shards, El * Pf))
             self.geo["wdist_slot"] = f(np.asarray(ba.wdist_slot).reshape(
-                E, Pf)[order].reshape(self.n_shards, El * Pf))
+                E, Pf)[owner_flat].reshape(self.n_shards, El * Pf))
         self.opp = dict(
             opp_0=f(ops.opp_0), opp_2_cat=f(ops.opp_2_cat),
             opp_3=f(ops.opp_3), opp_div_fused=f(ops.opp_div_fused),
@@ -393,8 +422,8 @@ class ShardedSolver:
                 v, dtype=dtype if k != "flag" else jnp.int32)
                 for k, v in P_np.items()}
 
-        # initial condition, shard-ordered
-        u0 = initial_condition(run_input, block.pos_upts[order],
+        # initial condition, shard-ordered (padding clones included)
+        u0 = initial_condition(run_input, block.pos_upts[owner_flat],
                                base.n_fields)
         sharding = NamedSharding(self.mesh, P(self.axis))
         self.u = jax.device_put(
@@ -622,7 +651,9 @@ class ShardedSolver:
                     c_b2=cfg.c_b2, c_w2=cfg.c_w2, c_w3=cfg.c_w3,
                     omega=cfg.omega, n_dims=d)
                 rhs = rhs.at[..., d + 2].add(src)
-            return rhs
+            # freeze padding clones (unequal shard sizes): no face terms
+            # reference them, and zero rhs keeps them at their finite IC
+            return rhs * geo["pad_mask"][:, None, None]
 
         return residual
 
@@ -687,7 +718,11 @@ class ShardedSolver:
             return jax.tree.map(
                 lambda v: P(self.axis, *([None] * (v.ndim - 1))), tree)
 
-        specs = (P(self.axis), P(self.axis), P(), P(),
+        # local time stepping (dt_type 2) passes a per-element dt array
+        # sharded like the state; global/fixed dt is a replicated scalar
+        dt_spec = (P(self.axis, None, None, None)
+                   if self.p.dt_type == 2 else P())
+        specs = (P(self.axis), P(self.axis), dt_spec, P(),
                  sharded_spec(self.geo), sharded_spec(self.tabs),
                  sharded_spec(self.send_idx), sharded_spec(self.bcP))
 
@@ -708,20 +743,126 @@ class ShardedSolver:
         return run_chunk
 
     # ------------------------------------------------------------------
-    def run(self, n_steps: int, dt: float):
+    def _sharded_spec(self, tree):
+        return jax.tree.map(
+            lambda v: P(self.axis, *([None] * (v.ndim - 1))), tree)
+
+    def _make_dt_fn(self):
+        """CFL dt with an in-mesh lax.pmin — the reference's
+        MPI_Allreduce(MIN) (ref:src/solver.cpp:484-549; per-element formula
+        ref:src/eles.cpp:1267-1356).  dt_type 1 returns a replicated scalar;
+        dt_type 2 a sharded (n_shards, El, 1, 1) local-dt array with
+        padding clones frozen at dt=0."""
+        p = self.p
+        cfg = self.rcfg
+        d = self.base.ops.n_dims
+        order = self.base.ops.order
+        axis = self.axis
+        viscous = bool(p.viscous) and cfg.equation == 0
+        local = p.dt_type == 2
+
+        def dt_body(u, h_ref, pad_mask):
+            u, h_ref, pad_mask = u[0], h_ref[0], pad_mask[0]
+            lam = max_wavespeed(u, cfg.gamma, d).max(axis=1)
+            dt_ele = p.CFL * h_ref / lam / (2 * order + 1)
+            if viscous:
+                from ..models.viscous import sutherland_mu
+                rho = u[..., 0]
+                ke = 0.5 * jnp.sum(u[..., 1:1 + d] ** 2, axis=-1) / rho
+                inte = (u[..., d + 1] - ke) / rho
+                mu = sutherland_mu(inte, cfg.gamma, cfg.mu_inf, cfg.rt_inf,
+                                   cfg.c_sth, cfg.fix_vis)
+                lam_v = (max(4.0 / 3.0, cfg.gamma / cfg.prandtl)
+                         * mu / rho).max(axis=1)
+                dt_ele = jnp.minimum(
+                    dt_ele,
+                    p.CFL * 0.25 * h_ref ** 2 / lam_v / (2 * order + 1))
+            if local:
+                return jnp.where(pad_mask > 0, dt_ele, 0.0)[None, :, None,
+                                                            None]
+            masked = jnp.where(pad_mask > 0, dt_ele, jnp.inf)
+            return jax.lax.pmin(masked.min(), axis)
+
+        from jax import shard_map
+        out_spec = (P(axis, None, None, None) if local else P())
+        fn = shard_map(
+            dt_body, mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis), P(self.axis)),
+            out_specs=out_spec, check_vma=False)
+        return jax.jit(fn)
+
+    def compute_dt(self):
+        """Sharded CFL time step (never gathers state to the host)."""
+        if self.p.dt_type == 0:
+            return self.p.dt
+        if self.rcfg.equation != 0:
+            return self.p.dt
+        if not hasattr(self, "_dt_jit"):
+            self._dt_jit = self._make_dt_fn()
+        return self._dt_jit(self.u, self.geo["h_ref"],
+                            self.geo["pad_mask"])
+
+    def norm_residual(self, norm_type: int = 2) -> np.ndarray:
+        """Residual norms via lax.psum / pmax inside shard_map — the
+        reference's MPI_Reduce monitoring (ref:src/output.cpp:2166-2247),
+        with the same normalization as Solver.residual_norm: L1 =
+        sum|r|/n_pts, L2 = sqrt(sum r^2)/n_pts, inf = max|r|."""
+        if not hasattr(self, "_norm_jit"):
+            self._norm_jit = {}
+        if norm_type not in self._norm_jit:
+            residual = self._residual_shard
+            axis = self.axis
+            U = self.base.ops.n_upts
+            n_pts = self.n_eles * U
+
+            def norm_body(u, geo, tabs, sends, bcP):
+                sq = lambda tree: jax.tree.map(lambda v: v[0], tree)
+                r = residual(u[0], sq(geo), sq(tabs), sq(sends), sq(bcP))
+                r = r * sq(geo)["pad_mask"][:, None, None]
+                if norm_type == 1:
+                    return jax.lax.psum(
+                        jnp.abs(r).sum(axis=(0, 1)), axis) / n_pts
+                if norm_type == 2:
+                    return jnp.sqrt(jax.lax.psum(
+                        (r * r).sum(axis=(0, 1)), axis)) / n_pts
+                return jax.lax.pmax(jnp.abs(r).max(axis=(0, 1)), axis)
+
+            from jax import shard_map
+            specs = (P(self.axis), self._sharded_spec(self.geo),
+                     self._sharded_spec(self.tabs),
+                     self._sharded_spec(self.send_idx),
+                     self._sharded_spec(self.bcP))
+            self._norm_jit[norm_type] = jax.jit(shard_map(
+                norm_body, mesh=self.mesh, in_specs=specs,
+                out_specs=P(), check_vma=False))
+        return np.asarray(self._norm_jit[norm_type](
+            self.u, self.geo, self.tabs, self.send_idx, self.bcP))
+
+    def run(self, n_steps: int, dt=None):
+        if dt is None:
+            dt = self.compute_dt()
+        if isinstance(dt, (int, float)):
+            dt_j = jnp.asarray(dt, self.dtype)
+            dt_min = float(dt)
+        else:
+            dt_j = jnp.asarray(dt, self.dtype)
+            dt_min = float(jnp.where(dt_j > 0, dt_j, jnp.inf).min()) \
+                if dt_j.ndim else float(dt_j)
         state = self._step_jit(
-            (self.u, self.reg, self._iter_k),
-            jnp.asarray(dt, self.dtype), n_steps,
+            (self.u, self.reg, self._iter_k), dt_j, n_steps,
             self.geo, self.tabs, self.send_idx, self.bcP)
         self.u, self.reg, self._iter_k = state
-        self.time += dt * n_steps
+        self.time += dt_min * n_steps
         return self.u
 
     def gather_u(self) -> np.ndarray:
-        """Solution in the original element ordering (E, U, F)."""
-        u = np.asarray(self.u).reshape(self.n_eles, -1, self.n_fields)
-        out = np.empty_like(u)
-        out[self.perm] = u
+        """Solution in the original element ordering (E, U, F), padding
+        clones dropped."""
+        u = np.asarray(self.u).reshape(self.n_shards * self.El, -1,
+                                       self.n_fields)
+        real = self.pad_mask.reshape(-1) > 0
+        out = np.empty((self.n_eles,) + u.shape[1:], dtype=u.dtype)
+        out[self.owner.reshape(-1)[real]] = u[real]
         return out
 
     # ------------------------------------------------------------------
@@ -753,7 +894,8 @@ class ShardedSolver:
         t = read_restart(path, v)
         u = np.asarray(v.u)
         self.u = jax.device_put(
-            jnp.asarray(u[self.perm].reshape(self.u.shape), self.dtype),
+            jnp.asarray(u[self.owner.reshape(-1)].reshape(self.u.shape),
+                        self.dtype),
             self.u.sharding)
         self.time = t
         return t

@@ -132,3 +132,100 @@ def test_sharded_les_and_shock_capture_match_single(les, sgs, shock):
     sh.run(8, dt=sh.p.dt)
     np.testing.assert_allclose(sh.gather_u(), np.asarray(s1.u),
                                rtol=0, atol=1e-12)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_unequal_shard_sizes_match_single():
+    """15 quads on 8 shards (sizes 2..2,1): padding clones are frozen and
+    the real solution matches single-device to roundoff."""
+    p = vortex_input(order=2)
+    mesh = periodic_quad_mesh(5, 3, -5, 5, -5, 5)
+
+    s1 = Solver(p, mesh, dtype=jnp.float64)
+    s1.run(5, dt=1e-3)
+    u_ref = np.asarray(s1.u)
+
+    s8 = ShardedSolver(p, mesh, dtype=jnp.float64)
+    assert s8.n_shards == 8
+    assert s8.sizes.min() != s8.sizes.max()   # genuinely unequal
+    s8.run(5, dt=1e-3)
+    np.testing.assert_allclose(s8.gather_u(), u_ref, rtol=0, atol=1e-12)
+    # padding clones stayed finite
+    assert np.isfinite(np.asarray(s8.u)).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_cylinder_unequal_shards():
+    """The reference cylinder mesh (1074 tris, not divisible by 8) sharded
+    onto 8 devices matches the single-device run (VERDICT r1 item 4)."""
+    import os
+    from hifiles_tpu.config import Deck
+    from hifiles_tpu.mesh.gambit import read_gambit
+    from tests.test_cylinder import CYL_DECK, CYL_MESH
+    if not os.path.exists(CYL_MESH):
+        pytest.skip("reference absent")
+    mesh = read_gambit(CYL_MESH)
+
+    p1 = RunInput.from_deck(Deck(CYL_DECK, "cyl"))
+    s1 = Solver(p1, mesh, dtype=jnp.float64)
+    s1.run(5, dt=5e-5)
+
+    p8 = RunInput.from_deck(Deck(CYL_DECK, "cyl"))
+    s8 = ShardedSolver(p8, mesh, dtype=jnp.float64, partition="graph")
+    assert mesh.n_cells % 8 != 0          # genuinely non-divisible
+    assert s8.sizes.sum() == mesh.n_cells
+    s8.run(5, dt=5e-5)
+    # dimensional deck (energy ~2.5e5): roundoff agreement is relative
+    np.testing.assert_allclose(s8.gather_u(), np.asarray(s1.u),
+                               rtol=1e-12, atol=1e-9)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_cfl_dt_and_residual_norms_match_single():
+    """dt_type 1 via lax.pmin and residual norms via psum/pmax agree with
+    the single-device host-side computations (VERDICT r1 item 5)."""
+    p = _tgv3d_input()
+    p.dt_type = 1
+    p.CFL = 0.25
+    mesh = periodic_hex_mesh(4, 2, 2)
+    s1 = Solver(p, mesh, dtype=jnp.float64)
+
+    p8 = _tgv3d_input()
+    p8.dt_type = 1
+    p8.CFL = 0.25
+    s8 = ShardedSolver(p8, mesh, devices=jax.devices()[:4],
+                       dtype=jnp.float64)
+    dt1 = s1.compute_dt()
+    dt8 = float(s8.compute_dt())
+    assert abs(dt8 - dt1) <= 1e-12 * abs(dt1)
+
+    for nt in (0, 1, 2):
+        n1 = s1.residual_norm(nt)
+        n8 = s8.norm_residual(nt)
+        np.testing.assert_allclose(n8, n1, rtol=1e-11, atol=1e-14)
+
+    # a CFL-driven sharded run (dt=None path) matches single-device
+    s1.run(3)
+    s8.run(3)
+    np.testing.assert_allclose(s8.gather_u(), np.asarray(s1.u),
+                               rtol=0, atol=1e-12)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_local_dt_matches_single():
+    """dt_type 2 (local time stepping) sharded == single-device."""
+    p = vortex_input(order=2)
+    p.dt_type = 2
+    p.CFL = 0.3
+    mesh = periodic_quad_mesh(8, 8, -5, 5, -5, 5)
+    s1 = Solver(p, mesh, dtype=jnp.float64)
+    dt_ele = s1.compute_dt()
+    s1.run(3, dt=dt_ele)
+
+    p8 = vortex_input(order=2)
+    p8.dt_type = 2
+    p8.CFL = 0.3
+    s8 = ShardedSolver(p8, mesh, dtype=jnp.float64)
+    s8.run(3)
+    np.testing.assert_allclose(s8.gather_u(), np.asarray(s1.u),
+                               rtol=0, atol=1e-12)
