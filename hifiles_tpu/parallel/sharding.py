@@ -55,6 +55,7 @@ class ShardTables:
     bdy_slot: np.ndarray      # (n, Fb_max, nfp)
     bdy_bcid: np.ndarray      # (n, Fb_max) group id; 0 on padding rows
     bdy_mask: np.ndarray      # (n, Fb_max) 1 = real boundary face
+    bdy_face: np.ndarray      # (n, Fb_max) original boundary-face index
     halo_slot_l: np.ndarray   # (n, Fh_max, nfp) local left slots
     halo_recv_idx: np.ndarray  # (n, Fh_max, nfp) index into concat recv bufs
     send_idx: dict            # offset -> (n, n_send_max) local slot ids
@@ -183,7 +184,7 @@ def build_shard_tables(conn: FaceConnectivity, shard_of: np.ndarray,
 
     for f in range(conn.bdy_ele.size):
         s, sl = local_slots(conn.bdy_ele[f], conn.bdy_locf[f])
-        bdys[s].append((sl, int(conn.bdy_bcid[f])))
+        bdys[s].append((sl, int(conn.bdy_bcid[f]), f))
 
     Fi = max(len(x) for x in ints) if any(ints) else 0
     Fb = max(len(x) for x in bdys) if any(bdys) else 0
@@ -196,6 +197,7 @@ def build_shard_tables(conn: FaceConnectivity, shard_of: np.ndarray,
     bdy = np.zeros((n_shards, Fb, nfp), dtype=np.int64)
     bdy_bcid = np.zeros((n_shards, Fb), dtype=np.int64)
     bdy_mask = np.zeros((n_shards, Fb))
+    bdy_face = np.zeros((n_shards, Fb), dtype=np.int64)
     halo_l = np.zeros((n_shards, Fh, nfp), dtype=np.int64)
     halo_recv = np.zeros((n_shards, Fh, nfp), dtype=np.int64)
     slot_src = -np.ones((n_shards, S_loc), dtype=np.int64)
@@ -231,11 +233,12 @@ def build_shard_tables(conn: FaceConnectivity, shard_of: np.ndarray,
             slot_src[s, sr] = base
             slot_sign[s, sr] = -1.0
         # boundary
-        for k, (sl, bid) in enumerate(bdys[s]):
+        for k, (sl, bid, fidx) in enumerate(bdys[s]):
             m = sl.size
             bdy[s, k, :m] = sl
             bdy_bcid[s, k] = bid
             bdy_mask[s, k] = 1.0
+            bdy_face[s, k] = fidx
             base = (Fi + k) * nfp + np.arange(m)
             slot_src[s, sl] = base
             slot_sign[s, sl] = 1.0
@@ -280,6 +283,7 @@ def build_shard_tables(conn: FaceConnectivity, shard_of: np.ndarray,
 
     return ShardTables(int_slot_l=int_l, int_slot_r=int_r, bdy_slot=bdy,
                        bdy_bcid=bdy_bcid, bdy_mask=bdy_mask,
+                       bdy_face=bdy_face,
                        halo_slot_l=halo_l, halo_recv_idx=halo_recv,
                        send_idx=send_idx, slot_src=slot_src,
                        slot_sign=slot_sign, n_int=Fi, n_bdy=Fb, n_halo=Fh)
@@ -302,12 +306,6 @@ class ShardedSolver:
         self.p = run_input
         self.dtype = dtype
 
-        if run_input.wall_model or any(
-                getattr(b, "inlet_type", 0)
-                for b in (run_input.bc_list or [])):
-            raise NotImplementedError(
-                "sharded runs: wall models / turbulent inlets not "
-                "partitioned yet")
         # reuse the single-device setup for geometry/ops/conn
         base = Solver(run_input, mesh_data, dtype=dtype)
         self.base = base
@@ -418,9 +416,101 @@ class ShardedSolver:
                                             dtype)
             bcid = np.repeat(t.bdy_bcid[:, :, None], nfp, axis=2)
             P_np = _pack_params(run_input, bcid, ops.n_dims)  # (n,Fb,nfp,..)
+            # padding rows (bdy_mask 0) carry group-0 params; they are
+            # computed but never gathered through slot_src
+            P_np["use_wm"] = P_np["use_wm"] * t.bdy_mask[:, :, None]
             self.bcP = {k: jnp.asarray(
                 v, dtype=dtype if k != "flag" else jnp.int32)
                 for k, v in P_np.items()}
+            self._P_np = P_np
+
+        # wall-model input points, shard-local (the input point is a
+        # solution point of the face's own element, so the tables are
+        # per-shard gathers with no extra exchange;
+        # ref:src/eles.cpp:4873-4903, ref:src/bdy_inters.cpp:1095-1131)
+        self.has_wm = bool(run_input.wall_model) and t.n_bdy \
+            and bool(np.any(P_np["use_wm"] > 0))
+        if self.has_wm:
+            from ..solver.bc import build_wm_tables
+            use_wm_face = np.array(
+                [run_input.bc_list[int(b)].use_wm
+                 for b in block.bdy_bcid], dtype=np.float64)
+            wm_ele_g, wm_upt_g, wm_dist_g = build_wm_tables(block,
+                                                            use_wm_face)
+            Fb = t.bdy_face.shape[1]
+            wm_ele = np.zeros((self.n_shards, Fb), dtype=np.int64)
+            wm_upt = np.zeros((self.n_shards, Fb), dtype=np.int64)
+            wm_dist = np.ones((self.n_shards, Fb))
+            for s in range(self.n_shards):
+                for k in range(Fb):
+                    if t.bdy_mask[s, k] <= 0:
+                        continue
+                    fg = int(t.bdy_face[s, k])
+                    if use_wm_face[fg] <= 0:
+                        continue
+                    assert shard_of[wm_ele_g[fg]] == s
+                    wm_ele[s, k] = loc_of[wm_ele_g[fg]]
+                    wm_upt[s, k] = wm_upt_g[fg]
+                    wm_dist[s, k] = wm_dist_g[fg]
+            self.tabs["wm_ele"] = i32(wm_ele)
+            self.tabs["wm_upt"] = i32(wm_upt)
+            self.geo["wm_dist"] = f(wm_dist)
+
+        # turbulent inlet (white noise / SEM), partitioned: per-shard
+        # inlet-face tables + replicated eddy state; the plane reductions
+        # go through lax.psum inside the core (the reference's
+        # MPI_Allreduce, ref:src/bdy_inters.cpp:2059-2101, :1891-1990)
+        self._ti_core = None
+        self._ti_state = ()
+        self.tiP = {}
+        if base.turb_inlet is not None:
+            from ..solver.bc import _pack_params as _pp
+            from ..solver.turb_inlet import inlet_host_setup, make_fluc_core
+            c = inlet_host_setup(run_input, block, seed=0)
+            Fb_s = t.bdy_face.shape[1]
+            row_of = {}
+            for s in range(self.n_shards):
+                for k in range(Fb_s):
+                    if t.bdy_mask[s, k] > 0:
+                        row_of[int(t.bdy_face[s, k])] = (s, k)
+            per = [[] for _ in range(self.n_shards)]
+            for j, fg in enumerate(c.in_faces):
+                s, k = row_of[int(fg)]
+                per[s].append((j, k))
+            Fin = max(1, max(len(x) for x in per))
+            nfp = t.bdy_slot.shape[2]
+            # pad rows point out of range; the fluc scatter drops them
+            ti_row = np.full((self.n_shards, Fin), Fb_s, dtype=np.int64)
+            ti_gidx = np.zeros((self.n_shards, Fin), dtype=np.int64)
+            ti_pos3 = np.zeros((self.n_shards, Fin, nfp, 3))
+            ti_wdA = np.zeros((self.n_shards, Fin, nfp))
+            ti_mask = np.zeros((self.n_shards, Fin, nfp))
+            ti_norm = np.zeros((self.n_shards, Fin, nfp, ops.n_dims))
+            bcid_in = np.zeros((self.n_shards, Fin, nfp), dtype=np.int64)
+            for s in range(self.n_shards):
+                for i, (j, k) in enumerate(per[s]):
+                    ti_row[s, i] = k
+                    ti_gidx[s, i] = j
+                    ti_pos3[s, i] = c.pos3[j]
+                    ti_wdA[s, i] = c.wdA[j]
+                    ti_mask[s, i] = c.mask[j]
+                    ti_norm[s, i] = c.norm[j]
+                    bcid_in[s, i] = t.bdy_bcid[s, k]
+            self.tabs["ti_row"] = i32(ti_row)
+            self.tabs["ti_gidx"] = i32(ti_gidx)
+            self.geo["ti_pos3"] = f(ti_pos3)
+            self.geo["ti_wdA"] = f(ti_wdA)
+            self.geo["ti_mask"] = f(ti_mask)
+            self.geo["ti_norm"] = f(ti_norm)
+            self.tiP = {k_: jnp.asarray(
+                v, dtype=dtype if k_ != "flag" else jnp.int32)
+                for k_, v in _pp(run_input, bcid_in, ops.n_dims).items()}
+            self._ti_core = make_fluc_core(c, self.bc_fns, dtype,
+                                           psum_axis=self.axis)
+            self._ti_state = (f(c.eddy0), f(c.sgn0),
+                              jax.random.PRNGKey(c.seed))
+        # inlet metadata for the SEM sidecar restart (io/restart.py)
+        self.turb_inlet = base.turb_inlet
 
         # initial condition, shard-ordered (padding clones included)
         u0 = initial_condition(run_input, block.pos_upts[owner_flat],
@@ -485,6 +575,7 @@ class ShardedSolver:
             return riemann.lax_friedrichs_flux(u_l, u_r, norm, ws,
                                                cfg.lambda_lf)
 
+        has_wm = getattr(self, "has_wm", False)
         use_similarity = cfg.les and cfg.sgs_model in (2, 4)
         if use_similarity:
             from ..ops.les_filter import build_les_filter
@@ -511,9 +602,10 @@ class ShardedSolver:
                 return fv
             return adv_diff_viscous_flux(grad, cfg.diff_coeff)
 
-        def residual(u, geo, tab, sends, bcP, ramp=None):
+        def residual(u, geo, tab, sends, bcP, ramp=None, fluc=None):
             """u: (El, U, F) local block; geo/tab/sends/bcP: this shard's
-            rows; ramp: traced iteration counter for BC ramping."""
+            rows; ramp: traced iteration counter for BC ramping; fluc:
+            (Fb, nfp, d) turbulent-inlet fluctuations for this shard."""
             disu_f = jnp.einsum("pu,euf->epf", opp["opp_0"], u,
                                 preferred_element_type=dtype, precision=prec)
             flat = disu_f.reshape(El * Pf, nF)
@@ -555,7 +647,8 @@ class ShardedSolver:
                                                        cfg.ldg_beta)
                 if n_bdy:
                     u_c_bdy = bc_fns.ldg_solution(
-                        u_bl, norm_b, P=bcP, ramp=ramp).reshape(-1, nF)
+                        u_bl, norm_b, P=bcP, ramp=ramp,
+                        fluc=fluc).reshape(-1, nF)
                 else:
                     u_c_bdy = jnp.zeros((0, nF), dtype=dtype)
                 u_c_all = jnp.concatenate([
@@ -589,7 +682,7 @@ class ShardedSolver:
             fn_halo = common_inv_flux(u_hl, u_hr, norm_h)
             if n_bdy:
                 fn_bdy = bc_fns.inv_common_flux(u_bl, norm_b, P=bcP,
-                                                ramp=ramp)
+                                                ramp=ramp, fluc=fluc)
             if cfg.viscous:
                 dsl = geo.get("delta_slot")
                 wsl = geo.get("wdist_slot")
@@ -625,9 +718,16 @@ class ShardedSolver:
                     u_hl, u_hr, fv_hl, fv_hr, norm_h, cfg.ldg_tau,
                     cfg.ldg_beta)
                 if n_bdy:
+                    wm_kw = {}
+                    if has_wm:
+                        # shard-local wall-model input states
+                        # (ref:src/bdy_inters.cpp:1095-1131)
+                        wm_kw = dict(
+                            wm_state=u[tab["wm_ele"], tab["wm_upt"]],
+                            wm_dist=geo["wm_dist"])
                     fn_bdy = fn_bdy + bc_fns.visc_common_flux(
                         u_bl, grad_f[tab["bdy_slot"]], norm_b, None,
-                        P=bcP, ramp=ramp)
+                        P=bcP, ramp=ramp, fluc=fluc, **wm_kw)
 
             fn_all = jnp.concatenate([
                 fn_int.reshape(-1, nF),
@@ -673,8 +773,16 @@ class ShardedSolver:
 
         has_ramp = any(getattr(b, "pressure_ramp", 0)
                        for b in (self.p.bc_list or []))
+        ti_core = self._ti_core
+        d = self.base.ops.n_dims
+        dtype = self.dtype
+        prec = jax.lax.Precision[self.rcfg.precision.upper()]
+        opp_0 = self.opp["opp_0"]
+        nF = self.n_fields
+        Pf = self.base.ops.n_fpts
+        El = self.El
 
-        def shard_body(u, reg, dt, k, geo, tabs, sends, bcP):
+        def shard_body(u, reg, dt, k, ti, geo, tabs, sends, bcP, tiP):
             u = u[0]        # (1, El, ...) -> (El, ...)
             reg = reg[0]
             dt = dt[0] if dt.ndim else dt
@@ -682,10 +790,27 @@ class ShardedSolver:
             tabs = sq(tabs)
             sends = sq(sends)
             bcP = sq(bcP)
+            tiP = sq(tiP)
             ramp = k.astype(u.dtype) if has_ramp else None
 
+            fluc = None
+            if ti_core is not None:
+                # inlet update once per step at stage 0, like the
+                # single-device loop (ref:src/solver.cpp:111-118)
+                disu_f = jnp.einsum(
+                    "pu,euf->epf", opp_0, u, preferred_element_type=dtype,
+                    precision=prec).reshape(El * Pf, nF)
+                u_bl = disu_f[tabs["bdy_slot"]]
+                rows = tabs["ti_row"]
+                ti, fl = ti_core(
+                    ti, u_bl[rows], geo["ti_norm"], dt, geo["ti_pos3"],
+                    geo["ti_wdA"], geo["ti_mask"], P=tiP,
+                    gidx=tabs["ti_gidx"])
+                fluc = jnp.zeros(u_bl.shape[:2] + (d,), dtype).at[rows].set(
+                    fl, mode="drop")
+
             def rhs(x):
-                return residual(x, geo, tabs, sends, bcP, ramp)
+                return residual(x, geo, tabs, sends, bcP, ramp, fluc)
 
             if pre is not None:
                 u = pre(u)
@@ -710,7 +835,7 @@ class ShardedSolver:
                     r = A[s_] * r + dt * rhs(u)
                     u = ps(u + Bc[s_] * r)
                 reg = r
-            return u[None], reg[None]
+            return u[None], reg[None], ti
 
         from jax import shard_map
 
@@ -722,21 +847,25 @@ class ShardedSolver:
         # sharded like the state; global/fixed dt is a replicated scalar
         dt_spec = (P(self.axis, None, None, None)
                    if self.p.dt_type == 2 else P())
-        specs = (P(self.axis), P(self.axis), dt_spec, P(),
+        ti_spec = jax.tree.map(lambda v: P(), self._ti_state)
+        specs = (P(self.axis), P(self.axis), dt_spec, P(), ti_spec,
                  sharded_spec(self.geo), sharded_spec(self.tabs),
-                 sharded_spec(self.send_idx), sharded_spec(self.bcP))
+                 sharded_spec(self.send_idx), sharded_spec(self.bcP),
+                 sharded_spec(self.tiP))
 
-        def step_shard(u, reg, dt, k, geo, tabs, sends, bcP):
+        def step_shard(u, reg, dt, k, ti, geo, tabs, sends, bcP, tiP):
             return shard_map(
                 shard_body, mesh=self.mesh, in_specs=specs,
-                out_specs=(P(self.axis), P(self.axis)),
-                check_vma=False)(u, reg, dt, k, geo, tabs, sends, bcP)
+                out_specs=(P(self.axis), P(self.axis), ti_spec),
+                check_vma=False)(u, reg, dt, k, ti, geo, tabs, sends, bcP,
+                                 tiP)
 
-        def run_chunk(state, dt, n_steps, geo, tabs, sends, bcP):
+        def run_chunk(state, dt, n_steps, geo, tabs, sends, bcP, tiP):
             def body(carry, _):
-                u, r, k = carry
-                u, r = step_shard(u, r, dt, k, geo, tabs, sends, bcP)
-                return (u, r, k + 1), None
+                u, r, k, ti = carry
+                u, r, ti = step_shard(u, r, dt, k, ti, geo, tabs, sends,
+                                      bcP, tiP)
+                return (u, r, k + 1, ti), None
             state, _ = jax.lax.scan(body, state, None, length=n_steps)
             return state
 
@@ -848,10 +977,15 @@ class ShardedSolver:
             dt_j = jnp.asarray(dt, self.dtype)
             dt_min = float(jnp.where(dt_j > 0, dt_j, jnp.inf).min()) \
                 if dt_j.ndim else float(dt_j)
+        if self._ti_core is not None and not (
+                isinstance(dt_j, jnp.ndarray) and dt_j.ndim == 0
+                or isinstance(dt, (int, float))):
+            raise NotImplementedError("local dt with a turbulent inlet")
         state = self._step_jit(
-            (self.u, self.reg, self._iter_k), dt_j, n_steps,
-            self.geo, self.tabs, self.send_idx, self.bcP)
-        self.u, self.reg, self._iter_k = state
+            (self.u, self.reg, self._iter_k, self._ti_state), dt_j,
+            n_steps, self.geo, self.tabs, self.send_idx, self.bcP,
+            self.tiP)
+        self.u, self.reg, self._iter_k, self._ti_state = state
         self.time += dt_min * n_steps
         return self.u
 
@@ -879,7 +1013,12 @@ class ShardedSolver:
             ops = self.base.ops
             time = self.time
             p = self.p
-        return write_restart(directory, _View(), step=step)
+        out = write_restart(directory, _View(), step=step)
+        if self.turb_inlet is not None and self.turb_inlet.inlet_type == 2:
+            from ..io.restart import write_sem_restart
+            write_sem_restart(directory, step, self.turb_inlet,
+                              self._ti_state, self.p)
+        return out
 
     def load_checkpoint(self, path: str) -> float:
         from ..io.restart import read_restart

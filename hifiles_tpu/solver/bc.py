@@ -380,40 +380,24 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
                                grad_r)
         return grad_r
 
-    # --- wall-model input points: per wall-modeled boundary face, the
-    # solution point with the largest min-distance to the face
-    # (ref:src/eles.cpp:4873-4903 calc_wm_upts_dist)
+    # --- wall-model input points (global boundary-face tables)
     has_wm = bool(np.any(P_np["use_wm"] > 0)) and run_input.wall_model > 0
     if has_wm:
-        Pf = block.ops.n_fpts
-        wm_ele = np.zeros(block.bdy_bcid.size, dtype=np.int64)
-        wm_upt = np.zeros(block.bdy_bcid.size, dtype=np.int64)
-        wm_dist = np.ones(block.bdy_bcid.size)
-        for fi in range(block.bdy_bcid.size):
-            if P_np["use_wm"][fi, 0] <= 0:
-                continue
-            slots = block.bdy_slot[fi][block.bdy_mask[fi] > 0]
-            e = int(slots[0] // Pf)
-            fpt_pos = block.pos_fpts[slots]           # (nfp, d)
-            fpt_nrm = block.norm_fpts[slots]
-            # distance of each upt: min over face fpts of (x_f - x_u).n
-            dvec = fpt_pos[None, :, :] - solver_pos_upts(block, e)[:, None, :]
-            dist = np.einsum("ufd,fd->uf", dvec, fpt_nrm).min(axis=1)
-            wm_upt[fi] = int(np.argmax(dist))
-            wm_dist[fi] = float(dist.max())
-            wm_ele[fi] = e
+        wm_ele, wm_upt, wm_dist = build_wm_tables(block,
+                                                  P_np["use_wm"][:, 0])
         wm_ele_j = jnp.asarray(wm_ele, dtype=jnp.int32)
         wm_upt_j = jnp.asarray(wm_upt, dtype=jnp.int32)
         wm_dist_j = jnp.asarray(wm_dist, dtype=dtype)
-        wm_mask = jnp.asarray(P_np["use_wm"] > 0)
 
     def visc_common_flux(u_l, grad_l, norm, u_full=None, fluc=None,
-                         ramp=None, P=None):
+                         ramp=None, P=None, wm_state=None, wm_dist=None):
         P = P if P is not None else P_default
         """Boundary viscous common flux: f_r . n - tau (u_r - u_l)
         (ref:src/bdy_inters.cpp:1029-1093, ldg_flux flux_spec=1).
         Slip walls contribute no viscous flux; wall-modeled faces replace it
-        with the modeled wall stress (ref::1095-1131)."""
+        with the modeled wall stress (ref::1095-1131).  Sharded runs pass
+        ``wm_state`` (Fb, F) input states and ``wm_dist`` (Fb,) gathered
+        from their shard-local tables instead of ``u_full``."""
         u_r = ldg_solution(u_l, norm, fluc=fluc, ramp=ramp, P=P)
         grad_r = boundary_gradients(u_r, grad_l, norm, P=P)
         if rcfg.equation == 1:
@@ -428,17 +412,22 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
             - rcfg.ldg_tau * (u_r - u_l)
         no_visc = P["flag"] == SLIP_WALL
         fn = jnp.where(no_visc[..., None], 0.0, fn)
-        if has_wm and u_full is not None:
+        if run_input.wall_model > 0 and (
+                wm_state is not None
+                or (has_wm and u_full is not None)):
             from ..models.wall_model import wall_stress_flux
-            u_wm = u_full[wm_ele_j, wm_upt_j]          # (Fb, F)
-            u_w = ghost_state(u_l, norm, sol_spec=2)   # no-slip wall state
+            if wm_state is not None:
+                u_wm, dist = wm_state, wm_dist
+            else:
+                u_wm, dist = u_full[wm_ele_j, wm_upt_j], wm_dist_j
+            u_w = ghost_state(u_l, norm, sol_spec=2, P=P)  # no-slip state
             fn_wm = wall_stress_flux(
                 jnp.broadcast_to(u_wm[:, None, :], u_l.shape), u_w,
-                wm_dist_j[:, None], norm, wall_model=run_input.wall_model,
+                dist[:, None], norm, wall_model=run_input.wall_model,
                 gamma=gamma, prandtl=rcfg.prandtl, prandtl_t=rcfg.prandtl_t,
                 mu_inf=rcfg.mu_inf, rt_inf=rcfg.rt_inf, c_sth=rcfg.c_sth,
                 fix_vis=rcfg.fix_vis, kappa=rcfg.kappa, n_dims=n_dims)
-            fn = jnp.where(wm_mask[..., None], fn_wm, fn)
+            fn = jnp.where((P["use_wm"] > 0)[..., None], fn_wm, fn)
         return fn
 
     return BCFunctions(inv_common_flux=inv_common_flux,
@@ -449,3 +438,33 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
 
 def solver_pos_upts(block, e):
     return block.pos_upts[e]
+
+
+def build_wm_tables(block, use_wm_face: np.ndarray):
+    """Wall-model input points: per wall-modeled boundary face, the
+    solution point of the adjacent element with the largest min-distance
+    to the face (ref:src/eles.cpp:4873-4903 calc_wm_upts_dist).
+
+    ``use_wm_face``: (Fb,) per-face use_wm.  Returns (wm_ele, wm_upt,
+    wm_dist) over the block's boundary faces; the input element is always
+    the face's own element, so these tables stay shard-local under domain
+    decomposition."""
+    Pf = block.ops.n_fpts
+    Fb = block.bdy_bcid.size
+    wm_ele = np.zeros(Fb, dtype=np.int64)
+    wm_upt = np.zeros(Fb, dtype=np.int64)
+    wm_dist = np.ones(Fb)
+    for fi in range(Fb):
+        if use_wm_face[fi] <= 0:
+            continue
+        slots = block.bdy_slot[fi][block.bdy_mask[fi] > 0]
+        e = int(slots[0] // Pf)
+        fpt_pos = block.pos_fpts[slots]           # (nfp, d)
+        fpt_nrm = block.norm_fpts[slots]
+        # distance of each upt: min over face fpts of (x_f - x_u).n
+        dvec = fpt_pos[None, :, :] - solver_pos_upts(block, e)[:, None, :]
+        dist = np.einsum("ufd,fd->uf", dvec, fpt_nrm).min(axis=1)
+        wm_upt[fi] = int(np.argmax(dist))
+        wm_dist[fi] = float(dist.max())
+        wm_ele[fi] = e
+    return wm_ele, wm_upt, wm_dist

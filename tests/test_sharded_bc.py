@@ -68,12 +68,17 @@ def test_sharded_channel_matches_single(viscous):
                                rtol=0, atol=1e-11)
 
 
-def test_sharded_wall_model_gated():
+def test_sharded_wall_model_accepted():
+    """Wall models are partitioned now (round 2): construction succeeds
+    and a short run stays finite even when no face actually uses the
+    model (use_wm unset)."""
     p = channel_input(1)
     p.wall_model = 1
     mesh = channel_quad_mesh(8, 4, 0.0, 2.0, 0.0, 1.0)
-    with pytest.raises(NotImplementedError):
-        ShardedSolver(p, mesh, devices=jax.devices()[:4])
+    s = ShardedSolver(p, mesh, devices=jax.devices()[:4],
+                      dtype=jnp.float64)
+    s.run(2, dt=p.dt)
+    assert np.isfinite(np.asarray(s.u)).all()
 
 
 def test_sharded_pressure_ramp_matches_single():

@@ -229,3 +229,79 @@ def test_sharded_local_dt_matches_single():
     s8.run(3)
     np.testing.assert_allclose(s8.gather_u(), np.asarray(s1.u),
                                rtol=0, atol=1e-12)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_wall_model_matches_single():
+    """Wall-modeled LES channel sharded on 8 devices == single device:
+    the wm input point is a solution point of the face's own element, so
+    the tables partition shard-locally (VERDICT r1 item 3)."""
+    from hifiles_tpu.config.params import BCParams, CYCLIC, ISOTHERM_WALL
+    from hifiles_tpu.mesh.generate import channel_quad_mesh
+
+    def make_input():
+        p = RunInput()
+        p.equation, p.viscous = 0, 1
+        p.LES, p.SGS_model, p.C_s, p.filter_ratio = 1, 0, 0.1, 2.0
+        p.wall_model = 1
+        p.order = 2
+        p.ic_form = 1
+        p.adv_type = 3
+        p.riemann_solve_type = 0
+        p.dt_type, p.dt, p.n_steps = 0, 1e-5, 0
+        p.vcjh_scheme_quad = 1
+        p.dx_cyclic = 4.0
+        p.gamma, p.R_gas, p.fix_vis = 1.4, 286.9, 1
+        p.Mach_free_stream, p.T_free_stream = 0.2, 300.0
+        p.rho_free_stream = 1.17723946
+        p.mu_gas = 1.827e-5
+        p.Mach_c_ic, p.T_c_ic, p.rho_c_ic = 0.2, 300.0, 1.17723946
+        p.setup_params()
+        p.bc_list = [BCParams(name="Cyc", flag=CYCLIC),
+                     BCParams(name="unused", flag=CYCLIC),
+                     BCParams(name="Wall", flag=ISOTHERM_WALL,
+                              T_static=1.0, use_wm=1)]
+        return p
+
+    def make_mesh():
+        mesh = channel_quad_mesh(8, 4, 0.0, 4.0, 0.0, 1.0,
+                                 bc_x="Cyc", bc_X="Cyc", bc_y="Wall")
+        mesh.bc_id[mesh.bc_id == 1] = 0
+        return mesh
+
+    s1 = Solver(make_input(), make_mesh(), dtype=jnp.float64)
+    s1.run(10, dt=1e-5)
+
+    s8 = ShardedSolver(make_input(), make_mesh(), dtype=jnp.float64)
+    assert s8.has_wm
+    s8.run(10, dt=1e-5)
+    np.testing.assert_allclose(s8.gather_u(), np.asarray(s1.u),
+                               rtol=0, atol=1e-12)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("inlet_type", [1, 2])
+def test_sharded_turbulent_inlet_matches_single(inlet_type):
+    """White-noise / SEM turbulent inlet sharded == single device: the
+    eddy state is replicated, plane reductions go through psum, and the
+    fluctuations land on the owning shard's faces (VERDICT r1 item 3)."""
+    from hifiles_tpu.mesh.generate import channel_quad_mesh
+    from tests.test_turb_inlet import les_channel_input
+
+    mesh1 = channel_quad_mesh(8, 4, 0.0, 2.0, 0.0, 1.0)
+    s1 = Solver(les_channel_input(inlet_type=inlet_type), mesh1,
+                dtype=jnp.float64)
+    assert s1.turb_inlet is not None
+    s1.run(10, dt=1e-5)
+
+    mesh8 = channel_quad_mesh(8, 4, 0.0, 2.0, 0.0, 1.0)
+    s8 = ShardedSolver(les_channel_input(inlet_type=inlet_type), mesh8,
+                       dtype=jnp.float64)
+    assert s8._ti_core is not None
+    s8.run(10, dt=1e-5)
+    np.testing.assert_allclose(s8.gather_u(), np.asarray(s1.u),
+                               rtol=0, atol=1e-12)
+    # identical eddy state trajectories (replicated update)
+    for a, b in zip(s8._ti_state[:2], s1._ti_state[:2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-12)
