@@ -137,9 +137,8 @@ def main(argv=None):
                 from .io.tecplot import write_tec
                 write_tec(solver, outdir, i)
             elif p.write_type == 2:
-                raise NotImplementedError(
-                    "CGNS output: no CGNS library in this image; use "
-                    "write_type 0 (ParaView) or 1 (Tecplot)")
+                from .io.cgns import write_cgns
+                write_cgns(solver, outdir, i)
             else:
                 write_vtu(solver, outdir, i)
         if profile and i - i0 >= chunk:

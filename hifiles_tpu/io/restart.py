@@ -139,9 +139,6 @@ def read_restart_ascii(path: str, solver) -> float:
                          f"{_TYPE_ELE_NAME[ct]}")
     assert next(it).strip() == "Order"
     order_rest = int(next(it))
-    if order_rest != solver.p.order:
-        raise NotImplementedError(
-            "cross-order ASCII restart: use the HDF5 path")
     next(it)                       # 'Number of solution points...'
     U = int(next(it))
     next(it)                       # 'Location of solution points'
@@ -154,13 +151,22 @@ def read_restart_ascii(path: str, solver) -> float:
     F = solver.n_fields
     icg = solver.mesh.ic2icg
     g2l = {int(g): e for e, g in enumerate(icg)}
+    # cross-order: re-interpolate each element's rows through opp_r
+    # (the reference's universal path, ref:src/eles.cpp:3692-3712)
+    opp_r = None
+    if order_rest != solver.p.order:
+        opp_r = restart_interp(solver.p, ct, order_rest,
+                               solver.ops.loc_upts)
     u = np.asarray(solver.u, dtype=np.float64).copy()
     for _ in range(E):
         gid = int(next(it))
         rows = np.array([[float(x) for x in next(it).split()]
                          for _ in range(U)])
         if gid in g2l:
-            u[g2l[gid]] = rows[:, :F]
+            vals = rows[:, :F]
+            if opp_r is not None:
+                vals = opp_r @ vals
+            u[g2l[gid]] = vals
     solver.u = jnp.asarray(u, dtype=solver.dtype)
     solver.time = time
     return time
@@ -217,6 +223,20 @@ def read_sem_restart(directory: str, step: int, solver) -> bool:
     return True
 
 
+def restart_interp(run_input, ct: int, order_rest: int,
+                   loc_upts_new: np.ndarray) -> np.ndarray:
+    """opp_r: the restart file's nodal basis (order_rest, the run's point
+    types) evaluated at the run's solution points — the universal
+    cross-order re-interpolation operator (ref:src/eles.cpp:3692-3710).
+    Works for all five element types via OpSet.interp_to."""
+    import copy
+
+    from ..solver.multiblock import _build_ops
+    p_rest = copy.copy(run_input)
+    p_rest.order = order_rest
+    return _build_ops(p_rest, ct).interp_to(loc_upts_new)
+
+
 def read_restart(path: str, solver) -> float:
     """Load state into the solver (re-interpolating across orders when the
     file's order differs); returns the non-dimensional time."""
@@ -230,37 +250,33 @@ def read_restart(path: str, solver) -> float:
 
     icg = solver.mesh.ic2icg
     if hasattr(solver, "cts"):                      # MixedSolver
-        if order_rest != solver.p.order:
-            raise NotImplementedError(
-                "cross-order restart on mixed meshes")
         us = []
         for ct in solver.cts:
-            Ub = solver.blocks[ct].ops.n_upts
+            ops_b = solver.blocks[ct].ops
             gids = icg[solver.mt.sels[ct]]
-            us.append(jnp.asarray(
-                data[:, gids, :Ub].transpose(1, 2, 0), dtype=solver.dtype))
+            if order_rest != solver.p.order:
+                import copy
+
+                from ..solver.multiblock import _build_ops
+                p_rest = copy.copy(solver.p)
+                p_rest.order = order_rest
+                Ur = _build_ops(p_rest, ct).n_upts
+                opp_r = restart_interp(solver.p, ct, order_rest,
+                                       ops_b.loc_upts)
+                u_ct = np.einsum("vu,euf->evf", opp_r,
+                                 data[:, gids, :Ur].transpose(1, 2, 0))
+            else:
+                u_ct = data[:, gids, :ops_b.n_upts].transpose(1, 2, 0)
+            us.append(jnp.asarray(u_ct, dtype=solver.dtype))
         solver.u = tuple(us)
         solver.time = time
         return time
     u = data[:, icg, :].transpose(1, 2, 0)          # (E, U_rest, F)
 
     if order_rest != solver.p.order:
-        # opp_r: old-order nodal basis evaluated at the new solution points
-        # (ref:src/eles.cpp:3692-3710)
-        ct = solver.ops.ele_type
-        if ct in (QUAD, HEX):
-            from ..ops.operators import build_tensor_ops
-            ops_rest = build_tensor_ops(ct, order_rest,
-                                        solver.p.upts_type_quad if ct == QUAD
-                                        else solver.p.upts_type_hexa)
-        elif ct == TRI:
-            from ..ops.operators import build_tri_ops
-            ops_rest = build_tri_ops(order_rest, solver.p.upts_type_tri,
-                                     solver.p.fpts_type_tri)
-        else:
-            raise NotImplementedError
-        opp_r = ops_rest.interp_to(solver.ops.loc_upts)   # (U_new, U_rest)
-        u = np.einsum("vu,euf->evf", opp_r, u)
+        opp_r = restart_interp(solver.p, solver.ops.ele_type, order_rest,
+                               solver.ops.loc_upts)   # (U_new, U_rest)
+        u = np.einsum("vu,euf->evf", opp_r, u[:, :opp_r.shape[1], :])
 
     solver.u = jnp.asarray(u, dtype=solver.dtype)
     solver.time = time

@@ -135,7 +135,11 @@ def diagnostic_fields(solver, u_ppts, grad_ppts, fields):
         elif name == "pressure":
             out[name] = pres
         elif name == "mach":
-            c = np.sqrt(p.gamma * pres / rho)
+            # clamp to a small positive floor so a non-physical state never
+            # writes silent NaNs into plot files (the reference aborts on
+            # NaN residuals instead, ref:src/output.cpp:2243-2245)
+            c = np.sqrt(np.maximum(p.gamma * pres / np.maximum(rho, 1e-300),
+                                   1e-300))
             out[name] = np.sqrt(np.sum(vel**2, axis=-1)) / c
         elif name in ("vorticity", "q_criterion", "scaled_q_criterion"):
             dvel = (grad_ppts[..., 1:1 + nd, :]

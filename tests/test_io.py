@@ -109,3 +109,103 @@ def test_history_and_integrals(tmp_path):
     text = (tmp_path / "history.plt").read_text()
     assert "VARIABLES" in text and "kineticenergy" in text
     assert len(text.splitlines()) == 3
+
+
+def test_restart_cross_order_ascii(tmp_path):
+    """ASCII restart re-interpolates across orders too — the reference's
+    opp_r path is format-independent (ref:src/eles.cpp:3692-3712)."""
+    from hifiles_tpu.io.restart import (read_restart_ascii,
+                                        write_restart_ascii)
+    mesh = periodic_quad_mesh(6, 6, -5, 5, -5, 5)
+    s3 = Solver(vortex_input(order=3), mesh)
+    path = write_restart_ascii(str(tmp_path), s3, step=0)
+
+    s2 = Solver(vortex_input(order=2), mesh)
+    read_restart_ascii(path, s2)
+    direct = np.asarray(Solver(vortex_input(order=2), mesh).u)
+    rel = (np.linalg.norm(np.asarray(s2.u) - direct)
+           / np.linalg.norm(direct))
+    assert rel < 0.01, rel
+
+
+def test_restart_cross_order_mixed(tmp_path):
+    """Cross-order restart on a mixed tri+quad mesh: per-type opp_r."""
+    from hifiles_tpu.mesh.generate import periodic_mixed_mesh_2d
+    from hifiles_tpu.solver.multiblock import MixedSolver
+    mesh = periodic_mixed_mesh_2d(4, 4, -10, 10, -10, 10)
+    s3 = MixedSolver(vortex_input(order=3), mesh)
+    path = write_restart(str(tmp_path), s3, step=0)
+
+    s2 = MixedSolver(vortex_input(order=2), mesh)
+    t = read_restart(path, s2)
+    assert t == 0.0
+    direct = MixedSolver(vortex_input(order=2), mesh)
+    for a, b in zip(s2.u, direct.u):
+        rel = (np.linalg.norm(np.asarray(a) - np.asarray(b))
+               / np.linalg.norm(np.asarray(b)))
+        assert rel < 0.02, rel
+    s2.run(3, dt=5e-4)
+    for u in s2.u:
+        assert np.isfinite(np.asarray(u)).all()
+
+
+def test_restart_cross_order_hex(tmp_path):
+    """Cross-order restart for 3-D hexes (p=2 file -> p=1 run)."""
+    from hifiles_tpu.mesh.generate import periodic_hex_mesh
+    p2 = vortex_input(order=2)
+    p2.ic_form = 1
+    p2.u_c_ic = p2.v_c_ic = p2.w_c_ic = 0.1
+    p2.dz_cyclic = 10.0
+    mesh = periodic_hex_mesh(3, 3, 3, -5, 5, -5, 5, -5, 5)
+    s2 = Solver(p2, mesh)
+    path = write_restart(str(tmp_path), s2, step=0)
+
+    p1 = vortex_input(order=1)
+    p1.ic_form = 1
+    p1.u_c_ic = p1.v_c_ic = p1.w_c_ic = 0.1
+    p1.dz_cyclic = 10.0
+    s1 = Solver(p1, mesh)
+    read_restart(path, s1)
+    # uniform flow is exactly representable at any order
+    direct = np.asarray(Solver(p1, mesh).u)
+    np.testing.assert_allclose(np.asarray(s1.u), direct, rtol=1e-12,
+                               atol=1e-12)
+
+
+def test_cgns_output(tmp_path):
+    """CGNS/HDF5 writer: valid node tree, 1-based connectivity in range,
+    vertex fields sized to the plot lattice (ref:src/output.cpp:901-1401)."""
+    from hifiles_tpu.io.cgns import read_cgns_summary, write_cgns
+    p = vortex_input()
+    p.p_res = 3
+    p.diagnostic_fields = ["u", "v", "pressure", "mach"]
+    mesh = periodic_quad_mesh(4, 4, -5, 5, -5, 5)
+    s = Solver(p, mesh)
+    path = write_cgns(s, str(tmp_path), step=0)
+    assert path.endswith("_000000000.cgns")
+    info = read_cgns_summary(path)
+    z = info["zones"][0]
+    E, P = 16, 9
+    assert z["n_vertices"] == E * P
+    assert z["n_cells"] == E * 4
+    assert z["conn_min"] >= 1 and z["conn_max"] <= E * P
+    assert set(z["fields"]) >= {"Density", "VelocityX", "VelocityY",
+                                "Pressure", "Mach"}
+    assert z["x"].min() >= -5 - 1e-12 and z["x"].max() <= 5 + 1e-12
+
+
+def test_cgns_output_mixed(tmp_path):
+    """CGNS writer on a mixed tri+quad mesh: one zone per element type."""
+    from hifiles_tpu.io.cgns import read_cgns_summary, write_cgns
+    from hifiles_tpu.mesh.generate import periodic_mixed_mesh_2d
+    from hifiles_tpu.solver.multiblock import MixedSolver
+    p = vortex_input(order=2)
+    p.p_res = 3
+    mesh = periodic_mixed_mesh_2d(4, 4, -10, 10, -10, 10)
+    s = MixedSolver(p, mesh)
+    path = write_cgns(s, str(tmp_path), step=2)
+    info = read_cgns_summary(path)
+    assert len(info["zones"]) == 2
+    for z in info["zones"]:
+        assert z["n_vertices"] > 0 and z["n_cells"] > 0
+        assert z["conn_max"] <= z["n_vertices"]
