@@ -52,19 +52,32 @@ def compute_forces(solver) -> dict:
     pres = (p.gamma - 1.0) * (u_w[..., nd + 1]
                               - 0.5 * rho * np.sum(vel**2, axis=-1))
 
-    # inviscid: pressure force = int p n dA (ref:src/eles.cpp:5797-5810)
-    inv_force = np.einsum("fq,fqd,fq->d", pres, norm, dA)
+    # the reference's normalization: every force entry carries
+    # factor/area_ref with factor = 1/q_inf from the IC state, and the
+    # pressure enters as gauge pressure p - p_inf
+    # (ref:src/eles.cpp:5743,5811,5908: Finv = wgt*(p-p_c_ic)*n*detjac
+    #  *factor/area_ref)
+    ic_vel = np.array([getattr(p, "u_c_ic", 0.0) or 0.0,
+                       getattr(p, "v_c_ic", 0.0) or 0.0,
+                       getattr(p, "w_c_ic", 0.0) or 0.0])[:nd]
+    rho_ic = getattr(p, "rho_c_ic", 1.0) or 1.0
+    q_ic = 0.5 * rho_ic * np.sum(ic_vel**2)
+    factor = 1.0 / q_ic if q_ic > 0 else 1.0
+    area_ref = getattr(p, "area_ref", 1.0) or 1.0
+    p_inf = getattr(p, "p_c_ic", 0.0) or 0.0
+
+    # inviscid: gauge-pressure force (ref:src/eles.cpp:5797-5811)
+    inv_force = np.einsum("fq,fqd,fq->d", pres - p_inf, norm, dA) \
+        * factor / area_ref
 
     vis_force = np.zeros(nd)
     if p.viscous:
-        # physical corrected-ish gradient at fpts (uncorrected per-element;
-        # adequate for monitoring)
-        tgrad = np.einsum("kgu,euf->ekfg",
-                          solver.ops.opp_2_cat.reshape(U, nd, U), u)
-        tgrad_f = np.einsum("pu,eufd->epfd", solver.ops.opp_0,
-                            tgrad).reshape(-1, F, nd)
-        grad_f = np.einsum("sml,sfm->sfl", block.jginv_fpts, tgrad_f) \
-            / block.detjac_fpts[:, None, None]
+        # LDG-corrected physical gradient at upts — identical to the
+        # grad_disu_upts the reference's force routine interpolates
+        # (ref:src/eles.cpp:5824-5838)
+        grad_u = np.asarray(solver.gradient_fn(solver.u), dtype=np.float64)
+        grad_f = np.einsum("pu,eufd->epfd", solver.ops.opp_0,
+                           grad_u).reshape(-1, F, nd)
         g = grad_f[slots]
         rho_d = g[..., 0, :]
         mom_d = g[..., 1:1 + nd, :]
@@ -78,16 +91,17 @@ def compute_forces(solver) -> dict:
         tau = mu[..., None, None] * (dvel + np.swapaxes(dvel, -1, -2)
                                      - 2 * diag[..., None, None] * np.eye(nd))
         # viscous traction: -tau . n integrated (ref:src/eles.cpp:5860-5908)
-        vis_force = -np.einsum("fqij,fqj,fq->i", tau, norm, dA)
+        vis_force = -np.einsum("fqij,fqj,fq->i", tau, norm, dA) \
+            * factor / area_ref
 
     force = inv_force + vis_force
-    out = {"force": force, "inv_force": inv_force, "vis_force": vis_force}
-    q_inf = 0.5  # non-dim: rho_ref=1, u_ref=1 in code units
-    out["coeff"] = force / (q_inf * p.area_ref)
+    out = {"force": force, "inv_force": inv_force, "vis_force": vis_force,
+           "raw_force": force / factor * area_ref}
+    out["coeff"] = force
     # pressure-coefficient distribution at the wall flux points
-    # (ref:src/output.cpp:1934-1990 writes cp rows per wall point)
-    p_inf = getattr(p, "p_c_ic", 0.0) or 0.0
-    out["cp"] = (pres - p_inf) / q_inf
+    # (ref:src/output.cpp:1934-1990, cp = (p-p_c_ic)*factor
+    #  ref:src/eles.cpp:5795)
+    out["cp"] = (pres - p_inf) * factor
     out["cp_pos"] = solver.block.pos_fpts[slots]
     out["cp_mask"] = mask
     return out

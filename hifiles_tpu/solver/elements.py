@@ -268,29 +268,57 @@ def build_element_block(mesh: MeshData, conn: FaceConnectivity,
     J_c = np.einsum("csj,esi->ecij", db_c, spts)
     detjac_cub = np.linalg.det(J_c)
 
-    # --- h_ref: min edge length (ref:src/eles_quads.cpp:1287-1301)
+    # --- h_ref: per-type CFL length scale, matching the reference's
+    # calc_h_ref_specific exactly: min edge for tensor-product elements,
+    # incircle/insphere diameters for simplex-faced ones
+    # (ref:src/eles_quads.cpp:1287-1301, eles_hexas.cpp, eles_tris.cpp:982,
+    # eles_tets.cpp, eles_pris.cpp).
+    def _tri_incircle_d(v0, v1, v2):
+        """Incircle diameter 2*sqrt((s-a)(s-b)(s-c)/s) per element."""
+        a = np.linalg.norm(v0 - v1, axis=-1)
+        b = np.linalg.norm(v1 - v2, axis=-1)
+        c = np.linalg.norm(v2 - v0, axis=-1)
+        s = 0.5 * (a + b + c)
+        return 2.0 * np.sqrt((s - a) * (s - b) * (s - c) / s)
+
     if ct == QUAD:
         corners = spts[:, _quad_corners(n_spts)]
         edges = [(0, 1), (1, 3), (3, 2), (2, 0)]
+        h_ref = np.min(np.stack(
+            [np.linalg.norm(corners[:, a] - corners[:, b], axis=-1)
+             for a, b in edges]), axis=0)
     elif ct == HEX:
         corners = spts[:, _hex_corners(n_spts)]
         edges = [(0, 1), (1, 3), (3, 2), (2, 0), (4, 5), (5, 7), (7, 6),
                  (6, 4), (0, 4), (1, 5), (2, 6), (3, 7)]
+        h_ref = np.min(np.stack(
+            [np.linalg.norm(corners[:, a] - corners[:, b], axis=-1)
+             for a, b in edges]), axis=0)
     elif ct == TRI:
-        corners = spts[:, :3]
-        edges = [(0, 1), (1, 2), (2, 0)]
+        c3 = spts[:, :3]
+        h_ref = _tri_incircle_d(c3[:, 0], c3[:, 1], c3[:, 2])
     elif ct == TET:
-        corners = spts[:, :4]
-        edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+        c4 = spts[:, :4]
+        a = c4[:, 1] - c4[:, 0]
+        b = c4[:, 2] - c4[:, 0]
+        c = c4[:, 3] - c4[:, 0]
+        dd = c4[:, 2] - c4[:, 1]
+        e = c4[:, 3] - c4[:, 1]
+        vol = np.einsum("ei,ei->e", np.cross(a, b), c) / 6.0
+        s_a = 0.5 * np.linalg.norm(np.cross(a, b), axis=-1)
+        s_b = 0.5 * np.linalg.norm(np.cross(a, c), axis=-1)
+        s_c = 0.5 * np.linalg.norm(np.cross(b, c), axis=-1)
+        s_d = 0.5 * np.linalg.norm(np.cross(dd, e), axis=-1)
+        h_ref = 6.0 * vol / (s_a + s_b + s_c + s_d)   # insphere diameter
     elif ct == PRISM:
-        corners = spts[:, :6]
-        edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3),
-                 (0, 3), (1, 4), (2, 5)]
+        c6 = spts[:, :6]
+        cand = [np.linalg.norm(c6[:, i] - c6[:, i + 3], axis=-1)
+                for i in range(3)]
+        cand.append(_tri_incircle_d(c6[:, 0], c6[:, 1], c6[:, 2]))
+        cand.append(_tri_incircle_d(c6[:, 3], c6[:, 4], c6[:, 5]))
+        h_ref = np.min(np.stack(cand), axis=0)
     else:
         raise NotImplementedError
-    h_ref = np.min(np.stack(
-        [np.linalg.norm(corners[:, a] - corners[:, b], axis=-1)
-         for a, b in edges]), axis=0)
 
     # --- face slot tables.  Faces of different shapes (prisms: tri + quad
     # faces) have different fpt counts; rows are padded to the max with

@@ -505,6 +505,48 @@ def make_residual_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
     return residual_face if use_face_path else residual
 
 
+def make_gradient_fn(block: ElementBlock, cfg: ResidualConfig, dtype,
+                     bc_fns=None):
+    """Build gradient(u) -> corrected physical gradient at upts (E, U, F, d).
+
+    The same LDG-corrected gradient the viscous residual uses — what the
+    reference leaves in ``grad_disu_upts`` after CalcResidual and feeds to
+    its force/diagnostic routines (ref:src/eles.cpp:1823-2052,
+    compute_wall_forces ref:src/eles.cpp:5824-5838)."""
+    B = BlockArrays(block, dtype)
+    d = B.n_dims
+    E, U, Pf = B.n_eles, B.n_upts, B.n_fpts
+    nF = cfg.n_fields
+    has_bdy = block.bdy_slot.size > 0
+    prec = jax.lax.Precision[cfg.precision.upper()]
+
+    def gradient(u, fluc=None, ramp=None):
+        disu_f = jnp.einsum("pu,euf->epf", B.opp_0, u,
+                            preferred_element_type=dtype, precision=prec)
+        disu_f_flat = disu_f.reshape(E * Pf, nF)
+        u_l = disu_f_flat[B.int_slot_l]
+        u_r = disu_f_flat[B.int_slot_r]
+        tgrad = jnp.stack([opmat(B.opp_2_stack[g], u, dtype, prec)
+                           for g in range(d)], axis=-1)
+        u_c_int = riemann.ldg_common_solution(u_l, u_r, B.norm_int_l,
+                                              cfg.ldg_beta)
+        if has_bdy:
+            u_bl = disu_f_flat[B.bdy_slot]
+            u_c_bdy = bc_fns.ldg_solution(u_bl, B.norm_bdy, fluc=fluc,
+                                          ramp=ramp)
+            u_c_all = jnp.concatenate(
+                [u_c_int.reshape(-1, nF), u_c_bdy.reshape(-1, nF)])
+        else:
+            u_c_all = u_c_int.reshape(-1, nF)
+        delta = (u_c_all[B.slot_src] - disu_f_flat).reshape(E, Pf, nF)
+        tgrad = tgrad + jnp.stack(
+            [opmat(B.opp_5_stack[g], delta, dtype, prec)
+             for g in range(d)], axis=-1)
+        return adjT_apply(B.jginv_upts, tgrad, B.inv_detjac_upts)
+
+    return gradient
+
+
 def make_residual_fm(block: ElementBlock, cfg: ResidualConfig, dtype,
                      bc_fns=None):
     """Field-major residual: state (E, F, U) with the solution-point axis

@@ -1,0 +1,591 @@
+"""Structure-of-arrays FR residual: state (U, F, E) with ELEMENTS minor.
+
+Why: the TPU tiles the last two axes of every array onto (8 sublanes, 128
+lanes).  The (E, U, F) layout keeps F=5 minor, so every persistent tensor is
+padded 5->128 on lanes (25x HBM footprint), and XLA's layout assignment
+inserts ~0.5 ms relayout copies around every face-row reshape — measured
+48% of the residual wall time on TPU v5e (see BENCH notes).  Here every
+volume tensor is (U|K, F, E): minor axis E (thousands of elements = full
+lane tiles), every operator application is ONE large-N GEMM
+  dot_general(opp (K, U), x (U, F, E), contract U)  ->  (K, F, E)
+— the TPU-native analog of the reference's column-major
+dgemm(n_upts, n_fields*n_eles) (ref:src/eles.cpp:1360-1772) — and all
+physics runs on (.., E)-minor field planes at full VPU lane utilization.
+
+Face exchange: faces are grouped by their static (left fpt-row, right
+fpt-row) patterns — a handful of groups on any conforming mesh (3 for a
+periodic hex box, <=9 for 2-D tris).  Per group, the face state is read
+with a static 125-row gather from the 2-D (Pf*F, E) view followed by a
+minor-axis element gather — the two gather forms this TPU executes at
+full speed — and the common flux returns to element storage through one
+minor-axis gather per local face (the inverse table replaces the
+reference's point-by-point scatters, ref:src/int_inters.cpp:217-220).
+
+Covers the single-type, uniform-face, fused path (Euler/NS + adv-diff,
+viscous or not, all Riemann solvers, boundaries via the AoS bc bridge).
+LES/RANS/over-int/non-fused fall back to residual.py's face path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import riemann
+from .elements import ElementBlock
+from .kernels import adjT_apply
+from .residual import BlockArrays, ResidualConfig
+
+
+# ----------------------------------------------------------------------
+# host-side tables
+# ----------------------------------------------------------------------
+
+class SoaTables:
+    """Static gather tables for the SoA face stage."""
+
+    def __init__(self, block: ElementBlock, n_fields: int):
+        ops = block.ops
+        Pf = ops.n_fpts
+        nfp = int(ops.n_fpts_per_face[0])
+        nf = ops.n_faces
+        E = block.n_eles
+        F = n_fields
+        self.ok = False
+        if block.int_slot_l.size == 0:
+            return
+        Fi = block.int_slot_l.shape[0]
+        Fb = block.bdy_slot.shape[0] if block.bdy_slot.size else 0
+
+        slot_l = block.int_slot_l            # (Fi, nfp) slot = e*Pf + fpt
+        slot_r = block.int_slot_r
+        ele_l = slot_l[:, 0] // Pf
+        ele_r = slot_r[:, 0] // Pf
+        fpt_l = slot_l % Pf                  # (Fi, nfp)
+        fpt_r = slot_r % Pf
+
+        # the inverse tables assume l-side rows are in the element's local
+        # ascending fpt order (face-contiguous slots); verify
+        base_l = (fpt_l[:, 0] // nfp)[:, None] * nfp + np.arange(nfp)
+        if not np.array_equal(fpt_l, base_l):
+            return
+
+        # group faces by the static (l-row, r-row) fpt patterns
+        keys = {}
+        order = []
+        for i in range(Fi):
+            k = (tuple(fpt_l[i]), tuple(fpt_r[i]))
+            if k not in keys:
+                keys[k] = len(keys)
+                order.append([])
+            order[keys[k]].append(i)
+        if len(keys) > 64:                   # pathological mesh: fall back
+            return
+
+        def rows_of(fpts):
+            """(nfp,) fpt ids -> (nfp*F,) row ids into the (Pf*F, E) view."""
+            return (np.asarray(fpts)[:, None] * F
+                    + np.arange(F)[None, :]).reshape(-1)
+
+        self.groups = []
+        pool_pos_l = np.empty(Fi, dtype=np.int64)   # face -> pool column
+        pool_pos_r = np.empty(Fi, dtype=np.int64)
+        col = 0
+        for k, gi in zip(keys, order):
+            gi = np.asarray(gi)
+            Ng = gi.size
+            fl, fr = np.asarray(k[0]), np.asarray(k[1])
+            # the pool's r-side copy must be in the R element's local
+            # ascending fpt order: row k of that copy is the l-ordered row
+            # j whose r-fpt fr[j] is the k-th smallest
+            r_order = np.argsort(fr)
+            g = {
+                "idx_l": ele_l[gi], "idx_r": ele_r[gi],
+                "rows_l": rows_of(fl), "rows_r": rows_of(fr),
+                "rows_r_local": (r_order[:, None] * F
+                                 + np.arange(F)[None, :]).reshape(-1),
+                "faces": gi,
+            }
+            # per-group geometry (np, converted to jnp by BlockArraysSoa)
+            sl = slot_l[gi]                  # (Ng, nfp) global slots
+            sr = slot_r[gi]
+            g["norm"] = np.transpose(block.norm_fpts[sl], (1, 2, 0))
+            g["jginv_l"] = np.transpose(block.jginv_fpts[sl], (1, 2, 3, 0))
+            g["jginv_r"] = np.transpose(block.jginv_fpts[sr], (1, 2, 3, 0))
+            g["inv_det_l"] = np.transpose(
+                1.0 / block.detjac_fpts[sl], (1, 0))
+            g["inv_det_r"] = np.transpose(
+                1.0 / block.detjac_fpts[sr], (1, 0))
+            pool_pos_l[gi] = col + np.arange(Ng)
+            pool_pos_r[gi] = Fi + col + np.arange(Ng)
+            col += Ng
+            self.groups.append(g)
+
+        # boundary block: one pool section after the 2*Fi interior columns
+        self.Fb = Fb
+        if Fb:
+            bslot = block.bdy_slot           # (Fb, nfp)
+            self.ele_b = bslot[:, 0] // Pf
+            fpt_b = bslot % Pf
+            self.rows_b = np.stack([rows_of(fpt_b[i]) for i in range(Fb)])
+            # boundary faces share a pool layout only if their fpt rows are
+            # identical per face; gather per-face rows instead (2-D fancy
+            # gather over (Fb, nfp*F) is fine on the small boundary set)
+            pool_pos_b = 2 * Fi + np.arange(Fb)
+            self.bdy_lf = fpt_b[:, 0] // nfp
+        else:
+            self.ele_b = np.empty(0, dtype=np.int64)
+            self.rows_b = np.empty((0, nfp * F), dtype=np.int64)
+            pool_pos_b = np.empty(0, dtype=np.int64)
+            self.bdy_lf = np.empty(0, dtype=np.int64)
+
+        # inverse tables: for each local face lf, which pool column feeds
+        # element e (every (e, lf) is covered exactly once on a conforming
+        # mesh — cyclic faces are interior)
+        lf_l = fpt_l[:, 0] // nfp
+        lf_r = fpt_r[:, 0] // nfp
+        sel = -np.ones((nf, E), dtype=np.int64)
+        sel[lf_l, ele_l] = pool_pos_l
+        sel[lf_r, ele_r] = pool_pos_r
+        if Fb:
+            sel[self.bdy_lf, self.ele_b] = pool_pos_b
+        if (sel < 0).any():
+            return                           # coverage hole: fall back
+        self.sel = sel                       # (nf, E)
+        self.Fi, self.nfp, self.nf, self.Pf = Fi, nfp, nf, Pf
+        self.ok = True
+
+
+class BlockArraysSoa:
+    """Device-side constants in SoA layouts."""
+
+    def __init__(self, block: ElementBlock, B: BlockArrays, T: SoaTables,
+                 dtype):
+        f = lambda a: jnp.asarray(a, dtype=dtype)
+        i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
+        d = B.n_dims
+        E, Pf = B.n_eles, B.n_fpts
+        self.opp_0 = B.opp_0
+        self.opp_2_stack = B.opp_2_stack
+        self.opp_5_stack = B.opp_5_stack
+        self.opp_div_all = B.opp_div_all
+        # jginv planes at upts: jg[l][m] (U, 1, E)
+        self.jg_u = [[f(block.jginv_upts[:, :, l, m].T)[:, None, :]
+                      for m in range(d)] for l in range(d)]
+        self.inv_det_u = f(1.0 / block.detjac_upts.T)[:, None, :]
+        self.groups = []
+        for g in T.groups:
+            gg = {
+                "idx_l": i32(g["idx_l"]), "idx_r": i32(g["idx_r"]),
+                "rows_l": i32(g["rows_l"]), "rows_r": i32(g["rows_r"]),
+                "rows_r_local": i32(g["rows_r_local"]),
+                "norm": [f(g["norm"][:, m]) for m in range(d)],
+                "inv_det_l": f(g["inv_det_l"]),
+                "inv_det_r": f(g["inv_det_r"]),
+                "jginv_l": [[f(g["jginv_l"][:, m, l]) for l in range(d)]
+                            for m in range(d)],
+                "jginv_r": [[f(g["jginv_r"][:, m, l]) for l in range(d)]
+                            for m in range(d)],
+            }
+            self.groups.append(gg)
+        self.sel = i32(T.sel)
+        if T.Fb:
+            self.ele_b = i32(T.ele_b)
+            self.rows_b = i32(T.rows_b)
+            self.norm_bdy = B.norm_bdy          # AoS (Fb, nfp, d)
+            self.jginv_bdy = getattr(B, "jginv_bdy", None)
+            self.inv_detjac_bdy = getattr(B, "inv_detjac_bdy", None)
+
+
+# ----------------------------------------------------------------------
+# plane-based physics (fields as a list of (..., E) planes)
+# ----------------------------------------------------------------------
+
+def _prims_p(u, norm, d, gamma):
+    """u: list of F planes; norm: list of d planes."""
+    rho = u[0]
+    inv_rho = 1.0 / rho
+    vel = [u[1 + m] * inv_rho for m in range(d)]
+    vn = sum(vel[m] * norm[m] for m in range(d))
+    vsq = sum(v * v for v in vel)
+    p = (gamma - 1.0) * (u[d + 1] - 0.5 * rho * vsq)
+    return rho, vel, vn, vsq, p
+
+
+def _normal_flux_p(u, norm, d, gamma):
+    rho, vel, vn, vsq, p = _prims_p(u, norm, d, gamma)
+    mn = rho * vn
+    return ([mn] + [u[1 + m] * vn + p * norm[m] for m in range(d)]
+            + [(u[d + 1] + p) * vn])
+
+
+def rusanov_p(u_l, u_r, norm, gamma, d):
+    """ref:src/inters.cpp:277-324 on planes."""
+    fn_l = _normal_flux_p(u_l, norm, d, gamma)
+    fn_r = _normal_flux_p(u_r, norm, d, gamma)
+    rho_l, _, vn_l, _, p_l = _prims_p(u_l, norm, d, gamma)
+    rho_r, _, vn_r, _, p_r = _prims_p(u_r, norm, d, gamma)
+    eig = (jnp.sqrt(gamma * (p_l + p_r) / (rho_l + rho_r))
+           + 0.5 * jnp.abs(vn_l + vn_r))
+    return [0.5 * ((fl + fr) - eig * (ur - ul))
+            for fl, fr, ul, ur in zip(fn_l, fn_r, u_l, u_r)]
+
+
+def hllc_p(u_l, u_r, norm, gamma, d):
+    """HLLC with Roe-average wavespeeds (ref:src/inters.cpp:439-532)."""
+    fn_l = _normal_flux_p(u_l, norm, d, gamma)
+    fn_r = _normal_flux_p(u_r, norm, d, gamma)
+    rho_l, _, vn_l, _, p_l = _prims_p(u_l, norm, d, gamma)
+    rho_r, _, vn_r, _, p_r = _prims_p(u_r, norm, d, gamma)
+    E_l, E_r = u_l[d + 1], u_r[d + 1]
+    h_l = (E_l + p_l) / rho_l
+    h_r = (E_r + p_r) / rho_r
+    sq_rho = jnp.sqrt(rho_r / rho_l)
+    rrho = 1.0 / (sq_rho + 1.0)
+    vn_m = rrho * (vn_l + sq_rho * vn_r)
+    h_m = rrho * (h_l + sq_rho * h_r)
+    a_m = jnp.sqrt((gamma - 1.0) * (h_m - 0.5 * vn_m * vn_m))
+    S_R = vn_m + a_m
+    S_L = vn_m - a_m
+    S_star = ((p_r - p_l + rho_l * vn_l * (S_L - vn_l)
+               - rho_r * vn_r * (S_R - vn_r))
+              / (rho_l * (S_L - vn_l) - rho_r * (S_R - vn_r)))
+
+    def star(S, u, fn, rho, vn, p):
+        rcp = 1.0 / (S - S_star)
+        pre = p + rho * (S - vn) * (S_star - vn)
+        out = [S_star * (S * u[0] - fn[0]) * rcp]
+        for m in range(d):
+            out.append((S_star * (S * u[1 + m] - fn[1 + m])
+                        + S * pre * norm[m]) * rcp)
+        out.append((S_star * (S * u[d + 1] - fn[d + 1])
+                    + S * pre * S_star) * rcp)
+        return out
+
+    f_sl = star(S_L, u_l, fn_l, rho_l, vn_l, p_l)
+    f_sr = star(S_R, u_r, fn_r, rho_r, vn_r, p_r)
+    cl, cs, cr = S_L >= 0, S_star >= 0, S_R >= 0
+    return [jnp.where(cl, a, jnp.where(cs, b, jnp.where(cr, c, e)))
+            for a, b, c, e in zip(fn_l, f_sl, f_sr, fn_r)]
+
+
+def roem_p(u_l, u_r, norm, gamma, d):
+    """RoeM scheme (ref:src/inters.cpp:327-437) on planes."""
+    F = len(u_l)
+    fn_l = _normal_flux_p(u_l, norm, d, gamma)
+    fn_r = _normal_flux_p(u_r, norm, d, gamma)
+    rho_l, v_l, vn_l, _, p_l = _prims_p(u_l, norm, d, gamma)
+    rho_r, v_r, vn_r, _, p_r = _prims_p(u_r, norm, d, gamma)
+    E_l, E_r = u_l[d + 1], u_r[d + 1]
+    h_l = (E_l + p_l) / rho_l
+    h_r = (E_r + p_r) / rho_r
+    drho, dp, dh, dvn = rho_r - rho_l, p_r - p_l, h_r - h_l, vn_r - vn_l
+    sq_rho = jnp.sqrt(rho_r / rho_l)
+    rrho = 1.0 / (1.0 + sq_rho)
+    ratr = sq_rho * rrho
+    ra = sq_rho * rho_l
+    ha = h_l * rrho + h_r * ratr
+    va = [v_l[m] * rrho + v_r[m] * ratr for m in range(d)]
+    qq = sum(v * v for v in va)
+    va_n = sum(va[m] * norm[m] for m in range(d))
+    aa = jnp.sqrt((gamma - 1.0) * (ha - 0.5 * qq))
+    rcp_aa = 1.0 / aa
+    abs_ma = jnp.abs(va_n * rcp_aa)
+    b1 = jnp.maximum(0.0, jnp.maximum(va_n + aa, vn_r + aa))
+    b2 = jnp.minimum(0.0, jnp.minimum(va_n - aa, vn_l - aa))
+    b1b2 = b1 * b2
+    rcp_b1_b2 = 1.0 / (b1 - b2)
+    b1, b2, b1b2 = b1 * rcp_b1_b2, b2 * rcp_b1_b2, b1b2 * rcp_b1_b2
+    h = 1.0 - jnp.minimum(p_l / p_r, p_r / p_l)
+    f_ = jnp.where(abs_ma != 0.0, abs_ma**h, 1.0)
+    g_ = f_ / (1.0 + abs_ma)
+    du = [ur - ul for ul, ur in zip(u_l, u_r)]
+    du[d + 1] = rho_r * h_r - rho_l * h_l
+    bdq0 = drho - f_ * dp * rcp_aa * rcp_aa
+    bdq = [bdq0]
+    for m in range(d):
+        bdq.append(bdq0 * va[m] + ra * ((v_r[m] - v_l[m]) - norm[m] * dvn))
+    bdq.append(bdq0 * ha + ra * dh)
+    while len(bdq) < F:
+        bdq.append(jnp.zeros_like(bdq0))
+    return [b1 * fl - b2 * fr + b1b2 * (duk - g_ * bq)
+            for fl, fr, duk, bq in zip(fn_l, fn_r, du, bdq)]
+
+
+def lf_p(u_l, u_r, norm, wave_speed, lam):
+    """Scalar advection LF flux (ref:src/inters.cpp:535-557) on planes."""
+    u_av = 0.5 * (u_l[0] + u_r[0])
+    u_diff = u_l[0] - u_r[0]
+    ns = sum(wave_speed[m] * norm[m] for m in range(len(norm)))
+    return [ns * u_av + 0.5 * lam * jnp.abs(ns) * u_diff]
+
+
+def ldg_sign_p(norm, tol=1e-10):
+    """Plane version of riemann.ldg_beta_switch."""
+    n0 = norm[0]
+    n01 = n0 + norm[1]
+    n02 = n0 + norm[2] if len(norm) == 3 else jnp.ones_like(n0)
+    return jnp.where(
+        n0 < -tol, -1.0,
+        jnp.where(n0 > tol, 1.0,
+                  jnp.where(n01 < -tol, -1.0,
+                            jnp.where(n01 > tol, 1.0,
+                                      jnp.where(n02 < -tol, -1.0, 1.0)))))
+
+
+def visc_flux_p(u, gr, d, *, gamma, prandtl, mu_inf, rt_inf, c_sth, fix_vis):
+    """Viscous flux planes: u F-list, gr [d][F]-list -> [d][F]-list
+    (same algebra as models/viscous.py, ref:src/flux.cpp:127-325)."""
+    rho = u[0]
+    inv_rho = 1.0 / rho
+    v = [u[1 + m] * inv_rho for m in range(d)]
+    q2 = sum(vi * vi for vi in v)
+    inte = u[d + 1] * inv_rho - 0.5 * q2
+    if fix_vis:
+        mu = mu_inf
+    else:
+        rt_ratio = (gamma - 1.0) * inte / rt_inf
+        mu = mu_inf * rt_ratio**1.5 * (1.0 + c_sth) / (rt_ratio + c_sth)
+    dv = [[(gr[l][1 + i] - v[i] * gr[l][0]) * inv_rho for l in range(d)]
+          for i in range(d)]
+    dint = [(gr[l][d + 1] - (0.5 * q2 + inte) * gr[l][0]) * inv_rho
+            - sum(v[i] * dv[i][l] for i in range(d)) for l in range(d)]
+    div = sum(dv[i][i] for i in range(d))
+    tau = [[mu * (dv[i][l] + dv[l][i]) for l in range(d)] for i in range(d)]
+    for i in range(d):
+        tau[i][i] = tau[i][i] - 2.0 / 3.0 * mu * div
+    kth = mu * gamma / prandtl
+    out = []
+    for mm in range(d):
+        rows = [jnp.zeros_like(rho)]
+        for i in range(d):
+            rows.append(-tau[i][mm])
+        rows.append(-(sum(v[i] * tau[i][mm] for i in range(d))
+                      + kth * dint[mm]))
+        out.append(rows)
+    return out
+
+
+# ----------------------------------------------------------------------
+# the residual
+# ----------------------------------------------------------------------
+
+def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
+                      bc_fns=None):
+    """Build residual_soa(u) with u (U, F, E) -> rhs (U, F, E), or None when
+    this configuration isn't supported."""
+    B = BlockArrays(block, dtype)
+    if not B.uniform or cfg.les or cfg.rans or cfg.over_int or not cfg.fused:
+        return None
+    d = B.n_dims
+    nF = cfg.n_fields
+    if cfg.equation == 0 and nF != d + 2:
+        return None
+    T = SoaTables(block, nF)
+    if not T.ok:
+        return None
+    S = BlockArraysSoa(block, B, T, dtype)
+    E, U, Pf = B.n_eles, B.n_upts, B.n_fpts
+    Fi, nfp, nf = T.Fi, T.nfp, T.nf
+    Fb = T.Fb
+    has_bdy = Fb > 0
+    prec = jax.lax.Precision[cfg.precision.upper()]
+    gamma, Pr = cfg.gamma, cfg.prandtl
+    visc_kw = dict(gamma=gamma, prandtl=Pr, mu_inf=cfg.mu_inf,
+                   rt_inf=cfg.rt_inf, c_sth=cfg.c_sth, fix_vis=cfg.fix_vis)
+    # tdA rows (Pf*F, E)
+    tdA_rows = jnp.asarray(
+        np.repeat(block.tdA_fpts.reshape(E, Pf).T, nF, axis=0), dtype=dtype)
+
+    def dg(A, x):
+        """(K, U') @ (U', F, E) -> (K, F, E)."""
+        return jax.lax.dot_general(A, x, (((1,), (0,)), ((), ())),
+                                   precision=prec,
+                                   preferred_element_type=dtype)
+
+    def planes(x):
+        """(C, F, E) -> list of F planes (C, E) (squeezed slices)."""
+        return [x[:, i] for i in range(nF)]
+
+    def face_planes(rows2d):
+        """(nfp*F, N) rows -> F planes (nfp, N)."""
+        r = rows2d.reshape(nfp, nF, -1)
+        return [r[:, i] for i in range(nF)]
+
+    def stack_rows(pl):
+        """F planes (nfp, N) -> (nfp*F, N) rows."""
+        return jnp.stack(pl, axis=1).reshape(nfp * nF, -1)
+
+    def common_inv_flux_p(u_l, u_r, norm):
+        if cfg.equation == 0:
+            if cfg.riemann_solve_type == riemann.RUSANOV:
+                return rusanov_p(u_l, u_r, norm, gamma, d)
+            if cfg.riemann_solve_type == riemann.HLLC:
+                return hllc_p(u_l, u_r, norm, gamma, d)
+            if cfg.riemann_solve_type == riemann.ROEM:
+                return roem_p(u_l, u_r, norm, gamma, d)
+            raise ValueError(
+                f"riemann_solve_type {cfg.riemann_solve_type}")
+        ws = [float(cfg.wave_speed[m]) for m in range(d)]
+        return lf_p(u_l, u_r, norm, ws, cfg.lambda_lf)
+
+    def inv_flux_planes(u):
+        """Volume inviscid flux planes fl[m] = [F] of (U, E)."""
+        if cfg.equation == 1:
+            return [[u[:, 0] * cfg.wave_speed[m]] for m in range(d)]
+        up = planes(u)
+        rho = up[0]
+        inv_rho = 1.0 / rho
+        v = [up[1 + m] * inv_rho for m in range(d)]
+        q2 = sum(vi * vi for vi in v)
+        p = (gamma - 1.0) * (up[d + 1] - 0.5 * rho * q2)
+        hp = up[d + 1] + p
+        out = []
+        for mm in range(d):
+            rows = [up[1 + mm]]
+            for i in range(d):
+                r = up[1 + i] * v[mm]
+                if i == mm:
+                    r = r + p
+                rows.append(r)
+            rows.append(hp * v[mm])
+            out.append(rows)
+        return out
+
+    def bdy_bridge(fn_aos):
+        """(Fb, nfp, F) AoS -> (nfp*F, Fb) rows in element-local order."""
+        return jnp.transpose(fn_aos, (1, 2, 0)).reshape(nfp * nF, Fb)
+
+    def gather_side(d2, rows, idx):
+        """2-D (Pf*F, E) view: static row gather + minor element gather."""
+        return d2[rows][:, idx]
+
+    def residual_soa(u, fluc=None, ramp=None):
+        # 1. extrapolate to flux points: one GEMM (ref:src/eles.cpp:1360)
+        disu_f = dg(S.opp_0, u)                       # (Pf, F, E)
+        d2 = disu_f.reshape(Pf * nF, E)
+
+        # 2. per-group face states
+        gs = []
+        for g in S.groups:
+            u_l = face_planes(gather_side(d2, g["rows_l"], g["idx_l"]))
+            u_r = face_planes(gather_side(d2, g["rows_r"], g["idx_r"]))
+            gs.append((u_l, u_r))
+        if has_bdy:
+            # small 2-axis fancy gather on the boundary set only
+            u_bl = d2[S.rows_b, S.ele_b[:, None]].reshape(Fb, nfp, nF)
+
+        # 3. viscous gradient path
+        if cfg.viscous:
+            tg = [dg(S.opp_2_stack[m], u) for m in range(d)]  # (U,F,E)
+            # LDG common solution per group; build the u_c pool
+            pool_parts = [None] * (2 * len(S.groups) + (1 if has_bdy else 0))
+            for gi, (g, (u_l, u_r)) in enumerate(zip(S.groups, gs)):
+                sgn = ldg_sign_p(g["norm"])
+                bcoef = cfg.ldg_beta * sgn
+                u_c = [0.5 * (a + b) - bcoef * (a - b)
+                       for a, b in zip(u_l, u_r)]
+                rows_c = stack_rows(u_c)               # (nfp*F, Ng) l-order
+                pool_parts[gi] = rows_c
+                pool_parts[len(S.groups) + gi] = rows_c[g["rows_r_local"]]
+            if has_bdy:
+                u_c_b = bc_fns.ldg_solution(u_bl, S.norm_bdy, fluc=fluc,
+                                            ramp=ramp)
+                pool_parts[-1] = bdy_bridge(u_c_b)
+            # order pool columns: [l groups | r groups | bdy]
+            pool_uc = jnp.concatenate(
+                pool_parts[:len(S.groups)]
+                + pool_parts[len(S.groups):2 * len(S.groups)]
+                + (pool_parts[-1:] if has_bdy else []), axis=1)
+            delta_rows = jnp.concatenate(
+                [pool_uc[:, S.sel[lf]] for lf in range(nf)], axis=0) - d2
+            delta = delta_rows.reshape(Pf, nF, E)
+            tg = [tg[m] + dg(S.opp_5_stack[m], delta) for m in range(d)]
+            # physical gradient planes at upts: (1/det) JGinv^T . tg
+            gr = [sum(S.jg_u[m][l] * tg[m] for m in range(d)) * S.inv_det_u
+                  for l in range(d)]
+            # transformed gradient at the faces, per group per dim
+            tgf = [dg(S.opp_0, tg[m]) for m in range(d)]   # (Pf, F, E)
+            tgf2 = [a.reshape(Pf * nF, E) for a in tgf]
+
+        # 4. volume transformed flux (ref:src/eles.cpp:1480-1545)
+        fl = inv_flux_planes(u)
+        if cfg.viscous:
+            if cfg.equation == 1:
+                for m in range(d):
+                    fl[m][0] = fl[m][0] - cfg.diff_coeff * gr[m][:, 0]
+            else:
+                grp = [[gr[l][:, i] for i in range(nF)] for l in range(d)]
+                fv = visc_flux_p(planes(u), grp, d, **visc_kw)
+                fl = [[a + b for a, b in zip(fl[m], fv[m])]
+                      for m in range(d)]
+        flj = [jnp.stack(fl[m], axis=1) if len(fl[m]) > 1
+               else fl[m][0][:, None, :] for m in range(d)]
+        tdisf = jnp.concatenate(
+            [sum(S.jg_u[l][m] * flj[m] for m in range(d)) for l in range(d)],
+            axis=0)                                    # (d*U, F, E)
+
+        # 5. common interface flux per group -> fn pool
+        fn_parts = [None] * (2 * len(S.groups) + (1 if has_bdy else 0))
+        for gi, (g, (u_l, u_r)) in enumerate(zip(S.groups, gs)):
+            fn = common_inv_flux_p(u_l, u_r, g["norm"])
+            if cfg.viscous:
+                # gradients at this group's face points, per side
+                tl = [gather_side(tgf2[m], g["rows_l"], g["idx_l"])
+                      for m in range(d)]
+                tr = [gather_side(tgf2[m], g["rows_r"], g["idx_r"])
+                      for m in range(d)]
+                tlp = [face_planes(a) for a in tl]     # [d][F] (nfp, Ng)
+                trp = [face_planes(a) for a in tr]
+                g_l = [[sum(g["jginv_l"][m][l] * tlp[m][i]
+                            for m in range(d)) * g["inv_det_l"]
+                        for i in range(nF)] for l in range(d)]
+                g_r = [[sum(g["jginv_r"][m][l] * trp[m][i]
+                            for m in range(d)) * g["inv_det_r"]
+                        for i in range(nF)] for l in range(d)]
+                if cfg.equation == 1:
+                    fv_l = [[-cfg.diff_coeff * g_l[m][0]] for m in range(d)]
+                    fv_r = [[-cfg.diff_coeff * g_r[m][0]] for m in range(d)]
+                else:
+                    fv_l = visc_flux_p(u_l, g_l, d, **visc_kw)
+                    fv_r = visc_flux_p(u_r, g_r, d, **visc_kw)
+                # LDG common viscous flux (ref:src/inters.cpp:561-611)
+                sgn = ldg_sign_p(g["norm"])
+                bl = 0.5 + cfg.ldg_beta * sgn
+                br = 0.5 - cfg.ldg_beta * sgn
+                for i in range(nF):
+                    fc = sum((bl * fv_l[m][i] + br * fv_r[m][i])
+                             * g["norm"][m] for m in range(d))
+                    fn[i] = fn[i] + fc - cfg.ldg_tau * (u_r[i] - u_l[i])
+            rows_fn = stack_rows(fn)
+            fn_parts[gi] = rows_fn
+            fn_parts[len(S.groups) + gi] = -rows_fn[g["rows_r_local"]]
+        if has_bdy:
+            fn_b = bc_fns.inv_common_flux(u_bl, S.norm_bdy, fluc=fluc,
+                                          ramp=ramp)
+            if cfg.viscous:
+                tb = [tgf2[m][S.rows_b, S.ele_b[:, None]]
+                      .reshape(Fb, nfp, nF) for m in range(d)]
+                tgb = jnp.stack(tb, axis=-1)          # (Fb, nfp, F, d)
+                g_b = adjT_apply(S.jginv_bdy, tgb, S.inv_detjac_bdy)
+                fn_b = fn_b + bc_fns.visc_common_flux(
+                    u_bl, g_b, S.norm_bdy, None, fluc=fluc, ramp=ramp)
+            fn_parts[-1] = bdy_bridge(fn_b)
+        pool_fn = jnp.concatenate(
+            fn_parts[:len(S.groups)]
+            + fn_parts[len(S.groups):2 * len(S.groups)]
+            + (fn_parts[-1:] if has_bdy else []), axis=1)
+
+        # 6. inverse gather + tdA scaling (ref:src/int_inters.cpp:217-220)
+        ntc_rows = jnp.concatenate(
+            [pool_fn[:, S.sel[lf]] for lf in range(nf)], axis=0) * tdA_rows
+        ntc = ntc_rows.reshape(Pf, nF, E)
+
+        # 7. fused divergence GEMM (ref:src/eles.cpp:1654-1772)
+        rhs_cat = jnp.concatenate([tdisf, ntc], axis=0)  # (d*U+Pf, F, E)
+        div = dg(S.opp_div_all, rhs_cat)                 # (U, F, E)
+        return -div * S.inv_det_u
+
+    return residual_soa

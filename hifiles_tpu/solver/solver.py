@@ -135,6 +135,8 @@ class Solver:
 
         self.residual_fn = make_residual_fn(self.block, self.rcfg, dtype,
                                             bc_fns)
+        self._bc_fns = bc_fns
+        self._gradient_fn = None
         # field-major (E, F, U) residual: numerically identical (1e-11)
         # but measured SLOWER than the face path on TPU v5e (254x vs 295x
         # baseline on the TGV bench — its explicit face-row transposes cost
@@ -147,6 +149,18 @@ class Solver:
             from .residual import make_residual_fm
             self.residual_fm = make_residual_fm(self.block, self.rcfg,
                                                 dtype, bc_fns)
+
+        # SoA (U, F, E) residual: elements-minor layout, numerically
+        # identical (tests/test_residual_soa.py) and the default fast path
+        # for the time loop on TPU — the (E, U, F) layouts pad F=5 to 128
+        # lanes and cost ~half of every stage in relayout copies (see
+        # residual_soa.py).  Opt out with HIFILES_NO_SOA=1.
+        self.residual_soa = None
+        if not _os.environ.get("HIFILES_NO_SOA") and not run_input.shock_cap \
+                and not run_input.wall_model:
+            from .residual_soa import make_residual_soa
+            self.residual_soa = make_residual_soa(self.block, self.rcfg,
+                                                  dtype, bc_fns)
 
         # turbulent inlet (white noise / SEM), updated once per step at
         # stage 0 (ref:src/solver.cpp:111-118)
@@ -257,6 +271,28 @@ class Solver:
         p = self.p
         dtype = self.dtype
         if self._simple:
+            if self.residual_soa is not None and pre is None:
+                from .step import make_step_fn as _mk
+                step_soa = _mk(self.residual_soa, p.adv_type)
+
+                def run_chunk(state, dt, n_steps):
+                    # transpose to elements-minor once per chunk; the whole
+                    # scan runs on (U, F, E) state (see residual_soa.py).
+                    # Local dt arrives (E, 1, 1) for the (E, U, F) layout;
+                    # re-lay it out along the minor element axis.
+                    dt_c = (jnp.reshape(dt, (1, 1, -1))
+                            if getattr(dt, "ndim", 0) == 3 else dt)
+                    us = jnp.transpose(state[0], (1, 2, 0))
+                    rs = jnp.transpose(state[1], (1, 2, 0))
+
+                    def body(carry, _):
+                        return step_soa(carry[0], carry[1], dt_c), None
+                    (us, rs), _ = jax.lax.scan(body, (us, rs), None,
+                                               length=n_steps)
+                    return (jnp.transpose(us, (2, 0, 1)),
+                            jnp.transpose(rs, (2, 0, 1)))
+                return run_chunk
+
             if self.residual_fm is not None and pre is None:
                 from .step import make_step_fn as _mk
                 step_fm = _mk(self.residual_fm, p.adv_type)
@@ -314,6 +350,10 @@ class Solver:
                     u = pre(u)
                 ramp = k.astype(dtype) if has_ramp else None
                 fluc = None
+                # scalar step for eddy advection / forcing under local dt
+                # (the reference advances eddies with the global run_input.dt
+                # regardless, ref:src/funcs.cpp:1689)
+                dt_s = jnp.min(dt) if hasattr(dt, "ndim") and dt.ndim else dt
                 if ti is not None or forcing:
                     disu_f = jnp.einsum(
                         "pu,euf->epf", opp_0, u,
@@ -321,7 +361,7 @@ class Solver:
                         precision=prec).reshape(-1, nF)
                 if ti is not None:
                     ti_state, fluc = ti.update(ti_state, disu_f[bdy_slot],
-                                               dt)
+                                               dt_s)
                 source = None
                 if forcing:
                     # channel/hill bulk-momentum forcing
@@ -333,10 +373,10 @@ class Solver:
                     if p.body_force_type == 1:
                         # SD3D relaxation form (stable deadbeat,
                         # ref:src/eles.cpp:5425 commented variant)
-                        bf1 = (mdot0 - mflux) / (area * dt)
+                        bf1 = (mdot0 - mflux) / (area * dt_s)
                     else:
                         # HIOCFD C3.4 two-step form (ref::5427)
-                        bf1 = (mdot0 - 2.0 * mflux + mdot_old) / (area * dt)
+                        bf1 = (mdot0 - 2.0 * mflux + mdot_old) / (area * dt_s)
                     bf = jnp.zeros((nF,), dtype).at[1].set(bf1)
                     bf = bf.at[d + 1].set(bf1 * ubulk)
                     source = lambda uu: bf
@@ -345,8 +385,7 @@ class Solver:
                             p.adv_type, source_fn=source,
                             post_stage=post_stage)
                 u, r = inner(u, r, dt)
-                t_sim = t_sim + (jnp.min(dt) if hasattr(dt, "ndim")
-                                 and dt.ndim else dt)
+                t_sim = t_sim + dt_s
                 if avg:
                     # running average after the step
                     # (ref:src/eles.cpp:5676-5698)
@@ -364,18 +403,28 @@ class Solver:
                         else:  # e_average
                             cols.append(u[..., d + 1] / rho)
                     cur = jnp.stack(cols, axis=-1)
-                    dts = jnp.min(dt) if hasattr(dt, "ndim") and dt.ndim \
-                        else dt
                     t_rel = t_sim - spinup
-                    a = (t_rel - dts) / t_rel
-                    b = dts / t_rel
-                    u_avg = jnp.where(t_rel <= dts, cur,
+                    a = (t_rel - dt_s) / t_rel
+                    b = dt_s / t_rel
+                    u_avg = jnp.where(t_rel <= dt_s, cur,
                                       a * u_avg + b * cur)
                 return (u, r, k + 1, ti_state, mdot_old, t_sim, u_avg), None
             state, _ = jax.lax.scan(body, state, None, length=n_steps)
             return state
 
         return run_chunk
+
+    # ------------------------------------------------------------------
+    @property
+    def gradient_fn(self):
+        """Corrected physical gradient at upts (the reference's
+        grad_disu_upts after CalcResidual); built lazily — only force and
+        diagnostic paths need it."""
+        if self._gradient_fn is None:
+            from .residual import make_gradient_fn
+            self._gradient_fn = make_gradient_fn(self.block, self.rcfg,
+                                                 self.dtype, self._bc_fns)
+        return self._gradient_fn
 
     # ------------------------------------------------------------------
     def compute_dt(self):
@@ -412,9 +461,8 @@ class Solver:
             dt = self.compute_dt()
         if isinstance(dt, np.ndarray) and dt.ndim == 1:
             # local dt: broadcasts (E,1,1) against the (E,U,F) state in the
-            # RK update (ref:src/eles.cpp:1095-1105 dt_local)
-            if self.turb_inlet is not None:
-                raise NotImplementedError("local dt with a turbulent inlet")
+            # RK update (ref:src/eles.cpp:1095-1105 dt_local); eddy
+            # advection and forcing use the global min step
             dt_min = float(dt.min())
             dt_j = jnp.asarray(dt[:, None, None], dtype=self.dtype)
         else:

@@ -25,9 +25,27 @@ from hifiles_tpu.solver.solver import Solver
 from hifiles_tpu.solver.step import RK45_A, RK45_B
 
 TGV_DIR = "/root/reference/testcases/navier-stokes/Taylor_Green_vortex"
+CYL_DIR = "/root/reference/testcases/navier-stokes/cylinder"
 
 # measured from the reference binary, iter-25 monitor row, 2026-08-16
 TGV_GOLD = [0.00810359, 0.05676473, 0.05674665, 0.07418955, 2.01757042]
+
+# Viscous cylinder (ref:testcases/regression_tests.py:288-296): Mach-1.1
+# flow over a cylinder — 2-D quadratic-tri mesh, Sutherland viscosity,
+# isothermal no-slip wall + supersonic in/outflow, CFL-driven global dt,
+# SSP-RK34, shock capture.  Golden values MEASURED from the reference
+# binary (iter-25 monitor row + Fx/Fy, 2026-08-16); the script's published
+# numbers are stale, as for TGV.  The shipped deck SEGFAULTS under the
+# unmodified reference binary: eles::set_transforms (ref:src/eles.cpp:4023)
+# only allocates the interface-cubature arrays when calc_force!=0, but
+# bdy_inters::add_les_inlet -> cal_inlet_area
+# (ref:src/bdy_inters.cpp:1278,2104-2123) dereferences them whenever the
+# mesh has an inlet BC.  Repaired minimally by adding "calc_force 1" /
+# "area_ref 1.0" to the deck (pure diagnostics — the solution and the
+# monitored residuals are unaffected) and goldens were measured on that
+# repaired deck.
+CYL_GOLD = [0.17023244, 0.22772988, 0.09086940, 0.46347871]
+CYL_GOLD_FORCE = [1.94739123, -0.03981771]
 
 
 def last_stage_residual(solver, n_steps, dt):
@@ -45,6 +63,42 @@ def last_stage_residual(solver, n_steps, dt):
         u = u + RK45_B[s] * r
     solver.u = u
     return np.asarray(rhs_last)
+
+
+@pytest.mark.skipif(not os.path.isdir(CYL_DIR), reason="reference absent")
+def test_cylinder_residual_forces_regression():
+    """No-slip wall + supersonic char BCs + shock capture + CFL dt golden
+    check on the reference's second regression case — coverage TGV's fully
+    periodic box cannot give (ref:testcases/regression_tests.py:288-296)."""
+    from hifiles_tpu.io.forces import compute_forces
+
+    p = RunInput.from_deck(os.path.join(CYL_DIR, "input_cylinder_visc"))
+    p.n_steps = 25
+    mesh = read_gambit(os.path.join(CYL_DIR, "cylinder_2ndorder_tri_vis.neu"))
+    s = Solver(p, mesh)
+    for _ in range(24):
+        s.run(1)          # dt_type=1: global CFL dt recomputed per step
+    # final step: SSP-RK34 stage-by-stage with per-stage shock capture
+    # (ref:src/HiFiLES.cpp:201-218); the monitor reports the residual of
+    # the LAST CalcResidual of the step
+    dt = s.compute_dt()
+    ps = s._post_stage if s._post_stage is not None else (lambda u: u)
+    u0 = u = s.u
+    rhs = s.residual_fn(u)
+    u = ps(u + dt / 2.0 * rhs)
+    rhs = s.residual_fn(u)
+    u = ps(u + dt / 2.0 * rhs)
+    rhs = s.residual_fn(u)
+    u = ps(u / 3.0 + 2.0 / 3.0 * u0 + dt / 6.0 * rhs)
+    rhs = s.residual_fn(u)
+    u = ps(u + dt / 2.0 * rhs)
+    s.u = u
+    res = s.residual_norm(norm_type=1, r=np.asarray(rhs))
+    for mine, gold in zip(res, CYL_GOLD):
+        assert abs(mine - gold) < 1e-5, (list(res), CYL_GOLD)
+    force = compute_forces(s)["force"]
+    for mine, gold in zip(force, CYL_GOLD_FORCE):
+        assert abs(mine - gold) < 1e-5, (list(force), CYL_GOLD_FORCE)
 
 
 @pytest.mark.skipif(not os.path.isdir(TGV_DIR), reason="reference absent")

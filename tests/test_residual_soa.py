@@ -1,0 +1,105 @@
+"""SoA (elements-minor) residual equivalence: the (U, F, E) fast path must
+match the face path to roundoff across configs (residual_soa.py)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import jax.numpy as jnp
+
+from hifiles_tpu.config.params import RunInput
+from hifiles_tpu.mesh.generate import (channel_quad_mesh, periodic_hex_mesh,
+                                       periodic_tet_mesh)
+from hifiles_tpu.solver.residual_soa import make_residual_soa
+from hifiles_tpu.solver.solver import Solver
+
+from test_face_path import tgv_input
+
+
+def soa_of(s, bc=None):
+    fn = make_residual_soa(s.block, s.rcfg, s.dtype, bc)
+    assert fn is not None
+    return fn
+
+
+def compare(s, fn_soa, u=None):
+    u = s.u if u is None else u
+    r_ref = np.asarray(s.residual_fn(u))
+    u_soa = jnp.transpose(u, (1, 2, 0))               # (E,U,F)->(U,F,E)
+    r_soa = np.transpose(np.asarray(fn_soa(u_soa)), (2, 0, 1))
+    scale = np.abs(r_ref).max()
+    assert np.abs(r_ref - r_soa).max() < 1e-10 * max(scale, 1.0), \
+        np.abs(r_ref - r_soa).max()
+
+
+def test_soa_hex_viscous_hllc():
+    p = tgv_input()
+    s = Solver(p, periodic_hex_mesh(4, 4, 4))
+    compare(s, soa_of(s))
+
+
+def test_soa_hex_inviscid_rusanov():
+    p = tgv_input()
+    p.viscous = 0
+    p.riemann_solve_type = 0
+    p.mu_inf = float("nan")
+    s = Solver(p, periodic_hex_mesh(3, 3, 3))
+    compare(s, soa_of(s))
+
+
+def test_soa_tet_viscous_roem():
+    p = tgv_input()
+    p.riemann_solve_type = 2
+    s = Solver(p, periodic_tet_mesh(2, 2, 2))
+    compare(s, soa_of(s))
+
+
+def test_soa_quad_channel_boundaries():
+    from hifiles_tpu.solver.bc import make_bc_functions
+    from test_turb_inlet import les_channel_input
+    p = les_channel_input(inlet_type=0)
+    p.LES = 0
+    s = Solver(p, channel_quad_mesh(8, 4, 0.0, 2.0, 0.0, 1.0))
+    rng = np.random.default_rng(0)
+    u = s.u * (1.0 + 0.01 * jnp.asarray(
+        rng.random(np.asarray(s.u).shape), s.dtype))
+    bc = make_bc_functions(p, s.block, s.rcfg, s.dtype)
+    compare(s, soa_of(s, bc), u)
+
+
+def test_soa_cylinder_tri_sutherland():
+    """Quadratic-tri mesh, Sutherland viscosity, isotherm wall + sup BCs."""
+    CYL = "/root/reference/testcases/navier-stokes/cylinder"
+    if not os.path.isdir(CYL):
+        pytest.skip("reference absent")
+    from hifiles_tpu.mesh.gambit import read_gambit
+    p = RunInput.from_deck(os.path.join(CYL, "input_cylinder_visc"))
+    p.shock_cap = 0          # residual-only comparison
+    mesh = read_gambit(os.path.join(CYL, "cylinder_2ndorder_tri_vis.neu"))
+    s = Solver(p, mesh)
+    s.run(2)
+    compare(s, soa_of(s, s._bc_fns))
+
+
+def test_soa_adv_diff():
+    p = RunInput()
+    p.equation = 1
+    p.viscous = 1
+    p.order = 2
+    p.ic_form = 2
+    p.adv_type = 3
+    p.riemann_solve_type = 1
+    p.wave_speed = [1.0, 0.5, 0.25]
+    p.lambda_lf = 1.0
+    p.diff_coeff = 0.05
+    p.dt_type = 0
+    p.dt = 1e-4
+    p.n_steps = 0
+    p.dx_cyclic = p.dy_cyclic = p.dz_cyclic = 2 * np.pi
+    p.setup_params()
+    s = Solver(p, periodic_hex_mesh(3, 3, 3))
+    compare(s, soa_of(s))
