@@ -77,6 +77,22 @@ def main():
     u = np.asarray(s.u)
     assert np.isfinite(u).all(), "NaN/Inf in benchmark solution"
 
+    # accuracy gate: the L1 residual row after the 20 benchmark steps must
+    # match the f32 CPU golden (measured 2026-08-17, default BENCH_* env) —
+    # a perf change that corrupts the physics fails the benchmark.  The
+    # rho/energy entries are cancellation-sensitive in f32 (the f64 row is
+    # [6.7475e-4, 4.96598e-2, 4.96598e-2, 6.38773e-2, 1.12159e-1], ~4% off
+    # in those fields); platform-to-platform f32 spread is ~1e-3.
+    if order == 4 and n1 == 16 and n_steps == 10:
+        gold = np.array([6.942559266463e-04, 4.966582730412e-02,
+                         4.966528341174e-02, 6.387555599213e-02,
+                         1.171203181148e-01])
+        res = np.asarray(s.residual_norm(norm_type=1))
+        rel = np.abs(res - gold) / gold
+        assert rel.max() < 5e-3, (
+            f"benchmark accuracy drift vs f32 golden: {list(res)} "
+            f"vs {list(gold)} (rel {rel.max():.2e})")
+
     vs_baseline = 0.0
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "REFERENCE_BASELINE.json")

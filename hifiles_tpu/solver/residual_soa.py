@@ -327,12 +327,13 @@ def ldg_sign_p(norm, tol=1e-10):
     n0 = norm[0]
     n01 = n0 + norm[1]
     n02 = n0 + norm[2] if len(norm) == 3 else jnp.ones_like(n0)
+    one = jnp.ones_like(n0)       # keep the input dtype (no weak-f64)
     return jnp.where(
-        n0 < -tol, -1.0,
-        jnp.where(n0 > tol, 1.0,
-                  jnp.where(n01 < -tol, -1.0,
-                            jnp.where(n01 > tol, 1.0,
-                                      jnp.where(n02 < -tol, -1.0, 1.0)))))
+        n0 < -tol, -one,
+        jnp.where(n0 > tol, one,
+                  jnp.where(n01 < -tol, -one,
+                            jnp.where(n01 > tol, one,
+                                      jnp.where(n02 < -tol, -one, one)))))
 
 
 def visc_flux_p(u, gr, d, *, gamma, prandtl, mu_inf, rt_inf, c_sth, fix_vis):

@@ -122,8 +122,10 @@ def make_step_fn(residual_fn, adv_type: int, source_fn=None,
         return step
 
     if adv_type in (3, 4):  # 2N-register schemes (ref:src/eles.cpp:1229-1257)
-        A = RK45_A if adv_type == 3 else RK414_A
-        Bc = RK45_B if adv_type == 3 else RK414_B
+        # python floats stay weakly typed: np.float64 scalars would promote
+        # an f32 state to f64 when jax_enable_x64 is on
+        A = [float(a) for a in (RK45_A if adv_type == 3 else RK414_A)]
+        Bc = [float(b) for b in (RK45_B if adv_type == 3 else RK414_B)]
 
         def step(u, reg, dt):
             r = (tmap(jnp.zeros_like, u) if reg is None
