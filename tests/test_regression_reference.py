@@ -47,6 +47,30 @@ TGV_GOLD = [0.00810359, 0.05676473, 0.05674665, 0.07418955, 2.01757042]
 CYL_GOLD = [0.17023244, 0.22772988, 0.09086940, 0.46347871]
 CYL_GOLD_FORCE = [1.94739123, -0.03981771]
 
+# HiOCFD C1.4 laminar flat-plate boundary layer, mesh a2, p=3 (BASELINE
+# config family; ref:testcases/navier-stokes/readme.txt:42-77).  Golden
+# values MEASURED from the reference binary (iter-200 L2 monitor row +
+# Fx/Fy, 2026-08-17) on tests/decks/input_flatplate_a2_200 — the shipped
+# input_flatplate_a uses the pre-fork deck format, so the deck was
+# repaired for the UF fork: named-group BCs added for the mesh's
+# Slip_Wall/Adiabat_Fix/Char/Sub_Out_Simp groups (freestream state from
+# Re=1e6: rho=Re*mu/(u*L)=0.10526358, p=rho*R*T=9060.2 Pa), rho/IC keys
+# the fork requires, calc_force enabled, and dt rescaled to
+# 2e-6*time_ref because the fork divides deck dt by time_ref
+# (ref:src/input.cpp:617) while the legacy deck's dt was already
+# non-dimensional (2e-6 as dimensional seconds is unstable: CFL~13).
+FP_DIR = os.path.join(os.path.dirname(__file__), "decks")
+FP_GOLD = [0.06421395, 0.13984144, 0.11072044, 0.64321392]
+FP_GOLD_FORCE = [0.05970840, 0.06847462]
+FP_MESH = ("/root/reference/testcases/navier-stokes/flatplate/"
+           "flatplate_a2-125-2s.neu")
+
+# same case with the Werner-Wengle wall model on the plate
+# (wall_model 1 + bc_Adiabat_Fix_use_wm 1) — BASELINE.json's wall-model
+# configuration family; goldens measured 2026-08-17
+FP_WM_GOLD = [0.00585716, 0.06137557, 0.00457232, 0.05648320]
+FP_WM_GOLD_FORCE = [0.00961978, -0.00133826]
+
 
 def last_stage_residual(solver, n_steps, dt):
     """Replicate n_steps of RK45, returning the stage-5 rhs of the last step
@@ -99,6 +123,42 @@ def test_cylinder_residual_forces_regression():
     force = compute_forces(s)["force"]
     for mine, gold in zip(force, CYL_GOLD_FORCE):
         assert abs(mine - gold) < 1e-5, (list(force), CYL_GOLD_FORCE)
+
+
+@pytest.mark.skipif(not os.path.isdir(CYL_DIR), reason="reference absent")
+def test_flatplate_residual_forces_regression():
+    """Laminar flat-plate BL (HiOCFD C1.4 a2 p=3): quads + slip wall +
+    adiabatic no-slip wall + characteristic far field + subsonic outflow,
+    fixed dt, RK45 — the wall-bounded viscous golden check on the deck
+    family BASELINE.json's wall cases build on."""
+    from hifiles_tpu.io.forces import compute_forces
+
+    p = RunInput.from_deck(os.path.join(FP_DIR, "input_flatplate_a2_200"))
+    mesh = read_gambit(FP_MESH)
+    s = Solver(p, mesh)
+    rhs = last_stage_residual(s, 200, p.dt)
+    res = s.residual_norm(norm_type=2, r=rhs)
+    for mine, gold in zip(res, FP_GOLD):
+        assert abs(mine - gold) < 1e-5, (list(res), FP_GOLD)
+    force = compute_forces(s)["force"]
+    for mine, gold in zip(force, FP_GOLD_FORCE):
+        assert abs(mine - gold) < 1e-5, (list(force), FP_GOLD_FORCE)
+
+
+@pytest.mark.skipif(not os.path.isdir(CYL_DIR), reason="reference absent")
+def test_flatplate_wall_model_regression():
+    """Werner-Wengle wall model on the flat plate (BASELINE.json's
+    wall-model configuration family) — the wall-stress law replaces the
+    no-slip viscous flux on the plate (ref:src/bdy_inters.cpp:1095-1131,
+    wall_model_funcs.cpp)."""
+    p = RunInput.from_deck(os.path.join(FP_DIR,
+                                        "input_flatplate_a2_200_wm"))
+    mesh = read_gambit(FP_MESH)
+    s = Solver(p, mesh)
+    rhs = last_stage_residual(s, 200, p.dt)
+    res = s.residual_norm(norm_type=2, r=rhs)
+    for mine, gold in zip(res, FP_WM_GOLD):
+        assert abs(mine - gold) < 1e-5, (list(res), FP_WM_GOLD)
 
 
 @pytest.mark.skipif(not os.path.isdir(TGV_DIR), reason="reference absent")
