@@ -175,21 +175,32 @@ class BlockArraysSoa:
         self.jg_u = [[f(block.jginv_upts[:, :, l, m].T)[:, None, :]
                       for m in range(d)] for l in range(d)]
         self.inv_det_u = f(1.0 / block.detjac_upts.T)[:, None, :]
+        # per-group gather tables + column slice into the concatenated
+        # all-interior-faces arrays (l-section / pool order)
         self.groups = []
+        off = 0
         for g in T.groups:
-            gg = {
+            ng = g["idx_l"].size
+            self.groups.append({
                 "idx_l": i32(g["idx_l"]), "idx_r": i32(g["idx_r"]),
                 "rows_l": i32(g["rows_l"]), "rows_r": i32(g["rows_r"]),
                 "rows_r_local": i32(g["rows_r_local"]),
-                "norm": [f(g["norm"][:, m]) for m in range(d)],
-                "inv_det_l": f(g["inv_det_l"]),
-                "inv_det_r": f(g["inv_det_r"]),
-                "jginv_l": [[f(g["jginv_l"][:, m, l]) for l in range(d)]
-                            for m in range(d)],
-                "jginv_r": [[f(g["jginv_r"][:, m, l]) for l in range(d)]
-                            for m in range(d)],
-            }
-            self.groups.append(gg)
+                "sl": slice(off, off + ng),
+            })
+            off += ng
+        # concatenated face geometry (one plane set across all groups, in
+        # group order = pool l-section order)
+        cat = lambda key: np.concatenate([g[key] for g in T.groups], -1)
+        norm_all = cat("norm")                      # (nfp, d, Fi)
+        jgl = cat("jginv_l")                        # (nfp, d, d, Fi)
+        jgr = cat("jginv_r")
+        self.norm = [f(norm_all[:, m]) for m in range(d)]
+        self.jginv_l = [[f(jgl[:, m, l]) for l in range(d)]
+                        for m in range(d)]
+        self.jginv_r = [[f(jgr[:, m, l]) for l in range(d)]
+                        for m in range(d)]
+        self.inv_det_l = f(cat("inv_det_l"))
+        self.inv_det_r = f(cat("inv_det_r"))
         self.sel = i32(T.sel)
         if T.Fb:
             self.ele_b = i32(T.ele_b)
@@ -463,17 +474,26 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         """2-D (Pf*F, E) view: static row gather + minor element gather."""
         return d2[rows][:, idx]
 
+    def gather_cat(src2, which):
+        """Concatenate per-group (row-gather + element-gather) results
+        along the face axis, in pool l-section order."""
+        return jnp.concatenate(
+            [gather_side(src2, g["rows_" + which], g["idx_" + which])
+             for g in S.groups], axis=1)
+
+    def r_copies(rows):
+        """Pool r-section: per group, static column slice + static 2-D
+        row gather into the R element's local fpt order."""
+        return [rows[:, g["sl"]][g["rows_r_local"]] for g in S.groups]
+
     def residual_soa(u, fluc=None, ramp=None):
         # 1. extrapolate to flux points: one GEMM (ref:src/eles.cpp:1360)
         disu_f = dg(S.opp_0, u)                       # (Pf, F, E)
         d2 = disu_f.reshape(Pf * nF, E)
 
-        # 2. per-group face states
-        gs = []
-        for g in S.groups:
-            u_l = face_planes(gather_side(d2, g["rows_l"], g["idx_l"]))
-            u_r = face_planes(gather_side(d2, g["rows_r"], g["idx_r"]))
-            gs.append((u_l, u_r))
+        # 2. all interior faces at once (concatenated in group order)
+        u_l = face_planes(gather_cat(d2, "l"))        # F planes (nfp, Fi)
+        u_r = face_planes(gather_cat(d2, "r"))
         if has_bdy:
             # small 2-axis fancy gather on the boundary set only
             u_bl = d2[S.rows_b, S.ele_b[:, None]].reshape(Fb, nfp, nF)
@@ -481,25 +501,17 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         # 3. viscous gradient path
         if cfg.viscous:
             tg = [dg(S.opp_2_stack[m], u) for m in range(d)]  # (U,F,E)
-            # LDG common solution per group; build the u_c pool
-            pool_parts = [None] * (2 * len(S.groups) + (1 if has_bdy else 0))
-            for gi, (g, (u_l, u_r)) in enumerate(zip(S.groups, gs)):
-                sgn = ldg_sign_p(g["norm"])
-                bcoef = cfg.ldg_beta * sgn
-                u_c = [0.5 * (a + b) - bcoef * (a - b)
-                       for a, b in zip(u_l, u_r)]
-                rows_c = stack_rows(u_c)               # (nfp*F, Ng) l-order
-                pool_parts[gi] = rows_c
-                pool_parts[len(S.groups) + gi] = rows_c[g["rows_r_local"]]
+            sgn = ldg_sign_p(S.norm)
+            bcoef = cfg.ldg_beta * sgn
+            u_c = [0.5 * (a + b) - bcoef * (a - b)
+                   for a, b in zip(u_l, u_r)]
+            rows_c = stack_rows(u_c)                  # (nfp*F, Fi) l-order
+            parts = [rows_c] + r_copies(rows_c)
             if has_bdy:
                 u_c_b = bc_fns.ldg_solution(u_bl, S.norm_bdy, fluc=fluc,
                                             ramp=ramp)
-                pool_parts[-1] = bdy_bridge(u_c_b)
-            # order pool columns: [l groups | r groups | bdy]
-            pool_uc = jnp.concatenate(
-                pool_parts[:len(S.groups)]
-                + pool_parts[len(S.groups):2 * len(S.groups)]
-                + (pool_parts[-1:] if has_bdy else []), axis=1)
+                parts.append(bdy_bridge(u_c_b))
+            pool_uc = jnp.concatenate(parts, axis=1)
             delta_rows = jnp.concatenate(
                 [pool_uc[:, S.sel[lf]] for lf in range(nf)], axis=0) - d2
             delta = delta_rows.reshape(Pf, nF, E)
@@ -507,7 +519,7 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
             # physical gradient planes at upts: (1/det) JGinv^T . tg
             gr = [sum(S.jg_u[m][l] * tg[m] for m in range(d)) * S.inv_det_u
                   for l in range(d)]
-            # transformed gradient at the faces, per group per dim
+            # transformed gradient at the faces, per dim
             tgf = [dg(S.opp_0, tg[m]) for m in range(d)]   # (Pf, F, E)
             tgf2 = [a.reshape(Pf * nF, E) for a in tgf]
 
@@ -528,41 +540,32 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
             [sum(S.jg_u[l][m] * flj[m] for m in range(d)) for l in range(d)],
             axis=0)                                    # (d*U, F, E)
 
-        # 5. common interface flux per group -> fn pool
-        fn_parts = [None] * (2 * len(S.groups) + (1 if has_bdy else 0))
-        for gi, (g, (u_l, u_r)) in enumerate(zip(S.groups, gs)):
-            fn = common_inv_flux_p(u_l, u_r, g["norm"])
-            if cfg.viscous:
-                # gradients at this group's face points, per side
-                tl = [gather_side(tgf2[m], g["rows_l"], g["idx_l"])
-                      for m in range(d)]
-                tr = [gather_side(tgf2[m], g["rows_r"], g["idx_r"])
-                      for m in range(d)]
-                tlp = [face_planes(a) for a in tl]     # [d][F] (nfp, Ng)
-                trp = [face_planes(a) for a in tr]
-                g_l = [[sum(g["jginv_l"][m][l] * tlp[m][i]
-                            for m in range(d)) * g["inv_det_l"]
-                        for i in range(nF)] for l in range(d)]
-                g_r = [[sum(g["jginv_r"][m][l] * trp[m][i]
-                            for m in range(d)) * g["inv_det_r"]
-                        for i in range(nF)] for l in range(d)]
-                if cfg.equation == 1:
-                    fv_l = [[-cfg.diff_coeff * g_l[m][0]] for m in range(d)]
-                    fv_r = [[-cfg.diff_coeff * g_r[m][0]] for m in range(d)]
-                else:
-                    fv_l = visc_flux_p(u_l, g_l, d, **visc_kw)
-                    fv_r = visc_flux_p(u_r, g_r, d, **visc_kw)
-                # LDG common viscous flux (ref:src/inters.cpp:561-611)
-                sgn = ldg_sign_p(g["norm"])
-                bl = 0.5 + cfg.ldg_beta * sgn
-                br = 0.5 - cfg.ldg_beta * sgn
-                for i in range(nF):
-                    fc = sum((bl * fv_l[m][i] + br * fv_r[m][i])
-                             * g["norm"][m] for m in range(d))
-                    fn[i] = fn[i] + fc - cfg.ldg_tau * (u_r[i] - u_l[i])
-            rows_fn = stack_rows(fn)
-            fn_parts[gi] = rows_fn
-            fn_parts[len(S.groups) + gi] = -rows_fn[g["rows_r_local"]]
+        # 5. common interface flux, all interior faces at once
+        fn = common_inv_flux_p(u_l, u_r, S.norm)
+        if cfg.viscous:
+            tlp = [face_planes(gather_cat(tgf2[m], "l")) for m in range(d)]
+            trp = [face_planes(gather_cat(tgf2[m], "r")) for m in range(d)]
+            g_l = [[sum(S.jginv_l[m][l] * tlp[m][i]
+                        for m in range(d)) * S.inv_det_l
+                    for i in range(nF)] for l in range(d)]
+            g_r = [[sum(S.jginv_r[m][l] * trp[m][i]
+                        for m in range(d)) * S.inv_det_r
+                    for i in range(nF)] for l in range(d)]
+            if cfg.equation == 1:
+                fv_l = [[-cfg.diff_coeff * g_l[m][0]] for m in range(d)]
+                fv_r = [[-cfg.diff_coeff * g_r[m][0]] for m in range(d)]
+            else:
+                fv_l = visc_flux_p(u_l, g_l, d, **visc_kw)
+                fv_r = visc_flux_p(u_r, g_r, d, **visc_kw)
+            # LDG common viscous flux (ref:src/inters.cpp:561-611)
+            bl = 0.5 + cfg.ldg_beta * sgn
+            br = 0.5 - cfg.ldg_beta * sgn
+            for i in range(nF):
+                fc = sum((bl * fv_l[m][i] + br * fv_r[m][i])
+                         * S.norm[m] for m in range(d))
+                fn[i] = fn[i] + fc - cfg.ldg_tau * (u_r[i] - u_l[i])
+        rows_fn = stack_rows(fn)
+        fn_parts = [rows_fn] + [-rc for rc in r_copies(rows_fn)]
         if has_bdy:
             fn_b = bc_fns.inv_common_flux(u_bl, S.norm_bdy, fluc=fluc,
                                           ramp=ramp)
@@ -573,11 +576,8 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
                 g_b = adjT_apply(S.jginv_bdy, tgb, S.inv_detjac_bdy)
                 fn_b = fn_b + bc_fns.visc_common_flux(
                     u_bl, g_b, S.norm_bdy, None, fluc=fluc, ramp=ramp)
-            fn_parts[-1] = bdy_bridge(fn_b)
-        pool_fn = jnp.concatenate(
-            fn_parts[:len(S.groups)]
-            + fn_parts[len(S.groups):2 * len(S.groups)]
-            + (fn_parts[-1:] if has_bdy else []), axis=1)
+            fn_parts.append(bdy_bridge(fn_b))
+        pool_fn = jnp.concatenate(fn_parts, axis=1)
 
         # 6. inverse gather + tdA scaling (ref:src/int_inters.cpp:217-220)
         ntc_rows = jnp.concatenate(
