@@ -421,14 +421,23 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         """(C, F, E) -> list of F planes (C, E) (squeezed slices)."""
         return [x[:, i] for i in range(nF)]
 
+    # fpt-major rows <-> field planes via 2-D static row permutations:
+    # reshape/stack through (nfp, 1, N) intermediates makes XLA tile the
+    # whole fused face physics T(1,128) (1/8 sublane occupancy); a 125-row
+    # gather on a 2-D array keeps everything on (8,128) tiles
+    _interleave = jnp.asarray(
+        (np.arange(nfp * nF).reshape(nfp, nF).T).reshape(-1), jnp.int32)
+    _deinterleave = jnp.asarray(
+        (np.arange(nfp * nF).reshape(nF, nfp).T).reshape(-1), jnp.int32)
+
     def face_planes(rows2d):
-        """(nfp*F, N) rows -> F planes (nfp, N)."""
-        r = rows2d.reshape(nfp, nF, -1)
-        return [r[:, i] for i in range(nF)]
+        """(nfp*F, N) fpt-major rows -> F planes (nfp, N)."""
+        fm = rows2d[_interleave]            # field-major blocks
+        return [fm[i * nfp:(i + 1) * nfp] for i in range(nF)]
 
     def stack_rows(pl):
-        """F planes (nfp, N) -> (nfp*F, N) rows."""
-        return jnp.stack(pl, axis=1).reshape(nfp * nF, -1)
+        """F planes (nfp, N) -> (nfp*F, N) fpt-major rows."""
+        return jnp.concatenate(pl, axis=0)[_deinterleave]
 
     def common_inv_flux_p(u_l, u_r, norm):
         if cfg.equation == 0:
