@@ -57,7 +57,10 @@ def main():
     p.setup_params()
 
     mesh = periodic_hex_mesh(n1, n1, n1)
-    s = Solver(p, mesh, dtype=jnp.float32)
+    # MXU pass count for f32 contractions: highest (default, ~6 bf16
+    # passes) or high (3 passes); the accuracy gate below arbitrates
+    precision = os.environ.get("BENCH_PRECISION", "highest")
+    s = Solver(p, mesh, dtype=jnp.float32, precision=precision)
 
     dt = p.dt
     # warmup chunk has the same step count as the timed chunk, so the timed

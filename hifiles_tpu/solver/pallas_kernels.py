@@ -12,6 +12,21 @@ reference's per-point CUDA kernels).
 
 f32, 3-D Navier-Stokes, fix_vis=1 (constant viscosity) — the flagship TGV
 configuration.  The XLA path in kernels.py covers everything else.
+
+STATUS — superseded by the SoA layout redesign (residual_soa.py), kept as
+a reference kernel + test of the Pallas toolchain.  Profiling the (E,U,F)
+residual on TPU v5e showed the stage cost was NOT in the fused volume
+math this kernel accelerates, but in the ~0.5 ms relayout copies XLA
+inserted around every face-row reshape (F=5 minor axis -> 25x lane
+padding).  Rewriting the residual in the elements-minor (U, F, E) layout
+removed those copies entirely and let XLA's own fusion cover the volume
+stage at full VPU/lane occupancy — measured 3.9x end-to-end, more than
+this kernel could deliver on its stage alone (the volume stage was ~15%
+of the old residual).  Conclusion recorded per the round-2 review: with
+the right layouts, XLA's automatic fusion wins over hand-written Pallas
+for these shapes; Pallas remains the tool of choice for the future
+cross-stage fusion (face exchange + flux in one kernel), which XLA
+cannot express across gathers.
 """
 
 from __future__ import annotations

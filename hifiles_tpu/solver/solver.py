@@ -30,7 +30,8 @@ class Solver:
     parallel/sharding.py wraps this)."""
 
     def __init__(self, run_input: RunInput, mesh: MeshData,
-                 dtype=jnp.float64, fused: bool = True):
+                 dtype=jnp.float64, fused: bool = True,
+                 precision: str = "highest"):
         from ..utils import enable_persistent_cache
         enable_persistent_cache()
         self.p = run_input
@@ -103,7 +104,7 @@ class Solver:
             ldg_beta=run_input.ldg_beta, rans=bool(run_input.RANS),
             wave_speed=tuple(run_input.wave_speed),
             lambda_lf=run_input.lambda_lf, diff_coeff=run_input.diff_coeff,
-            fused=fused, n_fields=self.n_fields,
+            fused=fused, n_fields=self.n_fields, precision=precision,
             over_int=bool(run_input.over_int),
             les=bool(run_input.LES), sgs_model=run_input.SGS_model,
             C_s=run_input.C_s, filter_ratio=run_input.filter_ratio,
