@@ -24,6 +24,16 @@ reference's point-by-point scatters, ref:src/int_inters.cpp:217-220).
 Covers the single-type, uniform-face, fused path (Euler/NS + adv-diff,
 viscous or not, all Riemann solvers, boundaries via the AoS bc bridge).
 LES/RANS/over-int/non-fused fall back to residual.py's face path.
+
+Layout notes (measured on TPU v5e, TGV p=4 16^3 bench):
+  * (E, U, F) face path ............ 5.96e7 DOF*stage/s (relayout copies)
+  * this file, (U, F, E) ........... 2.31e8
+  * (F, U, E) + field-batched GEMMs  2.05e8 — the 5->8 sublane pad of the
+    (F, E) minor pair costs less than splitting each operator GEMM into
+    F batched N=E GEMMs; one large-N=F*E GEMM wins.  Kept (U, F, E).
+Next (round 3): generalize the face groups to halo faces (r-side remote,
+filled from the ppermute recv buffer) so the sharded path
+(parallel/sharding.py) shares this layout.
 """
 
 from __future__ import annotations
