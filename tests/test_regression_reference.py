@@ -65,6 +65,26 @@ FP_GOLD_FORCE = [0.05970840, 0.06847462]
 FP_MESH = ("/root/reference/testcases/navier-stokes/flatplate/"
            "flatplate_a2-125-2s.neu")
 
+# Inviscid (Euler) cylinder (ref:testcases/euler/cylinder): Mach-0.1
+# flow, characteristic far field + slip wall, global CFL dt, HLLC, RK45.
+# Golden values MEASURED from the reference binary (iter-25 L1 row +
+# Fx/Fy, 2026-08-17) on tests/decks/input_cylinder_inv_25 — repaired
+# minimally: the shipped deck's BC keys use the stale group name "far"
+# while the mesh's group is "Char"; write_type 2 (CGNS) hard-aborts in a
+# non-CGNS reference build (switched to ParaView); n_steps=25;
+# calc_force enabled (also required to avoid the fork's inlet-area
+# segfault, see CYL_GOLD notes).  The euler branch performs no
+# non-dimensionalization, so residuals are in dimensional units.
+CYL_INV_GOLD = [6.17442828, 1829.77315318, 1337.25064793, 1861625.56379559]
+CYL_INV_GOLD_FORCE = [22.16527890, -0.07263786]
+
+# Sod shock tube (ref:testcases/euler/stube): Gmsh quad strip, slip
+# walls, Persson sensor + exponential filter each RK stage, fixed dt.
+# Golden = iter-100 L1 monitor row measured from the reference binary
+# (2026-08-17); the y-momentum residual is zero by symmetry.  Deck
+# repaired only in n_steps/plot_freq (tests/decks/input_shock_tube_100).
+STUBE_GOLD = [57.68885576, 19489.43382489, 0.0, 16331957.89797418]
+
 # same case with the Werner-Wengle wall model on the plate
 # (wall_model 1 + bc_Adiabat_Fix_use_wm 1) — BASELINE.json's wall-model
 # configuration family; goldens measured 2026-08-17
@@ -72,11 +92,13 @@ FP_WM_GOLD = [0.00585716, 0.06137557, 0.00457232, 0.05648320]
 FP_WM_GOLD_FORCE = [0.00961978, -0.00133826]
 
 
-def last_stage_residual(solver, n_steps, dt):
+def last_stage_residual(solver, n_steps, dt, post_stage=None):
     """Replicate n_steps of RK45, returning the stage-5 rhs of the last step
-    (what the reference's residual monitor reports)."""
+    (what the reference's residual monitor reports).  ``post_stage`` is the
+    per-stage shock-capture hook (ref:src/HiFiLES.cpp:211-218)."""
     import jax.numpy as jnp
 
+    ps = post_stage if post_stage is not None else (lambda u: u)
     if n_steps > 1:
         solver.run(n_steps - 1, dt=dt)
     u, r = solver.u, solver.reg * 0.0
@@ -84,7 +106,7 @@ def last_stage_residual(solver, n_steps, dt):
     for s in range(5):
         rhs_last = solver.residual_fn(u)
         r = RK45_A[s] * r + dt * rhs_last
-        u = u + RK45_B[s] * r
+        u = ps(u + RK45_B[s] * r)
     solver.u = u
     return np.asarray(rhs_last)
 
@@ -123,6 +145,47 @@ def test_cylinder_residual_forces_regression():
     force = compute_forces(s)["force"]
     for mine, gold in zip(force, CYL_GOLD_FORCE):
         assert abs(mine - gold) < 1e-5, (list(force), CYL_GOLD_FORCE)
+
+
+@pytest.mark.skipif(not os.path.isdir(CYL_DIR), reason="reference absent")
+def test_euler_cylinder_residual_forces_regression():
+    """Inviscid Mach-0.1 cylinder: char far field + slip wall + CFL dt on
+    the Euler branch (no non-dimensionalization), HLLC, RK45."""
+    from hifiles_tpu.io.forces import compute_forces
+
+    p = RunInput.from_deck(os.path.join(FP_DIR, "input_cylinder_inv_25"))
+    mesh = read_gambit(os.path.join(
+        "/root/reference/testcases/euler/cylinder",
+        "cylinder_2ndorder_tri_vis.neu"))
+    s = Solver(p, mesh)
+    for _ in range(24):
+        s.run(1)
+    rhs = last_stage_residual(s, 1, s.compute_dt())
+    res = s.residual_norm(norm_type=1, r=rhs)
+    for mine, gold in zip(res, CYL_INV_GOLD):
+        assert abs(mine - gold) < 1e-7 * max(1.0, abs(gold)), \
+            (list(res), CYL_INV_GOLD)
+    force = compute_forces(s)["force"]
+    for mine, gold in zip(force, CYL_INV_GOLD_FORCE):
+        assert abs(mine - gold) < 1e-6 * max(1.0, abs(gold)), \
+            (list(force), CYL_INV_GOLD_FORCE)
+
+
+@pytest.mark.skipif(not os.path.isdir(CYL_DIR), reason="reference absent")
+def test_shock_tube_residual_regression():
+    """Sod shock tube with per-stage shock capture: the stabilization
+    path (Persson sensor + exp filter) against the reference binary."""
+    from hifiles_tpu.mesh.gmsh import read_gmsh
+
+    p = RunInput.from_deck(os.path.join(FP_DIR, "input_shock_tube_100"))
+    mesh = read_gmsh(os.path.join("/root/reference/testcases/euler/stube",
+                                  "shock_tube101.msh"))
+    s = Solver(p, mesh)
+    rhs = last_stage_residual(s, 100, p.dt, post_stage=s._post_stage)
+    res = s.residual_norm(norm_type=1, r=rhs)
+    for mine, gold in zip(res, STUBE_GOLD):
+        assert abs(mine - gold) < 1e-7 * max(1.0, abs(gold)), \
+            (list(res), STUBE_GOLD)
 
 
 @pytest.mark.skipif(not os.path.isdir(CYL_DIR), reason="reference absent")
