@@ -114,3 +114,62 @@ def read_gambit(path: str) -> MeshData:
     return MeshData(n_dims=n_dims, xv=xv, c2v=c2v, c2n_v=c2n_v, ctype=ctype,
                     bc_id=bc_id, bc_names=bc_names,
                     ic2icg=np.arange(n_cells, dtype=np.int64))
+
+
+# file order per cell = inverse walk of _VERTEX_SLOTS (write our slot s at
+# the file position whose slots[pos] == s)
+def write_gambit(mesh, path: str, title: str = "hifiles_tpu") -> str:
+    """Write a MeshData as a Gambit neutral file the reference binary can
+    read (linear tri/quad/hex; used to hand generated meshes to the
+    reference solver for parity runs).  Mirrors read_gambit / the
+    reference's stream parser (ref:src/mesh_reader.cpp:105-393)."""
+    import numpy as np
+
+    from .. import HEX, QUAD, TRI
+    gambit_type = {TRI: 3, QUAD: 2, HEX: 4}
+    n_cells = mesh.c2v.shape[0]
+    n_verts = mesh.xv.shape[0]
+    n_bdy = len(mesh.bc_names or [])
+    nd = mesh.n_dims
+    lines = [
+        "        CONTROL INFO 2.3.16",
+        "** GAMBIT NEUTRAL FILE",
+        title,
+        "PROGRAM:                Gambit     VERSION:  2.3.16",
+        " written by hifiles_tpu",
+        "     NUMNP     NELEM     NGRPS    NBSETS     NDFCD     NDFVL",
+        f"{n_verts:10d}{n_cells:10d}{1:10d}{n_bdy:10d}{nd:10d}{nd:10d}",
+        "ENDOFSECTION",
+        "   NODAL COORDINATES 2.3.16",
+    ]
+    for v in range(n_verts):
+        coords = "".join(f" {c: .11e}" for c in mesh.xv[v])
+        lines.append(f"{v + 1:10d}{coords}")
+    lines.append("ENDOFSECTION")
+    lines.append("      ELEMENTS/CELLS 2.3.16")
+    for c in range(n_cells):
+        ct = int(mesh.ctype[c])
+        nv = int(mesh.c2n_v[c])
+        slots = _VERTEX_SLOTS[(ct, nv)]
+        verts = [int(mesh.c2v[c, slots[pos]]) + 1 for pos in range(nv)]
+        vstr = "".join(f"{v:8d}" for v in verts)
+        lines.append(f"{c + 1:8d} {gambit_type[ct]:2d} {nv:2d} {vstr}")
+    lines.append("ENDOFSECTION")
+    # boundary groups: invert _FACE_REMAP to the gambit face number
+    inv_remap = {
+        2: lambda lf: lf + 1,
+        3: lambda lf: lf + 1,
+        4: lambda lf: {0: 1, 3: 2, 5: 3, 1: 4, 4: 5, 2: 6}[lf],
+    }
+    for b, name in enumerate(mesh.bc_names or []):
+        faces = np.argwhere(mesh.bc_id == b)
+        lines.append(" BOUNDARY CONDITIONS 2.3.16")
+        lines.append(f"{name:>32s}{1:8d}{faces.shape[0]:8d}{0:8d}{6:8d}")
+        for cell, lf in faces:
+            gt = gambit_type[int(mesh.ctype[cell])]
+            lines.append(f"{int(cell) + 1:10d}{gt:5d}"
+                         f"{inv_remap[gt](int(lf)):5d}")
+        lines.append("ENDOFSECTION")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
