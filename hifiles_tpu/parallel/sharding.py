@@ -64,6 +64,11 @@ class ShardTables:
     n_int: int
     n_bdy: int
     n_halo: int
+    # per-shard REAL face counts (rows beyond them are padding)
+    n_int_s: np.ndarray = None    # (n,)
+    n_bdy_s: np.ndarray = None
+    # per-shard halo faces in receive order: (local slots row, offset)
+    halo_faces_s: list = None
 
 
 def _contiguous_partition(n_eles: int, n_shards: int) -> np.ndarray:
@@ -391,7 +396,13 @@ def build_shard_tables(conn: FaceConnectivity, shard_of: np.ndarray,
                        bdy_face=bdy_face,
                        halo_slot_l=halo_l, halo_recv_idx=halo_recv,
                        send_idx=send_idx, slot_src=slot_src,
-                       slot_sign=slot_sign, n_int=Fi, n_bdy=Fb, n_halo=Fh)
+                       slot_sign=slot_sign, n_int=Fi, n_bdy=Fb, n_halo=Fh,
+                       n_int_s=np.array([len(x) for x in ints]),
+                       n_bdy_s=np.array([len(x) for x in bdys]),
+                       halo_faces_s=[
+                           [(sl, o, partner) for o in offsets
+                            for (sl, partner) in halo_sorted[s][o]]
+                           for s in range(n_shards)])
 
 
 class ShardedSolver:
@@ -630,6 +641,32 @@ class ShardedSolver:
         self.n_fields = base.n_fields
 
         self._residual_shard = self._make_shard_residual()
+
+        # SoA (U, F, El) fast path inside shard_map (soa_sharding.py):
+        # same guards as the single-device SoA residual, plus no inlet /
+        # shock-capture / SVV hooks (those run in the (El, U, F) layout)
+        self._residual_soa_shard = None
+        import os as _os
+        cfg = self.rcfg
+        if (not _os.environ.get("HIFILES_NO_SOA") and not cfg.les
+                and not cfg.rans and not cfg.over_int and cfg.fused
+                and not self.has_wm and self._ti_core is None
+                and base._post_stage is None and base._pre_step is None
+                and (cfg.equation != 0 or self.n_fields == ops.n_dims + 2)):
+            from .soa_sharding import (build_soa_shard_tables,
+                                       make_shard_residual_soa)
+            out = build_soa_shard_tables(block, self.tables, owner_flat,
+                                         self.n_shards, El, self.n_fields,
+                                         self.offsets)
+            if out is not None:
+                meta, tabS_np, geoS_np = out
+                for k, v in tabS_np.items():
+                    self.tabs["soa_" + k] = i32(v)
+                for k, v in geoS_np.items():
+                    self.geo["soa_" + k] = f(v)
+                self._residual_soa_shard = make_shard_residual_soa(
+                    self, meta)
+
         self._step_jit = jax.jit(self._make_step(), static_argnums=2,
                                  donate_argnums=0)
 
@@ -867,6 +904,7 @@ class ShardedSolver:
         from ..solver.step import RK45_A, RK45_B, RK414_A, RK414_B
         adv = self.p.adv_type
         residual = self._residual_shard
+        soa_res = self._residual_soa_shard
         # shock capture after every stage + SVV pre-filter per step
         # (closures are shard-shape agnostic; ref:src/HiFiLES.cpp:211-218)
         post = self.base._post_stage
@@ -914,11 +952,32 @@ class ShardedSolver:
                 fluc = jnp.zeros(u_bl.shape[:2] + (d,), dtype).at[rows].set(
                     fl, mode="drop")
 
-            def rhs(x):
-                return residual(x, geo, tabs, sends, bcP, ramp, fluc)
+            if soa_res is not None:
+                # run the whole step in the SoA (U, F, El) layout — one
+                # transpose pair per step instead of relayout copies per
+                # stage (guards exclude the ps/pre/fluc hooks)
+                tabS = {k[4:]: v for k, v in tabs.items()
+                        if k.startswith("soa_")}
+                geoS = {k[4:]: v for k, v in geo.items()
+                        if k.startswith("soa_")}
+                u = jnp.transpose(u, (1, 2, 0))
+                reg = jnp.transpose(reg, (1, 2, 0))
+                dt_c = (jnp.reshape(dt, (1, 1, -1))
+                        if getattr(dt, "ndim", 0) == 3 else dt)
+
+                def rhs(x):
+                    return soa_res(x, geo, geoS, tabS, bcP, ramp, fluc)
+
+                dt_use = dt_c
+            else:
+                def rhs(x):
+                    return residual(x, geo, tabs, sends, bcP, ramp, fluc)
+
+                dt_use = dt
 
             if pre is not None:
                 u = pre(u)
+            dt = dt_use
             if adv == 0:
                 u = ps(u + dt * rhs(u))
             elif adv == 1:
@@ -933,13 +992,16 @@ class ShardedSolver:
                 u = ps(u / 3.0 + 2.0 / 3.0 * u0 + dt / 6.0 * rhs(u))
                 u = ps(u + dt / 2.0 * rhs(u))
             elif adv in (3, 4):
-                A = RK45_A if adv == 3 else RK414_A
-                Bc = RK45_B if adv == 3 else RK414_B
+                A = [float(a) for a in (RK45_A if adv == 3 else RK414_A)]
+                Bc = [float(b) for b in (RK45_B if adv == 3 else RK414_B)]
                 r = reg * 0.0
                 for s_ in range(len(A)):
                     r = A[s_] * r + dt * rhs(u)
                     u = ps(u + Bc[s_] * r)
                 reg = r
+            if soa_res is not None:
+                u = jnp.transpose(u, (2, 0, 1))
+                reg = jnp.transpose(reg, (2, 0, 1))
             return u[None], reg[None], ti
 
         from jax import shard_map

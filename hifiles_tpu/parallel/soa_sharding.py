@@ -1,0 +1,619 @@
+"""Sharded SoA residual: the elements-minor (U, F, El) fast path inside
+shard_map (see solver/residual_soa.py for the single-device layout
+rationale; measured 3.9x there).
+
+Halo faces extend the face-group machinery: a halo face's l-side is
+gathered locally like any interior face, while its r-side data arrives by
+`lax.ppermute` — the sender gathers the partner rows for its OWN elements
+(grouped by the sender-side fpt patterns, so every send is the same two
+fast gather forms) and ships one (nfp*F, cols) buffer per ring offset
+(the send_solution / send_corrected_gradient analog,
+ref:src/mpi_inters.cpp:218-338).  The common flux at halo faces is
+evaluated one-sided on each shard, exactly like the slot path.
+
+shard_map requires one program for all shards, so group signatures are
+UNIONED across shards and each group's face count is padded to the
+per-shard maximum; padding columns gather element 0 (finite), produce
+garbage fluxes, and are never referenced by the inverse `sel` tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..solver.residual_soa import (hllc_p, ldg_sign_p, lf_p, roem_p,
+                                   rusanov_p, visc_flux_p)
+
+RUSANOV, LAX_FRIEDRICHS, ROEM, HLLC = 0, 1, 2, 3
+
+
+def build_soa_shard_tables(block, tables, owner_flat, n_shards, El, nF,
+                           offsets):
+    """Host-side SoA gather tables from the slot-level ShardTables.
+
+    Returns (meta, tabS, geoS) — ``meta`` static python structure closed
+    over by the residual; ``tabS``/``geoS`` stacked (n_shards, ...) numpy
+    arrays passed through shard_map — or None when the configuration
+    isn't expressible (non-uniform fpt counts, non-contiguous l rows,
+    too many groups)."""
+    ops = block.ops
+    Pf = ops.n_fpts
+    if not np.all(ops.n_fpts_per_face == ops.n_fpts_per_face[0]):
+        return None
+    nfp = int(ops.n_fpts_per_face[0])
+    nf = ops.n_faces
+    n = n_shards
+    E = block.n_eles
+
+    # per-shard slot geometry in padded local order (np mirrors of geo)
+    d = ops.n_dims
+    norm_slot = block.norm_fpts.reshape(E, Pf, d)[owner_flat].reshape(
+        n, El * Pf, d)
+    jginv_slot = block.jginv_fpts.reshape(E, Pf, d, d)[owner_flat].reshape(
+        n, El * Pf, d, d)
+    invdet_slot = (1.0 / block.detjac_fpts.reshape(E, Pf))[
+        owner_flat].reshape(n, El * Pf)
+    tdA_slot = block.tdA_fpts.reshape(E, Pf)[owner_flat].reshape(n, El * Pf)
+
+    def rows_of(fpts):
+        """fpt-major rows into the (Pf*F, El) view of (Pf, F, El)."""
+        return (np.asarray(fpts)[:, None] * nF
+                + np.arange(nF)[None, :]).reshape(-1)
+
+    # ---------------- interior groups -------------------------------
+    int_faces = [[] for _ in range(n)]          # (pat, ele_l, ele_r, lf_l, lf_r)
+    for s in range(n):
+        for k in range(int(tables.n_int_s[s])):
+            sl = tables.int_slot_l[s, k]
+            sr = tables.int_slot_r[s, k]
+            fl, fr = sl % Pf, sr % Pf
+            lf_l = fl[0] // nfp
+            if not np.array_equal(fl, lf_l * nfp + np.arange(nfp)):
+                return None
+            int_faces[s].append((tuple(fl), tuple(fr),
+                                 int(sl[0] // Pf), int(sr[0] // Pf),
+                                 int(lf_l), int(fr[0] // nfp), sl, sr))
+    int_pats = sorted({(f[0], f[1]) for faces in int_faces for f in faces})
+    if len(int_pats) > 64:
+        return None
+    # per group: per-shard face lists
+    int_by = {p: [[] for _ in range(n)] for p in int_pats}
+    for s in range(n):
+        for f in int_faces[s]:
+            int_by[(f[0], f[1])][s].append(f)
+    int_groups = []
+    off = 0
+    sel = np.zeros((n, nf, El), dtype=np.int64)
+    covered = np.zeros((n, nf, El), dtype=bool)
+    for p in int_pats:
+        per = int_by[p]
+        Ng = max(len(x) for x in per)
+        fl = np.asarray(p[0])
+        fr = np.asarray(p[1])
+        r_order = np.argsort(fr)
+        idx_l = np.zeros((n, Ng), dtype=np.int64)
+        idx_r = np.zeros((n, Ng), dtype=np.int64)
+        gnorm = np.zeros((n, nfp, d, Ng))
+        gnorm[:, :, 0, :] = 1.0                   # safe padding normal
+        jgl = np.tile(np.eye(d), (n, nfp, Ng, 1, 1)).transpose(0, 1, 3, 4, 2)
+        jgr = jgl.copy()
+        idl = np.ones((n, nfp, Ng))
+        idr = np.ones((n, nfp, Ng))
+        for s in range(n):
+            for j, f in enumerate(per[s]):
+                sl, sr = f[6], f[7]
+                idx_l[s, j] = f[2]
+                idx_r[s, j] = f[3]
+                gnorm[s, :, :, j] = norm_slot[s, sl]
+                jgl[s, :, :, :, j] = jginv_slot[s, sl]
+                jgr[s, :, :, :, j] = jginv_slot[s, sr]
+                idl[s, :, j] = invdet_slot[s, sl]
+                idr[s, :, j] = invdet_slot[s, sr]
+                sel[s, f[4], f[2]] = off + j          # l pool col
+                covered[s, f[4], f[2]] = True
+                sel[s, f[5], f[3]] = -(off + j) - 1   # r col marker (tmp)
+                covered[s, f[5], f[3]] = True
+        int_groups.append(dict(
+            rows_l=rows_of(fl), rows_r=rows_of(fr),
+            rows_r_local=(r_order[:, None] * nF
+                          + np.arange(nF)[None, :]).reshape(-1),
+            idx_l=idx_l, idx_r=idx_r, norm=gnorm, jginv_l=jgl, jginv_r=jgr,
+            inv_det_l=idl, inv_det_r=idr, sl=slice(off, off + Ng)))
+        off += Ng
+    Fi_tot = off
+    # resolve r markers now that Fi_tot is known
+    rmask = sel < 0
+    sel[rmask] = Fi_tot + (-sel[rmask] - 1)
+
+    # ---------------- boundary --------------------------------------
+    Fb = tables.n_bdy
+    if Fb:
+        fpt_b = tables.bdy_slot % Pf              # (n, Fb, nfp)
+        ele_b = tables.bdy_slot[:, :, 0] // Pf
+        rows_b = (fpt_b[:, :, :, None] * nF
+                  + np.arange(nF)[None, None, None, :]).reshape(n, Fb,
+                                                                nfp * nF)
+        norm_b = np.stack([norm_slot[s][tables.bdy_slot[s]]
+                           for s in range(n)])
+        jginv_b = np.stack([jginv_slot[s][tables.bdy_slot[s]]
+                            for s in range(n)])
+        invdet_b = np.stack([invdet_slot[s][tables.bdy_slot[s]]
+                             for s in range(n)])
+        for s in range(n):
+            for k in range(int(tables.n_bdy_s[s])):
+                lf = int(fpt_b[s, k, 0] // nfp)
+                sel[s, lf, ele_b[s, k]] = 2 * Fi_tot + k
+                covered[s, lf, ele_b[s, k]] = True
+    else:
+        ele_b = np.zeros((n, 0), dtype=np.int64)
+        rows_b = np.zeros((n, 0, nfp * nF), dtype=np.int64)
+        norm_b = jginv_b = invdet_b = None
+
+    # ---------------- halo ------------------------------------------
+    # sender groups per offset (sender fpt pattern); canonical order
+    send_pats = {o: set() for o in offsets}
+    halo_faces = [[] for _ in range(n)]
+    for s in range(n):
+        for (sl, o, partner) in (tables.halo_faces_s[s] or []):
+            pat_s = tuple(partner % Pf)
+            send_pats[o].add(pat_s)
+            halo_faces[s].append((sl, o, partner, pat_s))
+    send_pats = {o: sorted(v) for o, v in send_pats.items()}
+    # assign columns: for offset o, sender t serves receiver s=(t+o)%n;
+    # per (o, pat): sender-local face list in receiver order
+    send_lists = {(o, p): [[] for _ in range(n)]
+                  for o in offsets for p in send_pats[o]}
+    face_col = [dict() for _ in range(n)]  # (receiver face idx)->col in o-buf
+    for s in range(n):
+        t_of = {o: (s - o) % n for o in offsets}
+        for fi, (sl, o, partner, pat_s) in enumerate(halo_faces[s]):
+            lst = send_lists[(o, pat_s)][t_of[o]]
+            face_col[s][fi] = (o, pat_s, len(lst))
+            lst.append(int(partner[0] // Pf))
+    send_group_meta = {}          # (o) -> list of (pat, base, Nmax)
+    send_tab = {}                 # (o, gi) -> (n, Nmax) element ids
+    send_jg = {}
+    send_id = {}
+    recv_width = {}
+    for o in offsets:
+        base = 0
+        metas = []
+        for gi, p in enumerate(send_pats[o]):
+            per = send_lists[(o, p)]
+            Nmax = max((len(x) for x in per), default=0)
+            arr = np.zeros((n, Nmax), dtype=np.int64)
+            jg = np.tile(np.eye(d),
+                         (n, nfp, Nmax, 1, 1)).transpose(0, 1, 3, 4, 2)
+            iv = np.ones((n, nfp, Nmax))
+            rows_p = np.asarray(p)
+            for t in range(n):
+                for j, e in enumerate(per[t]):
+                    arr[t, j] = e
+                    slot = e * Pf + rows_p
+                    jg[t, :, :, :, j] = jginv_slot[t, slot]
+                    iv[t, :, j] = invdet_slot[t, slot]
+            metas.append((p, base, Nmax))
+            send_tab[(o, gi)] = arr
+            send_jg[(o, gi)] = jg
+            send_id[(o, gi)] = iv
+            base += Nmax
+        send_group_meta[o] = metas
+        recv_width[o] = base
+    # offset base inside the concatenated recv buffer
+    off_base = {}
+    cum = 0
+    for o in offsets:
+        off_base[o] = cum
+        cum += recv_width[o]
+    H_width = cum
+
+    # receiver groups by l pattern
+    recv_pats = sorted({tuple(f[0] % Pf) for faces in halo_faces
+                        for f in faces})
+    recv_by = {p: [[] for _ in range(n)] for p in recv_pats}
+    for s in range(n):
+        for fi, f in enumerate(halo_faces[s]):
+            recv_by[tuple(f[0] % Pf)][s].append((fi, f))
+    halo_groups = []
+    hoff = 0
+    for p in recv_pats:
+        per = recv_by[p]
+        Ng = max(len(x) for x in per)
+        fl = np.asarray(p)
+        lf_l = int(fl[0] // nfp)
+        # r-side shards store their halo rows in PARTNER-matched order
+        # (the lut permutation); the pool copy must be in the element's
+        # ascending fpt order, like the interior r-copies
+        if np.any(fl // nfp != lf_l):
+            return None
+        order = np.argsort(fl)
+        rows_local = (order[:, None] * nF
+                      + np.arange(nF)[None, :]).reshape(-1)
+        idx_l = np.zeros((n, Ng), dtype=np.int64)
+        col = np.zeros((n, Ng), dtype=np.int64)
+        gnorm = np.zeros((n, nfp, d, Ng))
+        gnorm[:, :, 0, :] = 1.0
+        jgl = np.tile(np.eye(d), (n, nfp, Ng, 1, 1)).transpose(0, 1, 3, 4, 2)
+        idl = np.ones((n, nfp, Ng))
+        for s in range(n):
+            for j, (fi, f) in enumerate(per[s]):
+                sl = f[0]
+                e_l = int(sl[0] // Pf)
+                idx_l[s, j] = e_l
+                o, pat_s, jj = face_col[s][fi]
+                gbase = dict((pp, b) for pp, b, _ in send_group_meta[o])[
+                    pat_s]
+                col[s, j] = off_base[o] + gbase + jj
+                gnorm[s, :, :, j] = norm_slot[s, sl]
+                jgl[s, :, :, :, j] = jginv_slot[s, sl]
+                idl[s, :, j] = invdet_slot[s, sl]
+                sel[s, lf_l, e_l] = 2 * Fi_tot + Fb + hoff + j
+                covered[s, lf_l, e_l] = True
+        halo_groups.append(dict(
+            rows_l=rows_of(fl), idx_l=idx_l, col=col, norm=gnorm,
+            jginv_l=jgl, inv_det_l=idl, rows_local=rows_local,
+            sl=slice(hoff, hoff + Ng)))
+        hoff += Ng
+    Fh_tot = hoff
+
+    # (uncovered (e, lf) pairs belong to padding clones: their sel stays
+    # 0 — finite garbage, zeroed by the pad_mask on the rhs)
+
+    meta = dict(nfp=nfp, nf=nf, Pf=Pf, Fi_tot=Fi_tot, Fb=Fb,
+                Fh_tot=Fh_tot, H_width=H_width,
+                int_rows=[(g["rows_l"], g["rows_r"], g["rows_r_local"],
+                           g["sl"]) for g in int_groups],
+                halo_rows=[(g["rows_l"], g["rows_local"], g["sl"])
+                           for g in halo_groups],
+                send_rows={o: [np.asarray(p) for p, _, _ in
+                               send_group_meta[o]] for o in offsets},
+                offsets=list(offsets))
+
+    tabS = {}
+    geoS = {}
+    for gi, g in enumerate(int_groups):
+        tabS[f"i{gi}_l"] = g["idx_l"]
+        tabS[f"i{gi}_r"] = g["idx_r"]
+        geoS[f"i{gi}_norm"] = g["norm"]
+        geoS[f"i{gi}_jgl"] = g["jginv_l"]
+        geoS[f"i{gi}_jgr"] = g["jginv_r"]
+        geoS[f"i{gi}_idl"] = g["inv_det_l"]
+        geoS[f"i{gi}_idr"] = g["inv_det_r"]
+    for gi, g in enumerate(halo_groups):
+        tabS[f"h{gi}_l"] = g["idx_l"]
+        tabS[f"h{gi}_c"] = g["col"]
+        geoS[f"h{gi}_norm"] = g["norm"]
+        geoS[f"h{gi}_jgl"] = g["jginv_l"]
+        geoS[f"h{gi}_idl"] = g["inv_det_l"]
+    for o in offsets:
+        for gi in range(len(send_pats[o])):
+            tabS[f"s{o}_{gi}"] = send_tab[(o, gi)]
+            geoS[f"s{o}_{gi}_jg"] = send_jg[(o, gi)]
+            geoS[f"s{o}_{gi}_id"] = send_id[(o, gi)]
+    tabS["sel"] = sel
+    if Fb:
+        tabS["rows_b"] = rows_b
+        tabS["ele_b"] = ele_b
+        geoS["norm_b"] = norm_b
+        geoS["jginv_b"] = jginv_b
+        geoS["invdet_b"] = invdet_b
+    geoS["tdA"] = tdA_slot.reshape(n, El, Pf)
+    return meta, tabS, geoS
+
+
+def make_shard_residual_soa(solver, meta):
+    """The per-shard SoA residual body (runs inside shard_map).
+
+    solver: the ShardedSolver (for cfg/opp/axis/offsets/bc_fns).
+    State u is (U, F, El); returns rhs (U, F, El)."""
+    cfg = solver.rcfg
+    dtype = solver.dtype
+    d = solver.base.ops.n_dims
+    U = solver.base.ops.n_upts
+    El = solver.El
+    nF = solver.n_fields
+    axis = solver.axis
+    n = solver.n_shards
+    prec = jax.lax.Precision[cfg.precision.upper()]
+    opp = solver.opp
+    bc_fns = solver.bc_fns
+    nfp, nf, Pf = meta["nfp"], meta["nf"], meta["Pf"]
+    Fi_tot, Fb, Fh = meta["Fi_tot"], meta["Fb"], meta["Fh_tot"]
+    offsets = meta["offsets"]
+    gamma, Pr = cfg.gamma, cfg.prandtl
+    visc_kw = dict(gamma=gamma, prandtl=Pr, mu_inf=cfg.mu_inf,
+                   rt_inf=cfg.rt_inf, c_sth=cfg.c_sth, fix_vis=cfg.fix_vis)
+    nG = len(meta["int_rows"])
+    nH = len(meta["halo_rows"])
+
+    # static row tables as jnp constants
+    int_rows = [(jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32),
+                 jnp.asarray(c, jnp.int32), sl)
+                for a, b, c, sl in meta["int_rows"]]
+    halo_rows = [(jnp.asarray(a, jnp.int32), jnp.asarray(rl, jnp.int32),
+                  sl) for a, rl, sl in meta["halo_rows"]]
+    send_rows = {
+        o: [jnp.asarray((np.asarray(p)[:, None] * nF
+                         + np.arange(nF)[None, :]).reshape(-1), jnp.int32)
+            for p in meta["send_rows"][o]] for o in offsets}
+
+    _il = jnp.asarray(
+        (np.arange(nfp * nF).reshape(nfp, nF).T).reshape(-1), jnp.int32)
+    _dl = jnp.asarray(
+        (np.arange(nfp * nF).reshape(nF, nfp).T).reshape(-1), jnp.int32)
+
+    def face_planes(rows2d):
+        fm = rows2d[_il]
+        return [fm[i * nfp:(i + 1) * nfp] for i in range(nF)]
+
+    def stack_rows(pl):
+        return jnp.concatenate(pl, axis=0)[_dl]
+
+    def dg(A, x):
+        return jax.lax.dot_general(A, x, (((1,), (0,)), ((), ())),
+                                   precision=prec,
+                                   preferred_element_type=dtype)
+
+    def common_inv_flux_p(u_l, u_r, norm):
+        if cfg.equation == 0:
+            if cfg.riemann_solve_type == RUSANOV:
+                return rusanov_p(u_l, u_r, norm, gamma, d)
+            if cfg.riemann_solve_type == HLLC:
+                return hllc_p(u_l, u_r, norm, gamma, d)
+            if cfg.riemann_solve_type == ROEM:
+                return roem_p(u_l, u_r, norm, gamma, d)
+            raise ValueError(cfg.riemann_solve_type)
+        ws = [float(cfg.wave_speed[m]) for m in range(d)]
+        return lf_p(u_l, u_r, norm, ws, cfg.lambda_lf)
+
+    def visc_faces(u_p, g_p):
+        if cfg.equation == 1:
+            return [[-cfg.diff_coeff * g_p[m][0]] for m in range(d)]
+        return visc_flux_p(u_p, g_p, d, **visc_kw)
+
+    def exchange(bufs):
+        """bufs: {offset: (rows, cols)} -> concat of ppermute'd recvs."""
+        recvs = []
+        for o in offsets:
+            perm = [(i, (i + o) % n) for i in range(n)]
+            recvs.append(jax.lax.ppermute(bufs[o], axis, perm))
+        return jnp.concatenate(recvs, axis=1) if recvs else None
+
+    def residual(u, geo, geoS, tabS, bcP, ramp=None, fluc=None):
+        """u (U, F, El); geo: the solver's slot geo (for jg_u/detjac/pad);
+        geoS/tabS: this shard's SoA rows."""
+        jg_u = [[jnp.transpose(geo["jginv_upts"][:, :, l, m])[:, None, :]
+                 for m in range(d)] for l in range(d)]
+        inv_det_u = jnp.transpose(1.0 / geo["detjac_upts"])[:, None, :]
+
+        disu_f = dg(opp["opp_0"], u)              # (Pf, F, El)
+        d2 = disu_f.reshape(Pf * nF, El)
+
+        def gsl(src2, rows, idx):
+            return src2[rows][:, idx]
+
+        # interior faces, concatenated in pool l order
+        u_l_rows = jnp.concatenate(
+            [gsl(d2, r[0], tabS[f"i{gi}_l"])
+             for gi, r in enumerate(int_rows)], axis=1)
+        u_r_rows = jnp.concatenate(
+            [gsl(d2, r[1], tabS[f"i{gi}_r"])
+             for gi, r in enumerate(int_rows)], axis=1)
+        u_l = face_planes(u_l_rows)
+        u_r = face_planes(u_r_rows)
+        norm_i = [jnp.concatenate(
+            [geoS[f"i{gi}_norm"][:, m] for gi in range(nG)], axis=1)
+            for m in range(d)]
+
+        # halo: send buffers, exchange, receiver-side gathers
+        send_bufs = {o: jnp.concatenate(
+            [gsl(d2, send_rows[o][gi], tabS[f"s{o}_{gi}"])
+             for gi in range(len(send_rows[o]))], axis=1)
+            for o in offsets} if offsets else {}
+        recv = exchange(send_bufs) if offsets else None
+        if nH:
+            u_hl_rows = jnp.concatenate(
+                [gsl(d2, halo_rows[gi][0], tabS[f"h{gi}_l"])
+                 for gi in range(nH)], axis=1)
+            hcol = jnp.concatenate(
+                [tabS[f"h{gi}_c"] for gi in range(nH)], axis=0)
+            u_hr_rows = recv[:, hcol]
+            u_hl = face_planes(u_hl_rows)
+            u_hr = face_planes(u_hr_rows)
+            norm_h = [jnp.concatenate(
+                [geoS[f"h{gi}_norm"][:, m] for gi in range(nH)], axis=1)
+                for m in range(d)]
+        if Fb:
+            u_bl = d2[tabS["rows_b"], tabS["ele_b"][:, None]].reshape(
+                Fb, nfp, nF)
+
+        # viscous gradient path
+        if cfg.viscous:
+            tg = [dg(opp["opp_2_stack"][m], u) for m in range(d)]
+            sgn_i = ldg_sign_p(norm_i)
+            bco = cfg.ldg_beta * sgn_i
+            u_c = [0.5 * (a + b) - bco * (a - b) for a, b in zip(u_l, u_r)]
+            rows_c = stack_rows(u_c)
+            parts = [rows_c]
+            for gi, r in enumerate(int_rows):
+                parts.append(rows_c[:, r[3]][r[2]])
+            if Fb:
+                u_c_b = bc_fns.ldg_solution(u_bl, geoS["norm_b"], P=bcP,
+                                            ramp=ramp, fluc=fluc)
+                parts.append(jnp.transpose(u_c_b, (1, 2, 0)).reshape(
+                    nfp * nF, Fb))
+            if nH:
+                sgn_h = ldg_sign_p(norm_h)
+                bch = cfg.ldg_beta * sgn_h
+                u_c_h = [0.5 * (a + b) - bch * (a - b)
+                         for a, b in zip(u_hl, u_hr)]
+                rows_ch = stack_rows(u_c_h)
+                # reorder each group's columns to element-ascending rows
+                parts.extend(rows_ch[:, hr[2]][hr[1]] for hr in halo_rows)
+            pool_uc = jnp.concatenate(parts, axis=1)
+            delta_rows = jnp.concatenate(
+                [pool_uc[:, tabS["sel"][lf]] for lf in range(nf)],
+                axis=0) - d2
+            delta = delta_rows.reshape(Pf, nF, El)
+            tg = [tg[m] + dg(opp["opp_5_stack"][m], delta)
+                  for m in range(d)]
+            gr = [sum(jg_u[m][l] * tg[m] for m in range(d)) * inv_det_u
+                  for l in range(d)]
+            tgf = [dg(opp["opp_0"], tg[m]) for m in range(d)]
+            tgf2 = [a.reshape(Pf * nF, El) for a in tgf]
+            # send PHYSICAL gradients for halo partners (adjT on the
+            # sender with its own metric), one buffer per offset with
+            # the d planes stacked on the row axis
+            if offsets:
+                gsend = {}
+                for o in offsets:
+                    blocks = []
+                    for gi in range(len(send_rows[o])):
+                        tl = [gsl(tgf2[m], send_rows[o][gi],
+                                  tabS[f"s{o}_{gi}"]) for m in range(d)]
+                        tlp = [face_planes(a) for a in tl]
+                        jg = geoS[f"s{o}_{gi}_jg"]
+                        iv = geoS[f"s{o}_{gi}_id"]
+                        gphys = [stack_rows(
+                            [sum(jg[:, m, l] * tlp[m][i]
+                                 for m in range(d)) * iv
+                             for i in range(nF)]) for l in range(d)]
+                        blocks.append(jnp.concatenate(gphys, axis=0))
+                    gsend[o] = jnp.concatenate(blocks, axis=1)
+                grecv = exchange(gsend)
+
+        # volume flux
+        up = [u[:, i] for i in range(nF)]
+        if cfg.equation == 1:
+            fl = [[up[0] * cfg.wave_speed[m]] for m in range(d)]
+        else:
+            inv_rho = 1.0 / up[0]
+            v = [up[1 + m] * inv_rho for m in range(d)]
+            q2 = sum(vi * vi for vi in v)
+            pp = (gamma - 1.0) * (up[d + 1] - 0.5 * up[0] * q2)
+            hp = up[d + 1] + pp
+            fl = []
+            for mm in range(d):
+                rows = [up[1 + mm]]
+                for i in range(d):
+                    r_ = up[1 + i] * v[mm]
+                    if i == mm:
+                        r_ = r_ + pp
+                    rows.append(r_)
+                rows.append(hp * v[mm])
+                fl.append(rows)
+        if cfg.viscous:
+            if cfg.equation == 1:
+                for m in range(d):
+                    fl[m][0] = fl[m][0] - cfg.diff_coeff * gr[m][:, 0]
+            else:
+                grp = [[gr[l][:, i] for i in range(nF)] for l in range(d)]
+                fv = visc_flux_p(up, grp, d, **visc_kw)
+                fl = [[a + b for a, b in zip(fl[m], fv[m])]
+                      for m in range(d)]
+        flj = [jnp.stack(fl[m], axis=1) if len(fl[m]) > 1
+               else fl[m][0][:, None, :] for m in range(d)]
+        tdisf = jnp.concatenate(
+            [sum(jg_u[l][m] * flj[m] for m in range(d)) for l in range(d)],
+            axis=0)
+
+        # common interface fluxes
+        fn = common_inv_flux_p(u_l, u_r, norm_i)
+        if cfg.viscous:
+            tlp = [face_planes(jnp.concatenate(
+                [gsl(tgf2[m], r[0], tabS[f"i{gi}_l"])
+                 for gi, r in enumerate(int_rows)], axis=1))
+                for m in range(d)]
+            trp = [face_planes(jnp.concatenate(
+                [gsl(tgf2[m], r[1], tabS[f"i{gi}_r"])
+                 for gi, r in enumerate(int_rows)], axis=1))
+                for m in range(d)]
+            jgl = [[jnp.concatenate([geoS[f"i{gi}_jgl"][:, m, l]
+                                     for gi in range(nG)], axis=1)
+                    for l in range(d)] for m in range(d)]
+            jgr = [[jnp.concatenate([geoS[f"i{gi}_jgr"][:, m, l]
+                                     for gi in range(nG)], axis=1)
+                    for l in range(d)] for m in range(d)]
+            idl = jnp.concatenate([geoS[f"i{gi}_idl"]
+                                   for gi in range(nG)], axis=1)
+            idr = jnp.concatenate([geoS[f"i{gi}_idr"]
+                                   for gi in range(nG)], axis=1)
+            g_l = [[sum(jgl[m][l] * tlp[m][i] for m in range(d)) * idl
+                    for i in range(nF)] for l in range(d)]
+            g_r = [[sum(jgr[m][l] * trp[m][i] for m in range(d)) * idr
+                    for i in range(nF)] for l in range(d)]
+            fv_l = visc_faces(u_l, g_l)
+            fv_r = visc_faces(u_r, g_r)
+            bl = 0.5 + cfg.ldg_beta * sgn_i
+            br = 0.5 - cfg.ldg_beta * sgn_i
+            for i in range(nF):
+                fc = sum((bl * fv_l[m][i] + br * fv_r[m][i]) * norm_i[m]
+                         for m in range(d))
+                fn[i] = fn[i] + fc - cfg.ldg_tau * (u_r[i] - u_l[i])
+        rows_fn = stack_rows(fn)
+        fn_parts = [rows_fn]
+        for gi, r in enumerate(int_rows):
+            fn_parts.append(-rows_fn[:, r[3]][r[2]])
+        if Fb:
+            fn_b = bc_fns.inv_common_flux(u_bl, geoS["norm_b"], P=bcP,
+                                          ramp=ramp, fluc=fluc)
+            if cfg.viscous:
+                tb = [tgf2[m][tabS["rows_b"], tabS["ele_b"][:, None]]
+                      .reshape(Fb, nfp, nF) for m in range(d)]
+                tgb = jnp.stack(tb, axis=-1)
+                from ..solver.kernels import adjT_apply
+                g_b = adjT_apply(geoS["jginv_b"], tgb, geoS["invdet_b"])
+                fn_b = fn_b + bc_fns.visc_common_flux(
+                    u_bl, g_b, geoS["norm_b"], None, P=bcP, ramp=ramp,
+                    fluc=fluc)
+            fn_parts.append(jnp.transpose(fn_b, (1, 2, 0)).reshape(
+                nfp * nF, Fb))
+        if nH:
+            fn_h = common_inv_flux_p(u_hl, u_hr, norm_h)
+            if cfg.viscous:
+                tlh = [face_planes(jnp.concatenate(
+                    [gsl(tgf2[m], halo_rows[gi][0], tabS[f"h{gi}_l"])
+                     for gi in range(nH)], axis=1)) for m in range(d)]
+                jghl = [[jnp.concatenate([geoS[f"h{gi}_jgl"][:, m, l]
+                                          for gi in range(nH)], axis=1)
+                         for l in range(d)] for m in range(d)]
+                idhl = jnp.concatenate([geoS[f"h{gi}_idl"]
+                                        for gi in range(nH)], axis=1)
+                g_hl = [[sum(jghl[m][l] * tlh[m][i]
+                             for m in range(d)) * idhl
+                         for i in range(nF)] for l in range(d)]
+                # received physical gradient: rows [l*nfp*F ...]
+                gh_rows = grecv[:, hcol]
+                g_hr = [[pl for pl in face_planes(
+                    gh_rows[l * nfp * nF:(l + 1) * nfp * nF])]
+                    for l in range(d)]
+                fv_hl = visc_faces(u_hl, g_hl)
+                fv_hr = visc_faces(u_hr, g_hr)
+                bh_l = 0.5 + cfg.ldg_beta * sgn_h
+                bh_r = 0.5 - cfg.ldg_beta * sgn_h
+                for i in range(nF):
+                    fc = sum((bh_l * fv_hl[m][i] + bh_r * fv_hr[m][i])
+                             * norm_h[m] for m in range(d))
+                    fn_h[i] = (fn_h[i] + fc
+                               - cfg.ldg_tau * (u_hr[i] - u_hl[i]))
+            rows_fnh = stack_rows(fn_h)
+            fn_parts.extend(rows_fnh[:, hr[2]][hr[1]] for hr in halo_rows)
+        pool_fn = jnp.concatenate(fn_parts, axis=1)
+
+        tdA2 = jnp.transpose(geoS["tdA"], (1, 0))   # (Pf, El)
+        tdA_r = jnp.repeat(tdA2, nF, axis=0)        # (Pf*F, El)
+        ntc_rows = jnp.concatenate(
+            [pool_fn[:, tabS["sel"][lf]] for lf in range(nf)],
+            axis=0) * tdA_r
+        ntc = ntc_rows.reshape(Pf, nF, El)
+
+        rhs_cat = jnp.concatenate([tdisf, ntc], axis=0)
+        div = dg(opp["opp_div_all"], rhs_cat)
+        rhs = -div * inv_det_u
+        # freeze padding clones (zero rhs keeps them at their finite IC)
+        return rhs * geo["pad_mask"][None, None, :]
+
+    return residual
