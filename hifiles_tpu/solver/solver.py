@@ -288,8 +288,11 @@ class Solver:
 
                     def body(carry, _):
                         return step_soa(carry[0], carry[1], dt_c), None
+                    import os as _os
+                    unroll = int(_os.environ.get("HIFILES_UNROLL", "1"))
                     (us, rs), _ = jax.lax.scan(body, (us, rs), None,
-                                               length=n_steps)
+                                               length=n_steps,
+                                               unroll=unroll)
                     return (jnp.transpose(us, (2, 0, 1)),
                             jnp.transpose(rs, (2, 0, 1)))
                 return run_chunk
