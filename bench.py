@@ -8,6 +8,15 @@ Prints ONE JSON line:
 vs_baseline compares against the reference CPU solver's measured per-device
 rate on the same case when REFERENCE_BASELINE.json is present (the reference
 publishes no throughput numbers, SURVEY.md §6), else reports 0.
+
+BENCH_CONFIG selects a feature-physics variant (each with its own accuracy
+gate at the default BENCH_* sizes):
+  plain   (default) viscous NS + HLLC
+  overint polynomial de-aliasing (over_int_order = p + 2)
+  smag    LES Smagorinsky SGS
+  shock   Persson shock capture + exp filter + RoeM
+Non-default BENCH_ORDER/MESH/STEPS runs are UNGATED: the JSON reports
+"gated": false and a notice goes to stderr.
 """
 
 import json
@@ -16,6 +25,35 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# f32 L1 residual rows after 10 steps, p=4, 16^3 (CPU golden, 2026-08-17).
+# rho/energy entries are cancellation-sensitive in f32 (the plain f64 row is
+# [6.7475e-4, 4.96598e-2, 4.96598e-2, 6.38773e-2, 1.12159e-1], ~4% off in
+# those fields); platform-to-platform f32 spread is ~1e-3, gate at 5e-3.
+GOLDENS = {
+    "plain": [6.942559266463e-04, 4.966582730412e-02, 4.966528341174e-02,
+              6.387555599213e-02, 1.171203181148e-01],
+    "overint": None,   # filled by scripts/gen_bench_goldens.py
+    "smag": None,
+    "shock": None,
+}
+
+
+def configure(p, cfg_name):
+    """Apply the BENCH_CONFIG feature physics to the TGV deck."""
+    if cfg_name == "plain":
+        return
+    if cfg_name == "overint":
+        p.over_int = 1
+        p.over_int_order = p.order + 2
+    elif cfg_name == "smag":
+        p.LES, p.SGS_model = 1, 0
+        p.C_s, p.filter_ratio, p.filter_type = 0.1, 2.0, 2
+    elif cfg_name == "shock":
+        p.shock_cap, p.s0 = 1, 0.0     # filter fires everywhere: worst case
+        p.riemann_solve_type = 2       # RoeM (BASELINE #5 pairing)
+    else:
+        raise SystemExit(f"unknown BENCH_CONFIG '{cfg_name}'")
 
 
 def main():
@@ -33,6 +71,7 @@ def main():
     order = int(os.environ.get("BENCH_ORDER", 4))
     n1 = int(os.environ.get("BENCH_MESH", 16))
     n_steps = int(os.environ.get("BENCH_STEPS", 10))
+    cfg_name = os.environ.get("BENCH_CONFIG", "plain")
 
     # TGV deck parameters (testcases/navier-stokes/Taylor_Green_vortex)
     p = RunInput()
@@ -55,6 +94,7 @@ def main():
     p.Mach_c_ic, p.T_c_ic, p.rho_c_ic = 0.1, 300.0, 0.0008421095852102401
     p.dt = 1.440389e-5
     p.setup_params()
+    configure(p, cfg_name)
 
     mesh = periodic_hex_mesh(n1, n1, n1)
     # MXU pass count for f32 contractions: highest (default, ~6 bf16
@@ -80,21 +120,24 @@ def main():
     u = np.asarray(s.u)
     assert np.isfinite(u).all(), "NaN/Inf in benchmark solution"
 
-    # accuracy gate: the L1 residual row after the 20 benchmark steps must
-    # match the f32 CPU golden (measured 2026-08-17, default BENCH_* env) —
-    # a perf change that corrupts the physics fails the benchmark.  The
-    # rho/energy entries are cancellation-sensitive in f32 (the f64 row is
-    # [6.7475e-4, 4.96598e-2, 4.96598e-2, 6.38773e-2, 1.12159e-1], ~4% off
-    # in those fields); platform-to-platform f32 spread is ~1e-3.
-    if order == 4 and n1 == 16 and n_steps == 10:
-        gold = np.array([6.942559266463e-04, 4.966582730412e-02,
-                         4.966528341174e-02, 6.387555599213e-02,
-                         1.171203181148e-01])
-        res = np.asarray(s.residual_norm(norm_type=1))
+    # accuracy gate: the L1 residual row after the (warmup + timed) 2x10
+    # benchmark steps must match the f32 CPU golden for this config — a
+    # perf change that corrupts the physics fails the benchmark.  Only the
+    # default sizes are golden'd; anything else runs ungated (stderr note).
+    gold = GOLDENS.get(cfg_name)
+    gated = (order == 4 and n1 == 16 and n_steps == 10
+             and gold is not None)
+    if gated:
+        gold = np.array(gold)
+        res = np.asarray(s.residual_norm(norm_type=1))[:5]
         rel = np.abs(res - gold) / gold
         assert rel.max() < 5e-3, (
-            f"benchmark accuracy drift vs f32 golden: {list(res)} "
-            f"vs {list(gold)} (rel {rel.max():.2e})")
+            f"benchmark accuracy drift vs f32 golden ({cfg_name}): "
+            f"{list(res)} vs {list(gold)} (rel {rel.max():.2e})")
+    else:
+        print(f"bench: accuracy gate SKIPPED (config={cfg_name}, "
+              f"order={order}, mesh={n1}, steps={n_steps} has no golden)",
+              file=sys.stderr)
 
     vs_baseline = 0.0
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -106,11 +149,14 @@ def main():
         if base:
             vs_baseline = rate / base
 
+    suffix = "" if cfg_name == "plain" else f" +{cfg_name}"
     print(json.dumps({
-        "metric": f"TGV p={order} hex {n1}^3 viscous NS DOF*RK-stage/s",
+        "metric": f"TGV p={order} hex {n1}^3 viscous NS{suffix} "
+                  "DOF*RK-stage/s",
         "value": rate,
         "unit": "DOF*RK-stage/s",
         "vs_baseline": vs_baseline,
+        "gated": gated,
     }))
 
 

@@ -107,11 +107,12 @@ class HistoryWriter:
         if self.with_force:
             from .forces import compute_forces
             fr = compute_forces(s)
-            q_inf = 0.5  # code units: rho_ref = u_ref = 1
-            coeff = fr["force"] / (q_inf * s.p.area_ref)
-            force_vals = list(fr["force"]) + list(coeff)
-            out["force"] = fr["force"]
-            out["coeff"] = coeff
+            # Fx/Fy(/Fz) columns are dimensional, C* columns the
+            # q_inf*area_ref-normalized coefficients compute_forces already
+            # built (re-dividing here would double-normalize)
+            force_vals = list(fr["raw_force"]) + list(fr["coeff"])
+            out["force"] = fr["raw_force"]
+            out["coeff"] = fr["coeff"]
         row = ([iteration] + [np.log10(max(r, 1e-300)) for r in res]
                + force_vals + list(ints.values())
                + [s.time, (_time.time() - self.t0) / 60.0])

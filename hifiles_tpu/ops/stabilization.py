@@ -97,6 +97,39 @@ def make_shock_capture_fn(ops: ElementOps, s0: float, expf_fac: float,
     return capture
 
 
+def make_shock_capture_soa(ops: ElementOps, s0: float, expf_fac: float,
+                           expf_order: int, expf_cutoff: int,
+                           shock_det_field: int, n_dims: int, dtype,
+                           precision: str = "highest"):
+    """SoA-layout shock capture: capture(u) with u (U, F, E) -> filtered u
+    where the Persson sensor fires (same math as make_shock_capture_fn,
+    elements-minor for the residual_soa fast path)."""
+    import jax
+    import jax.numpy as jnp
+
+    prec = jax.lax.Precision[precision.upper()]
+    Vinv = jnp.asarray(ops.inv_vandermonde, dtype=dtype)
+    filt = jnp.asarray(
+        build_exp_filter(ops, expf_fac, expf_order, expf_cutoff), dtype=dtype)
+    norms = jnp.asarray(ops.modal_norms, dtype=dtype)[:, None]
+    top = jnp.asarray(persson_top_mode_mask(ops), dtype=dtype)[:, None]
+    field = 0 if shock_det_field == 0 else n_dims + 1
+
+    def capture(u):
+        modal = jax.lax.dot_general(Vinv, u[:, field],
+                                    (((1,), (0,)), ((), ())),
+                                    precision=prec,
+                                    preferred_element_type=dtype)  # (M, E)
+        e2 = modal * modal * norms
+        sensor = jnp.sum(e2 * top, axis=0) / jnp.sum(e2, axis=0)   # (E,)
+        filtered = jax.lax.dot_general(filt, u, (((1,), (0,)), ((), ())),
+                                       precision=prec,
+                                       preferred_element_type=dtype)
+        return jnp.where(sensor >= s0, filtered, u)
+
+    return capture
+
+
 def build_over_int_ops(ops: ElementOps, over_int_order: int):
     """Over-integration (de-aliasing) operators.
 

@@ -2,9 +2,10 @@
 
 Combines the per-type block structure of solver/multiblock.py with the
 shard_map + ppermute halo machinery of parallel/sharding.py: every shard
-owns an equal number of elements OF EACH TYPE (the SPMD shapes must match
-across shards), per-type volume GEMMs run per shard, and the face exchange
-happens in a per-shard LOCAL slot space
+owns a near-balanced share of each element type, padded to the per-type
+max with clone elements (the SPMD shapes must match across shards; clones
+have zero face coupling and a pad-masked rhs), per-type volume GEMMs run
+per shard, and the face exchange happens in a per-shard LOCAL slot space
   slot = off_local[ctype] + e_local * Pf_ct + fpt_off_ct[locf] + j
 with halo faces riding lax.ppermute ring shifts (the reference couples its
 ParMETIS partition, mixed eles objects, and mpi_inters the same way:
@@ -39,11 +40,6 @@ class ShardedMixedSolver:
                  dtype=jnp.float32, axis_name: str = "x"):
         from ..utils import enable_persistent_cache
         enable_persistent_cache()
-        if run_input.RANS or run_input.wall_model \
-                or (run_input.LES and run_input.SGS_model in (2, 4)):
-            raise NotImplementedError(
-                "sharded mixed meshes: RANS / wall models / similarity "
-                "SGS not wired yet")
         self.p = run_input
         self.mesh = mesh
         self.dtype = dtype
@@ -71,18 +67,41 @@ class ShardedMixedSolver:
         self.ops_by_ct = ops_by_ct
         d = self.n_dims
 
-        # --- per-type equal partition (contiguous chunks within type)
+        # --- per-type near-balanced partition (contiguous chunks within
+        # type).  Shards below a type's max local count are padded with
+        # CLONES of that type's first element (finite geometry/state, zero
+        # face coupling; rhs zeroed by pad_mask) — the mixed analog of the
+        # single-type padded-clone mechanism (sharding.py), so arbitrary
+        # per-type counts shard (the reference's ParMETIS partition is
+        # likewise only near-balanced, ref:src/mesh.cpp:169).
         sels, E_loc, loc_idx = {}, {}, np.zeros(mesh.n_cells, dtype=np.int64)
+        sizes_ct, owner_ct, pad_ct = {}, {}, {}
+        shard_of_tl, eloc_of_tl = {}, {}
         for ct in cts:
             sel = np.where(mesh.ctype == ct)[0]
-            if sel.size % n:
-                raise ValueError(
-                    f"type {ct}: {sel.size} elements not divisible by "
-                    f"{n} shards")
+            if sel.size == 0:
+                raise ValueError(f"type {ct}: empty selection")
             sels[ct] = sel
-            E_loc[ct] = sel.size // n
+            base, extra = divmod(sel.size, n)
+            sizes = base + (np.arange(n) < extra)
+            El = int(sizes.max())
+            E_loc[ct] = El
+            sizes_ct[ct] = sizes
             loc_idx[sel] = np.arange(sel.size)
+            cum = np.concatenate([[0], np.cumsum(sizes)])
+            tl = np.arange(sel.size)
+            shard_of_tl[ct] = np.searchsorted(cum, tl, side="right") - 1
+            eloc_of_tl[ct] = tl - cum[shard_of_tl[ct]]
+            owner = np.zeros((n, El), dtype=np.int64)   # -> type-local id
+            pm = np.zeros((n, El))
+            for s in range(n):
+                owner[s, :sizes[s]] = np.arange(cum[s], cum[s + 1])
+                owner[s, sizes[s]:] = cum[s] if sizes[s] else 0
+                pm[s, :sizes[s]] = 1.0
+            owner_ct[ct], pad_ct[ct] = owner, pm
         self.sels, self.E_loc = sels, E_loc
+        self.sizes_ct, self.pad_ct = sizes_ct, pad_ct
+        self.owner_ct = owner_ct
 
         # per-type geometry blocks (global; leading axis later split (n, .))
         blocks = {ct: build_element_block(
@@ -105,7 +124,8 @@ class ShardedMixedSolver:
 
         def shard_slots(ele, locf):
             ct = int(mesh.ctype[ele])
-            s, e_loc = divmod(int(loc_idx[ele]), E_loc[ct])
+            tl = int(loc_idx[ele])
+            s, e_loc = int(shard_of_tl[ct][tl]), int(eloc_of_tl[ct][tl])
             nfp = int(ops_by_ct[ct].n_fpts_per_face[locf])
             return s, (off_local[ct] + e_loc * ops_by_ct[ct].n_fpts
                        + fpt_off[ct][locf] + np.arange(nfp))
@@ -144,7 +164,8 @@ class ShardedMixedSolver:
                 halos[s_r].append((sr, (s_r - s_l) % n, sl))
         for f in range(conn.bdy_ele.size):
             s, sl = shard_slots(conn.bdy_ele[f], conn.bdy_locf[f])
-            bdys[s].append((sl, int(conn.bdy_bcid[f])))
+            bdys[s].append((sl, int(conn.bdy_bcid[f]),
+                            int(conn.bdy_ele[f]), int(conn.bdy_locf[f])))
 
         Fi = max((len(x) for x in ints), default=0)
         Fb = max((len(x) for x in bdys), default=0)
@@ -181,7 +202,7 @@ class ShardedMixedSolver:
                 slot_sign[s, sl] = 1.0
                 slot_src[s, sr] = base
                 slot_sign[s, sr] = -1.0
-            for k, (sl, bid) in enumerate(bdys[s]):
+            for k, (sl, bid, _ele, _locf) in enumerate(bdys[s]):
                 m = sl.size
                 bdy[s, k, :m] = sl
                 bdy_bcid[s, k] = bid
@@ -207,6 +228,16 @@ class ShardedMixedSolver:
                     slot_src[s, sl] = base
                     slot_sign[s, sl] = 1.0
                     k += 1
+        # padding-clone slots have no faces: give them src 0 / sign 0 so
+        # the gather is in-bounds and the face correction vanishes (the
+        # rhs on clones is additionally zeroed by pad_mask)
+        for s in range(n):
+            for ct in cts:
+                Pf_ct = ops_by_ct[ct].n_fpts
+                lo = off_local[ct] + int(sizes_ct[ct][s]) * Pf_ct
+                hi = off_local[ct] + E_loc[ct] * Pf_ct
+                assert not np.any(slot_sign[s, lo:hi]), "face on a clone"
+                slot_src[s, lo:hi] = 0
         if np.any(slot_src < 0):
             raise AssertionError("uncovered slots in sharded mixed tables")
         send_idx = {}
@@ -217,6 +248,57 @@ class ShardedMixedSolver:
             send_idx[o] = arr
         self.offsets = offsets
 
+        # wall-model input tables per shard (the input element is the
+        # face's own element, so these stay shard-local;
+        # ref:src/eles.cpp:4873-4903, ref:src/bdy_inters.cpp:1095-1131)
+        self.has_wm = False
+        wm_np = None
+        if run_input.wall_model and run_input.bc_list and Fb:
+            use_wm = np.array([b.use_wm for b in run_input.bc_list])
+            norm_cat = np.concatenate([blocks[ct].norm_fpts for ct in cts])
+            wm_ct = -np.ones((n, Fb), dtype=np.int64)
+            wm_ele = {i: np.zeros((n, Fb), dtype=np.int64)
+                      for i in range(len(cts))}
+            wm_upt = {i: np.zeros((n, Fb), dtype=np.int64)
+                      for i in range(len(cts))}
+            wm_dist = np.ones((n, Fb))
+            for s in range(n):
+                for k, (sl, bid, ele, locf) in enumerate(bdys[s]):
+                    if bid < 0 or bid >= use_wm.size or use_wm[bid] <= 0:
+                        continue
+                    ct = int(mesh.ctype[ele])
+                    i = cts.index(ct)
+                    tl = int(loc_idx[ele])
+                    gsl = global_slots(ele, locf)
+                    fpt_pos = pos_cat[gsl]
+                    fpt_nrm = norm_cat[gsl]
+                    dvec = (fpt_pos[None, :, :]
+                            - blocks[ct].pos_upts[tl][:, None, :])
+                    dist = np.einsum("ufd,fd->uf", dvec, fpt_nrm).min(axis=1)
+                    wm_ct[s, k] = i
+                    wm_ele[i][s, k] = int(eloc_of_tl[ct][tl])
+                    wm_upt[i][s, k] = int(np.argmax(dist))
+                    wm_dist[s, k] = float(dist.max())
+            if np.any(wm_ct >= 0):
+                self.has_wm = True
+                wm_np = (wm_ct, wm_ele, wm_upt, wm_dist)
+
+        # wall distance for SA / wall-damped Smagorinsky / wall models
+        # (ref:src/geometry.cpp:708-894)
+        if (run_input.RANS or run_input.wall_model
+                or (run_input.LES and run_input.SGS_model == 0)):
+            from ..config.params import ADIABAT_WALL, ISOTHERM_WALL
+            wall_slots = []
+            for fgi in range(conn.bdy_ele.size):
+                if bc_flags.get(int(conn.bdy_bcid[fgi]), -1) in (
+                        ISOTHERM_WALL, ADIABAT_WALL):
+                    wall_slots.append(global_slots(conn.bdy_ele[fgi],
+                                                   conn.bdy_locf[fgi]))
+            wall_pts = (pos_cat[np.concatenate(wall_slots)]
+                        if wall_slots else np.empty((0, d)))
+            for ct in cts:
+                blocks[ct].compute_wall_distance(wall_pts)
+
         # --- per-shard geometry operands
         f = lambda a: jnp.asarray(a, dtype=dtype)
         i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
@@ -224,12 +306,25 @@ class ShardedMixedSolver:
         self.B_delta = {ct: self.B[ct].delta_slot for ct in cts}
         self.B_wdist = {ct: self.B[ct].wdist_slot for ct in cts}
 
+        owner_flat = {ct: owner_ct[ct].reshape(-1) for ct in cts}
+
         def shard_flat(getter, trailing):
-            """Per-type flat slot arrays -> (n, S_loc, *trailing)."""
-            parts = [getter(ct).reshape(
-                (n, E_loc[ct] * ops_by_ct[ct].n_fpts) + trailing)
-                for ct in cts]
+            """Per-type flat slot arrays -> (n, S_loc, *trailing), clones
+            included via the owner gather."""
+            parts = []
+            for ct in cts:
+                Pf_ct = ops_by_ct[ct].n_fpts
+                arr = np.asarray(getter(ct)).reshape(
+                    (sels[ct].size, Pf_ct) + trailing)[owner_flat[ct]]
+                parts.append(arr.reshape(
+                    (n, E_loc[ct] * Pf_ct) + trailing))
             return np.concatenate(parts, axis=1)
+
+        def shard_upts(arr, ct, trailing):
+            """Per-type (E_tot, U, *trailing) -> (n, El, U, *trailing)."""
+            U = ops_by_ct[ct].n_upts
+            return np.asarray(arr)[owner_flat[ct]].reshape(
+                (n, E_loc[ct], U) + trailing)
 
         self.geo = dict(
             tdA=f(shard_flat(lambda ct: blocks[ct].tdA_fpts, ())),
@@ -240,29 +335,37 @@ class ShardedMixedSolver:
         for ct in cts:
             b, U = blocks[ct], ops_by_ct[ct].n_upts
             self.geo[f"detjac_upts_{ct}"] = f(
-                b.detjac_upts.reshape(n, E_loc[ct], U))
+                shard_upts(b.detjac_upts, ct, ()))
             self.geo[f"jginv_upts_{ct}"] = f(
-                b.jginv_upts.reshape(n, E_loc[ct], U, d, d))
+                shard_upts(b.jginv_upts, ct, (d, d)))
+            self.geo[f"pad_{ct}"] = f(pad_ct[ct])
             if run_input.over_int:
                 C2 = b.jginv_over.shape[1]
-                self.geo[f"jginv_over_{ct}"] = f(
-                    b.jginv_over.reshape(n, E_loc[ct], C2, d, d))
+                self.geo[f"jginv_over_{ct}"] = f(np.asarray(
+                    b.jginv_over)[owner_flat[ct]].reshape(
+                    n, E_loc[ct], C2, d, d))
         if run_input.LES:
             self.geo["delta_slot"] = f(shard_flat(
                 lambda ct: np.asarray(self.B_delta[ct]), ()))
             self.geo["wdist_slot"] = f(shard_flat(
                 lambda ct: np.asarray(self.B_wdist[ct]), ()))
+        if run_input.LES or run_input.RANS:
             for ct in cts:
-                self.geo[f"delta_upts_{ct}"] = f(np.asarray(
-                    self.B[ct].delta_upts).reshape(
-                    n, E_loc[ct], ops_by_ct[ct].n_upts))
-                self.geo[f"wdist_upts_{ct}"] = f(np.asarray(
-                    self.B[ct].wdist_upts).reshape(
-                    n, E_loc[ct], ops_by_ct[ct].n_upts))
+                self.geo[f"delta_upts_{ct}"] = f(
+                    shard_upts(self.B[ct].delta_upts, ct, ()))
+                self.geo[f"wdist_upts_{ct}"] = f(
+                    shard_upts(self.B[ct].wdist_upts, ct, ()))
         self.tabs = dict(
             int_l=i32(int_l), int_r=i32(int_r), bdy=i32(bdy),
             halo_l=i32(halo_l), halo_recv=i32(halo_recv),
             slot_src=i32(slot_src), slot_sign=f(slot_sign))
+        if wm_np is not None:
+            wm_ct_t, wm_ele_t, wm_upt_t, wm_dist_t = wm_np
+            self.tabs["wm_ct"] = i32(wm_ct_t)
+            for i in range(len(cts)):
+                self.tabs[f"wm_ele_{i}"] = i32(wm_ele_t[i])
+                self.tabs[f"wm_upt_{i}"] = i32(wm_upt_t[i])
+            self.geo["wm_dist"] = f(wm_dist_t)
         self.send_idx = {o: i32(v) for o, v in send_idx.items()}
 
         self.rcfg = ResidualConfig(
@@ -280,7 +383,11 @@ class ShardedMixedSolver:
             n_fields=nF, over_int=bool(run_input.over_int),
             les=bool(run_input.LES), sgs_model=run_input.SGS_model,
             C_s=run_input.C_s, filter_ratio=run_input.filter_ratio,
-            filter_type=run_input.filter_type, kappa=run_input.Kappa)
+            filter_type=run_input.filter_type, kappa=run_input.Kappa,
+            rans=bool(run_input.RANS),
+            c_v1=run_input.c_v1, c_v2=run_input.c_v2, c_v3=run_input.c_v3,
+            c_b1=run_input.c_b1, c_b2=run_input.c_b2, c_w2=run_input.c_w2,
+            c_w3=run_input.c_w3, omega=run_input.omega)
 
         # boundary conditions (partitioned parameter tables)
         self.bc_fns = None
@@ -305,7 +412,8 @@ class ShardedMixedSolver:
         for ct in cts:
             u0 = initial_condition(run_input, blocks[ct].pos_upts, nF)
             us.append(jax.device_put(jnp.asarray(
-                u0.reshape(n, E_loc[ct], ops_by_ct[ct].n_upts, nF),
+                u0[owner_flat[ct]].reshape(
+                    n, E_loc[ct], ops_by_ct[ct].n_upts, nF),
                 dtype=dtype), sharding))
         self.u = tuple(us)
         self.reg = jax.tree.map(jnp.zeros_like, self.u)
@@ -360,9 +468,10 @@ class ShardedMixedSolver:
                 fv = viscous_flux(
                     u, grad, gamma=cfg.gamma, prandtl=cfg.prandtl,
                     mu_inf=cfg.mu_inf, rt_inf=cfg.rt_inf, c_sth=cfg.c_sth,
-                    fix_vis=cfg.fix_vis, n_dims=d, rans=False,
+                    fix_vis=cfg.fix_vis, n_dims=d, rans=cfg.rans,
                     prandtl_t=cfg.prandtl_t)
-                if cfg.les and cfg.sgs_model in (0, 1) and delta is not None:
+                if cfg.les and cfg.sgs_model in (0, 1, 2) \
+                        and delta is not None:
                     from ..models.sgs import sgs_flux
                     fv = fv + sgs_flux(
                         u, grad, cfg.filter_ratio * delta, wdist,
@@ -371,6 +480,14 @@ class ShardedMixedSolver:
                         n_dims=d, kappa=cfg.kappa)
                 return fv
             return adv_diff_viscous_flux(grad, cfg.diff_coeff)
+
+        use_similarity = cfg.les and cfg.sgs_model in (2, 4) and cfg.viscous
+        if use_similarity:
+            from ..ops.les_filter import build_les_filter
+            les_filter = {ct: jnp.asarray(build_les_filter(
+                self.ops_by_ct[ct], cfg.filter_type, cfg.filter_ratio),
+                dtype=dtype) for ct in cts}
+        has_wm = self.has_wm
 
         def residual(us, geo, tab, sends, bcP):
             flat = jnp.concatenate([
@@ -389,6 +506,20 @@ class ShardedMixedSolver:
             if n_bdy:
                 u_bl = flat[tab["bdy"]]
                 norm_b = geo["norm"][tab["bdy"]]
+
+            # similarity Leonard terms + extrapolated SGS flux
+            # (ref:src/eles.cpp:2091-2218, :2817)
+            if use_similarity:
+                from ..models.sgs import similarity_flux, similarity_terms
+                simf_upts = []
+                parts = []
+                for i, ct in enumerate(cts):
+                    Lu, Le = similarity_terms(us[i], les_filter[ct], d)
+                    sf = similarity_flux(us[i], Lu, Le, cfg.gamma, d)
+                    simf_upts.append(sf)
+                    parts.append(opmat_md(B[ct].opp_0, sf, dtype,
+                                          prec).reshape(-1, nF, d))
+                simf_flat = jnp.concatenate(parts)
 
             if cfg.viscous:
                 u_c_int = riemann.ldg_common_solution(u_l, u_r, norm_l,
@@ -430,32 +561,58 @@ class ShardedMixedSolver:
             if cfg.viscous:
                 sel = (lambda key, idx: geo[key][idx]
                        if key in geo else None)
+                fv_l = phys_visc_flux(u_l, grad_f[tab["int_l"]],
+                                      sel("delta_slot", tab["int_l"]),
+                                      sel("wdist_slot", tab["int_l"]))
+                fv_r = phys_visc_flux(u_r, grad_f[tab["int_r"]],
+                                      sel("delta_slot", tab["int_r"]),
+                                      sel("wdist_slot", tab["int_r"]))
+                if use_similarity:
+                    fv_l = fv_l + simf_flat[tab["int_l"]]
+                    fv_r = fv_r + simf_flat[tab["int_r"]]
                 fn_int = fn_int + riemann.ldg_common_flux(
-                    u_l, u_r,
-                    phys_visc_flux(u_l, grad_f[tab["int_l"]],
-                                   sel("delta_slot", tab["int_l"]),
-                                   sel("wdist_slot", tab["int_l"])),
-                    phys_visc_flux(u_r, grad_f[tab["int_r"]],
-                                   sel("delta_slot", tab["int_r"]),
-                                   sel("wdist_slot", tab["int_r"])),
+                    u_l, u_r, fv_l, fv_r,
                     norm_l, cfg.ldg_tau, cfg.ldg_beta)
                 g_hl = grad_f[tab["halo_l"]]
                 grad_recv = exchange(
                     grad_f.reshape(flat.shape[0], nF * d), sends)
                 g_hr = (grad_recv[tab["halo_recv"]].reshape(g_hl.shape)
                         if grad_recv is not None else g_hl)
+                fv_hl = phys_visc_flux(u_hl, g_hl,
+                                       sel("delta_slot", tab["halo_l"]),
+                                       sel("wdist_slot", tab["halo_l"]))
+                fv_hr = phys_visc_flux(u_hr, g_hr,
+                                       sel("delta_slot", tab["halo_l"]),
+                                       sel("wdist_slot", tab["halo_l"]))
+                if use_similarity:
+                    # third exchange: the partner's extrapolated SGS flux
+                    # (ref:src/mpi_inters.cpp:339-398 send_sgsf_fpts)
+                    sim_recv = exchange(
+                        simf_flat.reshape(flat.shape[0], nF * d), sends)
+                    fv_hl = fv_hl + simf_flat[tab["halo_l"]]
+                    if sim_recv is not None:
+                        fv_hr = fv_hr + sim_recv[tab["halo_recv"]].reshape(
+                            g_hl.shape)
                 fn_halo = fn_halo + riemann.ldg_common_flux(
-                    u_hl, u_hr,
-                    phys_visc_flux(u_hl, g_hl,
-                                   sel("delta_slot", tab["halo_l"]),
-                                   sel("wdist_slot", tab["halo_l"])),
-                    phys_visc_flux(u_hr, g_hr,
-                                   sel("delta_slot", tab["halo_l"]),
-                                   sel("wdist_slot", tab["halo_l"])),
+                    u_hl, u_hr, fv_hl, fv_hr,
                     norm_h, cfg.ldg_tau, cfg.ldg_beta)
                 if n_bdy:
+                    wm_kw = {}
+                    if has_wm:
+                        # wall-model input state from the owning block
+                        # (ref:src/eles.cpp:4873-4903)
+                        wm_state = jnp.zeros((n_bdy, nF), dtype=dtype)
+                        for i in range(len(cts)):
+                            cand = us[i][tab[f"wm_ele_{i}"],
+                                         tab[f"wm_upt_{i}"]]
+                            wm_state = jnp.where(
+                                (tab["wm_ct"] == i)[:, None], cand,
+                                wm_state)
+                        wm_kw = dict(wm_state=wm_state,
+                                     wm_dist=geo["wm_dist"])
                     fn_bdy = fn_bdy + bc_fns.visc_common_flux(
-                        u_bl, grad_f[tab["bdy"]], norm_b, None, P=bcP)
+                        u_bl, grad_f[tab["bdy"]], norm_b, None, P=bcP,
+                        **wm_kw)
             fn_all = jnp.concatenate([
                 fn_int.reshape(-1, nF),
                 fn_bdy.reshape(-1, nF) if n_bdy
@@ -491,12 +648,29 @@ class ShardedMixedSolver:
                             us[i], grad_u[i],
                             geo.get(f"delta_upts_{ct}"),
                             geo.get(f"wdist_upts_{ct}"))
+                        if use_similarity:
+                            fl = fl + simf_upts[i]
                     tdisf_cat = adj_apply_cat(geo[f"jginv_upts_{ct}"], fl)
                 ntc = ntc_flat[lo:hi].reshape(E_loc[ct], b.n_fpts, nF)
                 div = opmat(b.opp_div_all,
                             jnp.concatenate([tdisf_cat, ntc], axis=1),
                             dtype, prec)
-                out.append(-div / geo[f"detjac_upts_{ct}"][..., None])
+                rhs = -div / geo[f"detjac_upts_{ct}"][..., None]
+                if cfg.rans:
+                    # SA source per block (ref:src/source.cpp:33-105)
+                    from ..models.sa import sa_source
+                    src = sa_source(
+                        us[i], grad_u[i], geo[f"wdist_upts_{ct}"],
+                        gamma=cfg.gamma, mu_inf=cfg.mu_inf,
+                        rt_inf=cfg.rt_inf, c_sth=cfg.c_sth,
+                        fix_vis=cfg.fix_vis, kappa=cfg.kappa,
+                        c_v1=cfg.c_v1, c_v2=cfg.c_v2, c_v3=cfg.c_v3,
+                        c_b1=cfg.c_b1, c_b2=cfg.c_b2, c_w2=cfg.c_w2,
+                        c_w3=cfg.c_w3, omega=cfg.omega, n_dims=d)
+                    rhs = rhs.at[..., d + 2].add(src)
+                # zero the padding clones' rhs: they stay at their
+                # (finite) initial state and never couple back
+                out.append(rhs * geo[f"pad_{ct}"][..., None, None])
             return tuple(out)
 
         return residual
@@ -611,9 +785,11 @@ class ShardedMixedSolver:
         return self.u
 
     def gather_u(self):
-        """Per-type solutions in the MixedSolver's (E_ct, U, F) layout."""
+        """Per-type solutions in the MixedSolver's (E_ct, U, F) layout
+        (padding clones dropped)."""
         out = []
         for ct, u in zip(self.cts, self.u):
             a = np.asarray(u)
-            out.append(a.reshape(-1, a.shape[2], a.shape[3]))
+            a = a.reshape(-1, a.shape[2], a.shape[3])
+            out.append(a[self.pad_ct[ct].reshape(-1) > 0])
         return tuple(out)

@@ -199,6 +199,7 @@ def _refine_partition(xadj, adjncy, part, n_shards, max_passes=20):
     n = part.size
     sizes = np.bincount(part, minlength=n_shards)
     lo, hi = n // n_shards, -(-n // n_shards)
+    edge_src = np.repeat(np.arange(n), np.diff(xadj))
 
     def move_gain(c, dst):
         """Cut reduction from moving c to part dst."""
@@ -207,8 +208,19 @@ def _refine_partition(xadj, adjncy, part, n_shards, max_passes=20):
 
     for _ in range(max_passes):
         moved = False
+        # On big meshes, restrict both loops to cut-front elements: a pass
+        # becomes O(cut * deg), not O(N * deg) (a 1e5+-element full sweep
+        # would take minutes of one-time host setup).  Interior elements
+        # have no foreign neighbors so they can never move anyway; the
+        # only difference is that elements becoming frontal mid-pass wait
+        # for the next pass.  Small meshes keep the full sweep (measured
+        # slightly better local optima there).
+        if n > 20000:
+            front = np.unique(edge_src[part[edge_src] != part[adjncy]])
+        else:
+            front = range(n)
         # 1. positive-gain single moves (balance permitting)
-        for c in range(n):
+        for c in front:
             pc = part[c]
             nbrs = adjncy[xadj[c]:xadj[c + 1]]
             nbp = part[nbrs]
@@ -223,7 +235,7 @@ def _refine_partition(xadj, adjncy, part, n_shards, max_passes=20):
                     moved = True
                     break
         # 2. balance-preserving pairwise swaps across the current cut
-        for a in range(n):
+        for a in front:
             pa = part[a]
             nbrs_a = adjncy[xadj[a]:xadj[a + 1]]
             for b in nbrs_a:
@@ -657,7 +669,7 @@ class ShardedSolver:
                                        make_shard_residual_soa)
             out = build_soa_shard_tables(block, self.tables, owner_flat,
                                          self.n_shards, El, self.n_fields,
-                                         self.offsets)
+                                         self.offsets, sizes=self.sizes)
             if out is not None:
                 meta, tabS_np, geoS_np = out
                 for k, v in tabS_np.items():

@@ -31,7 +31,7 @@ RUSANOV, LAX_FRIEDRICHS, ROEM, HLLC = 0, 1, 2, 3
 
 
 def build_soa_shard_tables(block, tables, owner_flat, n_shards, El, nF,
-                           offsets):
+                           offsets, sizes=None):
     """Host-side SoA gather tables from the slot-level ShardTables.
 
     Returns (meta, tabS, geoS) — ``meta`` static python structure closed
@@ -259,8 +259,15 @@ def build_soa_shard_tables(block, tables, owner_flat, n_shards, El, nF,
         hoff += Ng
     Fh_tot = hoff
 
-    # (uncovered (e, lf) pairs belong to padding clones: their sel stays
-    # 0 — finite garbage, zeroed by the pad_mask on the rhs)
+    # Uncovered (e, lf) pairs must all belong to padding clones (their sel
+    # stays 0 — finite garbage, zeroed by the pad_mask on the rhs).  A hole
+    # on a REAL element would silently gather a wrong flux, so verify and
+    # fall back to the slot path instead (the single-device SoaTables'
+    # `(sel < 0).any()` guard, solver/residual_soa.py).
+    if sizes is not None:
+        for s in range(n):
+            if not covered[s, :, :int(sizes[s])].all():
+                return None
 
     meta = dict(nfp=nfp, nf=nf, Pf=Pf, Fi_tot=Fi_tot, Fb=Fb,
                 Fh_tot=Fh_tot, H_width=H_width,

@@ -40,6 +40,10 @@ class BCFunctions:
     ldg_solution: Callable      # (u_l, norm, fluc=None) -> u_c
     visc_common_flux: Callable  # (u_l, grad_l, norm, u_full, fluc) -> fn_v
     ghost_state: Callable = None  # (u_l, norm, sol_spec) -> u_r
+    # (wm_ele, wm_upt, wm_dist) numpy tables over boundary faces when wall
+    # models are active — lets SoA/sharded callers gather the wall-model
+    # input state themselves and pass it via ``wm_state``
+    wm_tables: tuple = None
 
 
 def _pack_params(run_input: RunInput, bcid: np.ndarray, n_dims: int):
@@ -380,8 +384,11 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
                                grad_r)
         return grad_r
 
-    # --- wall-model input points (global boundary-face tables)
-    has_wm = bool(np.any(P_np["use_wm"] > 0)) and run_input.wall_model > 0
+    # --- wall-model input points (global boundary-face tables).  Mixed /
+    # sharded facades have no pos_upts: they build their own tables and
+    # pass ``wm_state``/``wm_dist`` to visc_common_flux instead.
+    has_wm = (bool(np.any(P_np["use_wm"] > 0)) and run_input.wall_model > 0
+              and getattr(block, "pos_upts", None) is not None)
     if has_wm:
         wm_ele, wm_upt, wm_dist = build_wm_tables(block,
                                                   P_np["use_wm"][:, 0])
@@ -433,7 +440,9 @@ def make_bc_functions(run_input: RunInput, block, rcfg, dtype) -> tuple:
     return BCFunctions(inv_common_flux=inv_common_flux,
                        ldg_solution=ldg_solution,
                        visc_common_flux=visc_common_flux,
-                       ghost_state=ghost_state)
+                       ghost_state=ghost_state,
+                       wm_tables=((wm_ele, wm_upt, wm_dist) if has_wm
+                                  else None))
 
 
 def solver_pos_upts(block, e):

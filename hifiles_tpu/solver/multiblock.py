@@ -33,8 +33,9 @@ from .step import N_STAGES, make_step_fn
 class _BCBlockFacade:
     """Duck-typed 'block' for bc.make_bc_functions on the global slot space.
 
-    Wall-model BCs need per-element solution-point lookups and are gated off
-    for mixed meshes (single-type runs support them)."""
+    pos_upts is None: wall-model input tables are built per block by
+    build_mixed_wm_tables and the gathered ``wm_state`` is passed to
+    visc_common_flux instead (see bc.py has_wm)."""
 
     def __init__(self, mt: MixedMeshTables):
         self.ops = mt.blocks[mt.cts[0]].ops
@@ -74,8 +75,45 @@ def _build_ops(run_input: RunInput, ct: int):
     raise NotImplementedError(f"ctype {ct}")
 
 
+def build_mixed_wm_tables(mt: MixedMeshTables, use_wm_face: np.ndarray):
+    """Wall-model input points on a mixed mesh: per wall-modeled boundary
+    face, the owning block, local element, and the solution point of that
+    element farthest (min-over-fpts normal distance) from the face
+    (ref:src/eles.cpp:4873-4903 calc_wm_upts_dist; the reference wall-models
+    any boundary face regardless of element type,
+    ref:src/bdy_inters.cpp:1095-1131).
+
+    Returns (per_ct, wm_dist): ``per_ct[ct] = (faces, ele, upt)`` int
+    arrays over this block's wall-modeled faces; ``wm_dist`` (Fb,)."""
+    Fb = mt.bdy_bcid.size
+    wm_dist = np.ones(Fb)
+    per_ct = {ct: ([], [], []) for ct in mt.cts}
+    seg = {ct: (mt.slot_off[ct],
+                mt.slot_off[ct] + mt.blocks[ct].n_eles
+                * mt.blocks[ct].ops.n_fpts) for ct in mt.cts}
+    for fi in range(Fb):
+        if use_wm_face[fi] <= 0:
+            continue
+        slots = mt.bdy_slot[fi][mt.bdy_mask[fi] > 0]
+        s0 = int(slots[0])
+        ct = next(c for c in mt.cts if seg[c][0] <= s0 < seg[c][1])
+        blk = mt.blocks[ct]
+        e = (s0 - seg[ct][0]) // blk.ops.n_fpts
+        fpt_pos = mt.pos_fpts[slots]
+        fpt_nrm = mt.norm_fpts[slots]
+        dvec = fpt_pos[None, :, :] - blk.pos_upts[e][:, None, :]
+        dist = np.einsum("ufd,fd->uf", dvec, fpt_nrm).min(axis=1)
+        per_ct[ct][0].append(fi)
+        per_ct[ct][1].append(int(e))
+        per_ct[ct][2].append(int(np.argmax(dist)))
+        wm_dist[fi] = float(dist.max())
+    per_ct = {ct: tuple(np.asarray(x, dtype=np.int64) for x in v)
+              for ct, v in per_ct.items()}
+    return per_ct, wm_dist
+
+
 def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
-                           bc_fns=None):
+                           bc_fns=None, wm_tables=None):
     """residual(u_tuple) -> rhs_tuple over the mixed mesh.
 
     Same pipeline as residual.make_residual_fn (see its stage comments /
@@ -140,6 +178,13 @@ def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
     if cfg.les:
         g_delta_slot = jnp.concatenate([B[ct].delta_slot for ct in cts])
         g_wdist_slot = jnp.concatenate([B[ct].wdist_slot for ct in cts])
+
+    # wall-model input gather tables (build_mixed_wm_tables)
+    if wm_tables is not None:
+        wm_per_ct, wm_dist_np = wm_tables
+        wm_idx = {ct: tuple(i32(x) for x in wm_per_ct[ct]) for ct in cts}
+        wm_dist_j = f(wm_dist_np)
+        Fb_wm = mt.bdy_bcid.size
     if use_similarity:
         from ..ops.les_filter import build_les_filter
         les_filter = {ct: jnp.asarray(
@@ -228,8 +273,19 @@ def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
         if has_bdy:
             fn_bdy = bc_fns.inv_common_flux(u_bl, g_norm_bdy)
             if cfg.viscous:
+                wm_kw = {}
+                if wm_tables is not None:
+                    # gather the wall-model input state from each owning
+                    # block's solution (ref:src/eles.cpp:4873-4903)
+                    wm_state = jnp.zeros((Fb_wm, nF), dtype)
+                    for ct in cts:
+                        fidx, ele, upt = wm_idx[ct]
+                        if fidx.size:
+                            wm_state = wm_state.at[fidx].set(
+                                us[ct][ele, upt])
+                    wm_kw = dict(wm_state=wm_state, wm_dist=wm_dist_j)
                 fn_bdy = fn_bdy + bc_fns.visc_common_flux(
-                    u_bl, grad_f_flat[g_bdy], g_norm_bdy, None)
+                    u_bl, grad_f_flat[g_bdy], g_norm_bdy, None, **wm_kw)
             fn_all = jnp.concatenate([fn_int.reshape(-1, nF),
                                       fn_bdy.reshape(-1, nF)])
         else:
@@ -304,9 +360,6 @@ class MixedSolver:
         self.dtype = dtype
         self.n_dims = mesh.n_dims
         self.n_fields = run_input.n_fields_for(self.n_dims)
-        if run_input.wall_model:
-            raise NotImplementedError("mixed meshes: wall models")
-
 
         if (mesh.bc_names and not run_input.bc_list
                 and run_input._deck is not None):
@@ -352,7 +405,7 @@ class MixedSolver:
 
         # wall distance per block (ref:src/geometry.cpp:708-894) for SA /
         # wall-damped Smagorinsky
-        if (run_input.RANS
+        if (run_input.RANS or run_input.wall_model
                 or (run_input.LES and run_input.SGS_model == 0)):
             from ..config.params import ADIABAT_WALL, ISOTHERM_WALL
             wall_slots = []
@@ -372,8 +425,18 @@ class MixedSolver:
             bc_fns = make_bc_functions(run_input, _BCBlockFacade(self.mt),
                                        self.rcfg, dtype)
 
+        # wall models on mixed meshes (ref:src/bdy_inters.cpp:1095-1131
+        # wall-models any boundary face regardless of element type)
+        wm_tables = None
+        if run_input.wall_model and run_input.bc_list:
+            use_wm_face = np.array(
+                [run_input.bc_list[int(b)].use_wm for b in self.mt.bdy_bcid])
+            if np.any(use_wm_face > 0):
+                wm_tables = build_mixed_wm_tables(self.mt, use_wm_face)
+        self._wm_tables = wm_tables
+
         self.residual_fn = make_mixed_residual_fn(self.mt, self.rcfg, dtype,
-                                                  bc_fns)
+                                                  bc_fns, wm_tables=wm_tables)
 
         # per-block shock capture / SVV (ref:src/HiFiLES.cpp:211-218,
         # ref:src/eles.cpp:2087-2089)

@@ -22,8 +22,12 @@ minor-axis gather per local face (the inverse table replaces the
 reference's point-by-point scatters, ref:src/int_inters.cpp:217-220).
 
 Covers the single-type, uniform-face, fused path (Euler/NS + adv-diff,
-viscous or not, all Riemann solvers, boundaries via the AoS bc bridge).
-LES/RANS/over-int/non-fused fall back to residual.py's face path.
+viscous or not, all Riemann solvers, boundaries via the AoS bc bridge),
+including the feature physics: LES SGS models (eddy + similarity),
+over-integration de-aliasing, SA-RANS (source + diffusion), and wall
+models (input state gathered from the SoA volume solution).  Shock capture
+runs as an SoA post-stage (ops/stabilization.py make_shock_capture_soa).
+Only non-fused parity runs and RANS+HLLC fall back to residual.py.
 
 Layout notes (measured on TPU v5e, TGV p=4 16^3 bench):
   * (E, U, F) face path ............ 5.96e7 DOF*stage/s (relayout copies)
@@ -99,6 +103,14 @@ class SoaTables:
             return (np.asarray(fpts)[:, None] * F
                     + np.arange(F)[None, :]).reshape(-1)
 
+        ref_vol = {1: 4.0, 4: 8.0, 0: 2.0, 2: 4.0 / 3.0,
+                   3: 4.0}[ops.ele_type]
+        _delta_slot = ((block.detjac_fpts * ref_vol) ** (1.0 / ops.n_dims)
+                       / (ops.order + 1))
+        _wdist_slot = (block.wall_dist_fpts
+                       if getattr(block, "wall_dist_fpts", None) is not None
+                       else np.full_like(_delta_slot, 1e10))
+
         self.groups = []
         pool_pos_l = np.empty(Fi, dtype=np.int64)   # face -> pool column
         pool_pos_r = np.empty(Fi, dtype=np.int64)
@@ -128,6 +140,12 @@ class SoaTables:
                 1.0 / block.detjac_fpts[sl], (1, 0))
             g["inv_det_r"] = np.transpose(
                 1.0 / block.detjac_fpts[sr], (1, 0))
+            # LES cutoff length + wall distance at the face slots
+            # (ref:src/eles.cpp:2480-2481); harmless constants otherwise
+            g["delta_l"] = _delta_slot[sl].T
+            g["delta_r"] = _delta_slot[sr].T
+            g["wdist_l"] = _wdist_slot[sl].T
+            g["wdist_r"] = _wdist_slot[sr].T
             pool_pos_l[gi] = col + np.arange(Ng)
             pool_pos_r[gi] = Fi + col + np.arange(Ng)
             col += Ng
@@ -211,6 +229,25 @@ class BlockArraysSoa:
                         for m in range(d)]
         self.inv_det_l = f(cat("inv_det_l"))
         self.inv_det_r = f(cat("inv_det_r"))
+        self.delta_l = f(cat("delta_l"))            # (nfp, Fi)
+        self.delta_r = f(cat("delta_r"))
+        self.wdist_l = f(cat("wdist_l"))
+        self.wdist_r = f(cat("wdist_r"))
+        # LES cutoff length + wall distance planes at upts
+        ops = block.ops
+        ref_vol = {1: 4.0, 4: 8.0, 0: 2.0, 2: 4.0 / 3.0,
+                   3: 4.0}[ops.ele_type]
+        self.delta_u = f(((block.detjac_upts * ref_vol)
+                          ** (1.0 / d) / (ops.order + 1)).T)      # (U, E)
+        self.wdist_u = (f(block.wall_dist_upts.T)
+                        if getattr(block, "wall_dist_upts", None) is not None
+                        else jnp.full_like(self.delta_u, 1e10))
+        # over-integration (de-aliasing) operators in SoA layouts
+        if block.jginv_over is not None:
+            self.opp_over = f(block.opp_over)                     # (C2, U)
+            self.over_filter = f(block.over_filter)               # (U, C2)
+            self.jg_o = [[f(block.jginv_over[:, :, l, m].T)[:, None, :]
+                          for m in range(d)] for l in range(d)]
         self.sel = i32(T.sel)
         if T.Fb:
             self.ele_b = i32(T.ele_b)
@@ -238,8 +275,12 @@ def _prims_p(u, norm, d, gamma):
 def _normal_flux_p(u, norm, d, gamma):
     rho, vel, vn, vsq, p = _prims_p(u, norm, d, gamma)
     mn = rho * vn
-    return ([mn] + [u[1 + m] * vn + p * norm[m] for m in range(d)]
-            + [(u[d + 1] + p) * vn])
+    out = ([mn] + [u[1 + m] * vn + p * norm[m] for m in range(d)]
+           + [(u[d + 1] + p) * vn])
+    # SA working variable advects passively (ref:src/flux.cpp:55-59)
+    for k in range(d + 2, len(u)):
+        out.append(u[k] * vn)
+    return out
 
 
 def rusanov_p(u_l, u_r, norm, gamma, d):
@@ -357,9 +398,11 @@ def ldg_sign_p(norm, tol=1e-10):
                                       jnp.where(n02 < -tol, -one, one)))))
 
 
-def visc_flux_p(u, gr, d, *, gamma, prandtl, mu_inf, rt_inf, c_sth, fix_vis):
+def visc_flux_p(u, gr, d, *, gamma, prandtl, mu_inf, rt_inf, c_sth, fix_vis,
+                rans=False, prandtl_t=0.9, c_v1=7.1, omega=2.0 / 3.0):
     """Viscous flux planes: u F-list, gr [d][F]-list -> [d][F]-list
-    (same algebra as models/viscous.py, ref:src/flux.cpp:127-325)."""
+    (same algebra as models/viscous.py, ref:src/flux.cpp:127-325; SA
+    diffusion ref:src/flux.cpp:225-241)."""
     rho = u[0]
     inv_rho = 1.0 / rho
     v = [u[1 + m] * inv_rho for m in range(d)]
@@ -370,15 +413,25 @@ def visc_flux_p(u, gr, d, *, gamma, prandtl, mu_inf, rt_inf, c_sth, fix_vis):
     else:
         rt_ratio = (gamma - 1.0) * inte / rt_inf
         mu = mu_inf * rt_ratio**1.5 * (1.0 + c_sth) / (rt_ratio + c_sth)
+    if rans:
+        nu_tilde_c = u[d + 2]
+        chi = nu_tilde_c / mu
+        f_v1 = chi**3 / (chi**3 + c_v1**3)
+        mu_t = jnp.where(nu_tilde_c >= 0.0, nu_tilde_c * f_v1, 0.0)
+        mu_tot = mu + mu_t
+        kth = (mu / prandtl + mu_t / prandtl_t) * gamma
+    else:
+        mu_tot = mu
+        kth = mu * gamma / prandtl
     dv = [[(gr[l][1 + i] - v[i] * gr[l][0]) * inv_rho for l in range(d)]
           for i in range(d)]
     dint = [(gr[l][d + 1] - (0.5 * q2 + inte) * gr[l][0]) * inv_rho
             - sum(v[i] * dv[i][l] for i in range(d)) for l in range(d)]
     div = sum(dv[i][i] for i in range(d))
-    tau = [[mu * (dv[i][l] + dv[l][i]) for l in range(d)] for i in range(d)]
+    tau = [[mu_tot * (dv[i][l] + dv[l][i]) for l in range(d)]
+           for i in range(d)]
     for i in range(d):
-        tau[i][i] = tau[i][i] - 2.0 / 3.0 * mu * div
-    kth = mu * gamma / prandtl
+        tau[i][i] = tau[i][i] - 2.0 / 3.0 * mu_tot * div
     out = []
     for mm in range(d):
         rows = [jnp.zeros_like(rho)]
@@ -387,7 +440,166 @@ def visc_flux_p(u, gr, d, *, gamma, prandtl, mu_inf, rt_inf, c_sth, fix_vis):
         rows.append(-(sum(v[i] * tau[i][mm] for i in range(d))
                       + kth * dint[mm]))
         out.append(rows)
+    if rans:
+        nu_tilde = nu_tilde_c * inv_rho
+        psi = jnp.where(chi <= 10.0,
+                        0.05 * jnp.log1p(jnp.exp(20.0 * chi)), chi)
+        coef = (1.0 / omega) * mu * (1.0 + psi)
+        for mm in range(d):
+            dnu = (gr[mm][d + 2] - gr[mm][0] * nu_tilde) * inv_rho
+            out[mm].append(-coef * dnu)
     return out
+
+
+def sgs_flux_p(u, gr, delta, wdist, d, *, sgs_model, C_s, gamma, prandtl_t,
+               kappa):
+    """Eddy-viscosity SGS flux planes (models/sgs.py sgs_flux on planes,
+    ref:src/eles.cpp:2470-2612).  ``delta`` already includes the
+    filter-ratio factor.  Returns [d][F]-list added to the viscous flux."""
+    F = len(u)
+    rho = u[0]
+    inv_rho = 1.0 / rho
+    v = [u[1 + m] * inv_rho for m in range(d)]
+    q2 = sum(vi * vi for vi in v)
+    inte = u[d + 1] * inv_rho - 0.5 * q2
+    dv = [[(gr[l][1 + i] - v[i] * gr[l][0]) * inv_rho for l in range(d)]
+          for i in range(d)]
+    dke = [0.5 * q2 * gr[l][0]
+           + rho * sum(v[i] * dv[i][l] for i in range(d)) for l in range(d)]
+    de = [(gr[l][d + 1] - dke[l] - gr[l][0] * inte) * inv_rho
+          for l in range(d)]
+    S = [[0.5 * (dv[i][l] + dv[l][i]) for l in range(d)] for i in range(d)]
+
+    if sgs_model == 0:
+        # Smagorinsky with wall limiting (ref:src/eles.cpp:2470-2546)
+        Smod = jnp.sqrt(2.0 * sum(S[i][l] * S[i][l]
+                                  for i in range(d) for l in range(d)))
+        lim = jnp.minimum(wdist * wdist * kappa**2, C_s**2 * delta * delta)
+        mu_t = rho * lim * Smod
+    else:
+        # WALE (ref:src/eles.cpp:2548-2592)
+        eps = 1e-12
+        g2 = [[sum(dv[i][k] * dv[k][l] for k in range(d)) for l in range(d)]
+              for i in range(d)]
+        trace3 = sum(g2[i][i] for i in range(d)) / 3.0
+        Sq = [[0.5 * (g2[i][l] + g2[l][i]) - (trace3 if i == l else 0.0)
+               for l in range(d)] for i in range(d)]
+        num = sum(Sq[i][l] * Sq[i][l] for i in range(d) for l in range(d))
+        den = sum(S[i][l] * S[i][l] for i in range(d) for l in range(d))
+        den = den**2.5 + num**1.25
+        mu_t = rho * C_s**2 * delta * delta * num**1.5 / (den + eps)
+
+    trS3 = sum(S[i][i] for i in range(d)) / 3.0
+    mom = [[-2.0 * mu_t * (S[i][l] - (trS3 if i == l else 0.0))
+            for l in range(d)] for i in range(d)]
+    coef = gamma * mu_t / prandtl_t
+    out = []
+    zero = jnp.zeros_like(rho)
+    for mm in range(d):
+        rows = [zero]
+        for i in range(d):
+            rows.append(mom[i][mm])
+        rows.append(-coef * de[mm]
+                    + sum(v[k] * mom[k][mm] for k in range(d)))
+        while len(rows) < F:
+            rows.append(zero)
+        out.append(rows)
+    return out
+
+
+def similarity_terms_p(u, dg_filter, d):
+    """Leonard tensors on planes (models/sgs.py similarity_terms,
+    ref:src/eles.cpp:2091-2218).  ``dg_filter(x)`` applies the LES modal
+    filter along the solution-point axis of an (U, K, E) stack.
+    Returns (Lu [n_pairs], Le [d]) plane lists."""
+    F = len(u)
+    rho = u[0]
+    mom = [u[1 + i] for i in range(d)]
+    inte_r = u[d + 1] - 0.5 * sum(m * m for m in mom) / rho
+    rsq = rho * rho
+    pairs = ([(0, 0), (1, 1), (0, 1)] if d == 2
+             else [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)])
+    uu = [mom[a] * mom[b] / rsq for a, b in pairs]
+    ue = [mom[a] * inte_r / rsq for a in range(d)]
+    # one filter GEMM over [u | uu | ue]
+    stack = jnp.stack(u + uu + ue, axis=1)            # (U, F+P+d, E)
+    filt = dg_filter(stack)
+    uf = [filt[:, k] for k in range(F)]
+    Lu = [filt[:, F + k] for k in range(len(pairs))]
+    Le = [filt[:, F + len(pairs) + k] for k in range(d)]
+    rho_f = uf[0]
+    mom_f = [uf[1 + i] for i in range(d)]
+    inte_rf = uf[d + 1] - 0.5 * sum(m * m for m in mom_f) / rho_f
+    rsq_f = rho_f * rho_f
+    Lu = [Lu[k] - mom_f[a] * mom_f[b] / rsq_f
+          for k, (a, b) in enumerate(pairs)]
+    diag = sum(Lu[:d]) / 3.0
+    Lu = [(Lu[k] - diag if k < d else Lu[k]) for k in range(len(pairs))]
+    Le = [(Le[a] - mom_f[a] * inte_rf) / rsq_f for a in range(d)]
+    return Lu, Le
+
+
+def similarity_flux_p(u, Lu, Le, gamma, d):
+    """Similarity SGS flux planes (ref:src/eles.cpp:2615-2644)."""
+    F = len(u)
+    rho = u[0]
+    idx = [[0, 2], [2, 1]] if d == 2 else [[0, 3, 4], [3, 1, 5], [4, 5, 2]]
+    out = []
+    zero = jnp.zeros_like(rho)
+    for mm in range(d):
+        rows = [zero]
+        for i in range(d):
+            rows.append(rho * Lu[idx[i][mm]])
+        rows.append(gamma * rho * Le[mm])
+        while len(rows) < F:
+            rows.append(zero)
+        out.append(rows)
+    return out
+
+
+def sa_source_p(u, gr, wdist, d, *, gamma, mu_inf, rt_inf, c_sth, fix_vis,
+                kappa, c_v1, c_v2, c_v3, c_b1, c_b2, c_w2, c_w3, omega):
+    """SA source on planes (models/sa.py, ref:src/source.cpp:33-105)."""
+    rho = u[0]
+    inv_rho = 1.0 / rho
+    v = [u[1 + m] * inv_rho for m in range(d)]
+    nu_tilde_c = u[d + 2]
+    nu_tilde = nu_tilde_c * inv_rho
+    inte = u[d + 1] * inv_rho - 0.5 * sum(vi * vi for vi in v)
+    if fix_vis:
+        mu = mu_inf
+    else:
+        rt_ratio = (gamma - 1.0) * inte / rt_inf
+        mu = mu_inf * rt_ratio**1.5 * (1.0 + c_sth) / (rt_ratio + c_sth)
+    dv = [[(gr[l][1 + i] - v[i] * gr[l][0]) * inv_rho for l in range(d)]
+          for i in range(d)]
+    dnu = [(gr[l][d + 2] - gr[l][0] * nu_tilde) * inv_rho for l in range(d)]
+    if d == 2:
+        S = jnp.abs(dv[1][0] - dv[0][1])
+    else:
+        wx = dv[2][1] - dv[1][2]
+        wy = dv[0][2] - dv[2][0]
+        wz = dv[1][0] - dv[0][1]
+        S = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+    chi = nu_tilde_c / mu
+    psi = jnp.where(chi <= 10.0, 0.05 * jnp.log1p(jnp.exp(20.0 * chi)), chi)
+    f_v1 = chi**3 / (chi**3 + c_v1**3)
+    f_v2 = 1.0 - psi / (1.0 + psi * f_v1)
+    kd2 = kappa**2 * wdist * wdist
+    mp_r = mu * psi * inv_rho
+    S_bar = mp_r * mp_r * f_v2 / kd2
+    S_tilde = jnp.where(
+        S_bar >= -c_v2 * S, S + S_bar,
+        S + S * (c_v2**2 * S + c_v3 * S_bar)
+        / ((c_v3 - 2.0 * c_v2) * S - S_bar))
+    prod = c_b1 * S_tilde * mu * psi
+    diff = (1.0 / omega) * c_b2 * rho * sum(dn * dn for dn in dnu)
+    c_w1 = c_b1 / kappa**2 + (1.0 / omega) * (1.0 + c_b2)
+    r = jnp.minimum(mp_r / (S_tilde * kd2), 10.0)
+    g = r + c_w2 * (r**6 - r)
+    f_w = g * ((1.0 + c_w3**6) / (g**6 + c_w3**6)) ** (1.0 / 6.0)
+    dest = -c_w1 * rho * f_w * (mp_r / wdist) ** 2
+    return prod + diff + dest
 
 
 # ----------------------------------------------------------------------
@@ -399,11 +611,15 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
     """Build residual_soa(u) with u (U, F, E) -> rhs (U, F, E), or None when
     this configuration isn't supported."""
     B = BlockArrays(block, dtype)
-    if not B.uniform or cfg.les or cfg.rans or cfg.over_int or not cfg.fused:
+    if not B.uniform or not cfg.fused:
         return None
     d = B.n_dims
     nF = cfg.n_fields
-    if cfg.equation == 0 and nF != d + 2:
+    if cfg.equation == 0 and nF != (d + 3 if cfg.rans else d + 2):
+        return None
+    if cfg.rans and cfg.riemann_solve_type == riemann.HLLC:
+        return None          # HLLC star states carry no SA field (slot path)
+    if cfg.over_int and block.jginv_over is None:
         return None
     T = SoaTables(block, nF)
     if not T.ok:
@@ -416,7 +632,22 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
     prec = jax.lax.Precision[cfg.precision.upper()]
     gamma, Pr = cfg.gamma, cfg.prandtl
     visc_kw = dict(gamma=gamma, prandtl=Pr, mu_inf=cfg.mu_inf,
-                   rt_inf=cfg.rt_inf, c_sth=cfg.c_sth, fix_vis=cfg.fix_vis)
+                   rt_inf=cfg.rt_inf, c_sth=cfg.c_sth, fix_vis=cfg.fix_vis,
+                   rans=cfg.rans, prandtl_t=cfg.prandtl_t, c_v1=cfg.c_v1,
+                   omega=cfg.omega)
+    # LES model dispatch (ref:src/eles.cpp:2437-2461): eddy-viscosity part
+    # for Smagorinsky/WALE/WALE-similarity, Leonard part for (WALE-)
+    # similarity; SVV (model 3) filters the state per step in solver.py
+    use_eddy = cfg.les and cfg.sgs_model in (0, 1, 2) and cfg.viscous
+    use_similarity = cfg.les and cfg.sgs_model in (2, 4) and cfg.viscous
+    sgs_kw = dict(sgs_model=cfg.sgs_model, C_s=cfg.C_s, gamma=gamma,
+                  prandtl_t=cfg.prandtl_t, kappa=cfg.kappa)
+    if use_similarity:
+        from ..ops.les_filter import build_les_filter
+        les_filter = jnp.asarray(
+            build_les_filter(block.ops, cfg.filter_type, cfg.filter_ratio),
+            dtype=dtype)
+    has_wm = getattr(bc_fns, "wm_tables", None) is not None
     # tdA rows (Pf*F, E)
     tdA_rows = jnp.asarray(
         np.repeat(block.tdA_fpts.reshape(E, Pf).T, nF, axis=0), dtype=dtype)
@@ -426,6 +657,18 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         return jax.lax.dot_general(A, x, (((1,), (0,)), ((), ())),
                                    precision=prec,
                                    preferred_element_type=dtype)
+
+    if use_eddy:
+        # SGS cutoff = filter_ratio * Deardorff delta (ref:src/eles.cpp:2480)
+        filter_delta_u = cfg.filter_ratio * S.delta_u
+        filter_delta_l = cfg.filter_ratio * S.delta_l
+        filter_delta_r = cfg.filter_ratio * S.delta_r
+    if use_similarity:
+        dg_filter = lambda x: dg(les_filter, x)
+    if has_wm:
+        wm_ele_j = jnp.asarray(bc_fns.wm_tables[0], jnp.int32)
+        wm_upt_j = jnp.asarray(bc_fns.wm_tables[1], jnp.int32)
+        wm_dist_j = jnp.asarray(bc_fns.wm_tables[2], dtype)
 
     def planes(x):
         """(C, F, E) -> list of F planes (C, E) (squeezed slices)."""
@@ -463,7 +706,8 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         return lf_p(u_l, u_r, norm, ws, cfg.lambda_lf)
 
     def inv_flux_planes(u):
-        """Volume inviscid flux planes fl[m] = [F] of (U, E)."""
+        """Volume inviscid flux planes fl[m] = [F] of (C, E) for any
+        (C, F, E) input (upts or over-int cubature points)."""
         if cfg.equation == 1:
             return [[u[:, 0] * cfg.wave_speed[m]] for m in range(d)]
         up = planes(u)
@@ -482,6 +726,8 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
                     r = r + p
                 rows.append(r)
             rows.append(hp * v[mm])
+            for k in range(d + 2, nF):    # SA advection
+                rows.append(up[k] * v[mm])
             out.append(rows)
         return out
 
@@ -542,22 +788,60 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
             tgf = [dg(S.opp_0, tg[m]) for m in range(d)]   # (Pf, F, E)
             tgf2 = [a.reshape(Pf * nF, E) for a in tgf]
 
-        # 4. volume transformed flux (ref:src/eles.cpp:1480-1545)
-        fl = inv_flux_planes(u)
+        # 4. volume transformed flux (ref:src/eles.cpp:1415-1545).
+        # Viscous (+SGS) flux planes at upts first; the inviscid part is
+        # evaluated either at upts or, with de-aliasing on, at the richer
+        # over-integration cubature and L2-projected back.
+        fv = None
+        simf = None
+        grp = None
         if cfg.viscous:
             if cfg.equation == 1:
-                for m in range(d):
-                    fl[m][0] = fl[m][0] - cfg.diff_coeff * gr[m][:, 0]
+                fv = [[-cfg.diff_coeff * gr[m][:, 0]] for m in range(d)]
             else:
                 grp = [[gr[l][:, i] for i in range(nF)] for l in range(d)]
-                fv = visc_flux_p(planes(u), grp, d, **visc_kw)
+                up = planes(u)
+                fv = visc_flux_p(up, grp, d, **visc_kw)
+                if use_eddy:
+                    fvs = sgs_flux_p(up, grp, filter_delta_u, S.wdist_u, d,
+                                     **sgs_kw)
+                    fv = [[a + b for a, b in zip(fv[m], fvs[m])]
+                          for m in range(d)]
+                if use_similarity:
+                    Lu, Le = similarity_terms_p(up, dg_filter, d)
+                    simf = similarity_flux_p(up, Lu, Le, gamma, d)
+
+        def stackj(pl):
+            return (jnp.stack(pl, axis=1) if len(pl) > 1
+                    else pl[0][:, None, :])
+
+        if cfg.over_int:
+            u_over = dg(S.opp_over, u)                 # (C2, F, E)
+            flj_o = [stackj(r) for r in inv_flux_planes(u_over)]
+            fvj = ([stackj(fv[m]) for m in range(d)]
+                   if fv is not None else None)
+            parts = []
+            for l in range(d):
+                t = dg(S.over_filter,
+                       sum(S.jg_o[l][m] * flj_o[m] for m in range(d)))
+                if fvj is not None:
+                    t = t + sum(S.jg_u[l][m] * fvj[m] for m in range(d))
+                parts.append(t)
+            tdisf = jnp.concatenate(parts, axis=0)     # (d*U, F, E)
+        else:
+            fl = inv_flux_planes(u)
+            if fv is not None:
                 fl = [[a + b for a, b in zip(fl[m], fv[m])]
                       for m in range(d)]
-        flj = [jnp.stack(fl[m], axis=1) if len(fl[m]) > 1
-               else fl[m][0][:, None, :] for m in range(d)]
-        tdisf = jnp.concatenate(
-            [sum(S.jg_u[l][m] * flj[m] for m in range(d)) for l in range(d)],
-            axis=0)                                    # (d*U, F, E)
+            if simf is not None:
+                # similarity flux enters the volume term directly
+                # (ref:src/eles.cpp:2395-2461, slot-path parity)
+                fl = [[a + b for a, b in zip(fl[m], simf[m])]
+                      for m in range(d)]
+            flj = [stackj(fl[m]) for m in range(d)]
+            tdisf = jnp.concatenate(
+                [sum(S.jg_u[l][m] * flj[m] for m in range(d))
+                 for l in range(d)], axis=0)           # (d*U, F, E)
 
         # 5. common interface flux, all interior faces at once
         fn = common_inv_flux_p(u_l, u_r, S.norm)
@@ -576,6 +860,25 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
             else:
                 fv_l = visc_flux_p(u_l, g_l, d, **visc_kw)
                 fv_r = visc_flux_p(u_r, g_r, d, **visc_kw)
+                if use_eddy:
+                    el = sgs_flux_p(u_l, g_l, filter_delta_l, S.wdist_l, d,
+                                    **sgs_kw)
+                    er = sgs_flux_p(u_r, g_r, filter_delta_r, S.wdist_r, d,
+                                    **sgs_kw)
+                    fv_l = [[a + b for a, b in zip(fv_l[m], el[m])]
+                            for m in range(d)]
+                    fv_r = [[a + b for a, b in zip(fv_r[m], er[m])]
+                            for m in range(d)]
+                if use_similarity:
+                    # extrapolate the upts similarity flux and gather at
+                    # the faces (ref:src/eles.cpp:2817 extrapolate_sgsFlux)
+                    for m in range(d):
+                        sf2 = dg(S.opp_0,
+                                 stackj(simf[m])).reshape(Pf * nF, E)
+                        sl = face_planes(gather_cat(sf2, "l"))
+                        sr = face_planes(gather_cat(sf2, "r"))
+                        fv_l[m] = [a + b for a, b in zip(fv_l[m], sl)]
+                        fv_r[m] = [a + b for a, b in zip(fv_r[m], sr)]
             # LDG common viscous flux (ref:src/inters.cpp:561-611)
             bl = 0.5 + cfg.ldg_beta * sgn
             br = 0.5 - cfg.ldg_beta * sgn
@@ -593,8 +896,15 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
                       .reshape(Fb, nfp, nF) for m in range(d)]
                 tgb = jnp.stack(tb, axis=-1)          # (Fb, nfp, F, d)
                 g_b = adjT_apply(S.jginv_bdy, tgb, S.inv_detjac_bdy)
+                wm_kw = {}
+                if has_wm:
+                    # wall-model input state gathered from the SoA volume
+                    # solution (ref:src/eles.cpp:4873-4903)
+                    wm_kw = dict(wm_state=u[wm_upt_j, :, wm_ele_j],
+                                 wm_dist=wm_dist_j)
                 fn_b = fn_b + bc_fns.visc_common_flux(
-                    u_bl, g_b, S.norm_bdy, None, fluc=fluc, ramp=ramp)
+                    u_bl, g_b, S.norm_bdy, None, fluc=fluc, ramp=ramp,
+                    **wm_kw)
             fn_parts.append(bdy_bridge(fn_b))
         pool_fn = jnp.concatenate(fn_parts, axis=1)
 
@@ -606,6 +916,16 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         # 7. fused divergence GEMM (ref:src/eles.cpp:1654-1772)
         rhs_cat = jnp.concatenate([tdisf, ntc], axis=0)  # (d*U+Pf, F, E)
         div = dg(S.opp_div_all, rhs_cat)                 # (U, F, E)
-        return -div * S.inv_det_u
+        rhs = -div * S.inv_det_u
+        if cfg.rans:
+            # SA source (ref:src/eles.cpp:2650, ref:src/source.cpp:33-105)
+            src = sa_source_p(
+                planes(u), grp, S.wdist_u, d, gamma=gamma,
+                mu_inf=cfg.mu_inf, rt_inf=cfg.rt_inf, c_sth=cfg.c_sth,
+                fix_vis=cfg.fix_vis, kappa=cfg.kappa, c_v1=cfg.c_v1,
+                c_v2=cfg.c_v2, c_v3=cfg.c_v3, c_b1=cfg.c_b1, c_b2=cfg.c_b2,
+                c_w2=cfg.c_w2, c_w3=cfg.c_w3, omega=cfg.omega)
+            rhs = rhs.at[:, d + 2, :].add(src)
+        return rhs
 
     return residual_soa

@@ -155,10 +155,11 @@ class Solver:
         # identical (tests/test_residual_soa.py) and the default fast path
         # for the time loop on TPU — the (E, U, F) layouts pad F=5 to 128
         # lanes and cost ~half of every stage in relayout copies (see
-        # residual_soa.py).  Opt out with HIFILES_NO_SOA=1.
+        # residual_soa.py).  Covers the feature physics (LES/RANS/over-int/
+        # shock capture/wall models) as of round 3.  Opt out with
+        # HIFILES_NO_SOA=1.
         self.residual_soa = None
-        if not _os.environ.get("HIFILES_NO_SOA") and not run_input.shock_cap \
-                and not run_input.wall_model:
+        if not _os.environ.get("HIFILES_NO_SOA"):
             from .residual_soa import make_residual_soa
             self.residual_soa = make_residual_soa(self.block, self.rcfg,
                                                   dtype, bc_fns)
@@ -178,23 +179,33 @@ class Solver:
         # SVV model: replace the solution with its filtered version once per
         # step (ref:src/eles.cpp:2087-2089, stage-0 calc_sgs_terms)
         self._pre_step = None
+        self._pre_step_soa = None
         if run_input.LES and run_input.SGS_model == 3:
             from ..ops.les_filter import build_les_filter
             svv = jnp.asarray(build_les_filter(ops, run_input.filter_type,
                                                run_input.filter_ratio),
                               dtype=dtype)
             self._pre_step = lambda u: jnp.einsum("ku,euf->ekf", svv, u)
+            self._pre_step_soa = lambda u: jax.lax.dot_general(
+                svv, u, (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype)
 
         post_stage = None
+        self._post_stage_soa = None
         self.sensor_fn = None
         if run_input.shock_cap:
-            from ..ops.stabilization import make_shock_capture_fn
+            from ..ops.stabilization import (make_shock_capture_fn,
+                                             make_shock_capture_soa)
             capture = make_shock_capture_fn(
                 ops, run_input.s0, run_input.expf_fac, run_input.expf_order,
                 run_input.expf_cutoff, run_input.shock_det_field,
                 self.n_dims, dtype)
             post_stage = lambda u: capture(u)[0]
             self.sensor_fn = jax.jit(lambda u: capture(u)[1])
+            self._post_stage_soa = make_shock_capture_soa(
+                ops, run_input.s0, run_input.expf_fac, run_input.expf_order,
+                run_input.expf_cutoff, run_input.shock_det_field,
+                self.n_dims, dtype, precision)
 
         self._post_stage = post_stage
         self._step = make_step_fn(self.residual_fn, run_input.adv_type,
@@ -271,10 +282,13 @@ class Solver:
         pre = self._pre_step
         p = self.p
         dtype = self.dtype
+        pre_soa = self._pre_step_soa
         if self._simple:
-            if self.residual_soa is not None and pre is None:
+            if self.residual_soa is not None and (pre is None
+                                                  or pre_soa is not None):
                 from .step import make_step_fn as _mk
-                step_soa = _mk(self.residual_soa, p.adv_type)
+                step_soa = _mk(self.residual_soa, p.adv_type,
+                               post_stage=self._post_stage_soa)
 
                 def run_chunk(state, dt, n_steps):
                     # transpose to elements-minor once per chunk; the whole
@@ -287,7 +301,10 @@ class Solver:
                     rs = jnp.transpose(state[1], (1, 2, 0))
 
                     def body(carry, _):
-                        return step_soa(carry[0], carry[1], dt_c), None
+                        u = carry[0]
+                        if pre_soa is not None:
+                            u = pre_soa(u)
+                        return step_soa(u, carry[1], dt_c), None
                     import os as _os
                     unroll = int(_os.environ.get("HIFILES_UNROLL", "1"))
                     (us, rs), _ = jax.lax.scan(body, (us, rs), None,

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Regenerate the f32 CPU golden residual rows for bench.py's accuracy
+gates (one per BENCH_CONFIG).  Protocol matches bench.py exactly: TGV p=4
+hex 16^3, f32, 10 warmup + 10 timed steps, L1 residual row after step 20.
+
+Run on CPU:  JAX_PLATFORMS=cpu python scripts/gen_bench_goldens.py [cfg ...]
+Paste the printed rows into bench.py GOLDENS.
+"""
+
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def golden_row(cfg_name):
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bench
+    from hifiles_tpu.config.params import RunInput
+    from hifiles_tpu.mesh.generate import periodic_hex_mesh
+    from hifiles_tpu.solver.solver import Solver
+
+    p = RunInput()
+    p.equation = 0
+    p.viscous = 1
+    p.order = 4
+    p.ic_form = 7
+    p.adv_type = 3
+    p.riemann_solve_type = 3
+    p.dt_type = 0
+    p.n_steps = 20
+    p.vcjh_scheme_hexa = 1
+    p.dx_cyclic = p.dy_cyclic = p.dz_cyclic = 2 * np.pi
+    p.gamma, p.R_gas, p.fix_vis = 1.4, 286.9, 1
+    p.prandtl = 0.72
+    p.Mach_free_stream, p.T_free_stream = 0.1, 300.0
+    p.rho_free_stream = 0.0008421095852102401
+    p.mu_gas = 1.827e-5
+    p.L_free_stream = 1.0
+    p.Mach_c_ic, p.T_c_ic, p.rho_c_ic = 0.1, 300.0, 0.0008421095852102401
+    p.dt = 1.440389e-5
+    p.setup_params()
+    bench.configure(p, cfg_name)
+
+    s = Solver(p, periodic_hex_mesh(16, 16, 16), dtype=jnp.float32)
+    s.run(10, dt=p.dt)
+    s.run(10, dt=p.dt)
+    return [float(x) for x in np.asarray(s.residual_norm(norm_type=1))[:5]]
+
+
+if __name__ == "__main__":
+    cfgs = sys.argv[1:] or ["overint", "smag", "shock"]
+    for c in cfgs:
+        row = golden_row(c)
+        print(json.dumps({c: row}))

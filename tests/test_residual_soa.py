@@ -103,3 +103,114 @@ def test_soa_adv_diff():
     p.setup_params()
     s = Solver(p, periodic_hex_mesh(3, 3, 3))
     compare(s, soa_of(s))
+
+
+# ----------------------------------------------------------------------
+# round-3 feature physics on the SoA fast path
+# ----------------------------------------------------------------------
+
+def _perturbed(s, amp=0.02, seed=0):
+    rng = np.random.default_rng(seed)
+    return s.u * (1.0 + amp * jnp.asarray(
+        rng.random(np.asarray(s.u).shape), s.dtype))
+
+
+@pytest.mark.parametrize("model", [0, 1, 2, 4])
+def test_soa_les_sgs_models(model):
+    """Eddy-viscosity + similarity SGS fluxes match the slot path."""
+    from test_les import tgv_input as les_tgv
+    p = les_tgv(les=1, sgs_model=model)
+    s = Solver(p, periodic_hex_mesh(3, 3, 3))
+    compare(s, soa_of(s), _perturbed(s))
+
+
+def test_soa_over_int():
+    """Polynomial de-aliasing (over-integration) on the SoA path."""
+    p = tgv_input()
+    p.over_int, p.over_int_order = 1, 4
+    s = Solver(p, periodic_hex_mesh(3, 3, 3))
+    compare(s, soa_of(s), _perturbed(s))
+
+
+def test_soa_over_int_inviscid():
+    p = tgv_input()
+    p.viscous = 0
+    p.riemann_solve_type = 0
+    p.mu_inf = float("nan")
+    p.over_int, p.over_int_order = 1, 4
+    s = Solver(p, periodic_hex_mesh(3, 3, 3))
+    compare(s, soa_of(s), _perturbed(s))
+
+
+def test_soa_rans_channel():
+    """SA-RANS: advection + diffusion + source on the SoA path."""
+    from test_rans_viscous_bc import _rans_channel_input
+    from hifiles_tpu.config.params import ADIABAT_WALL, BCParams, CYCLIC
+    from hifiles_tpu.mesh.generate import channel_quad_mesh
+    p = _rans_channel_input()
+    p.bc_list = [BCParams(name="Cyc", flag=CYCLIC),
+                 BCParams(name="CycX", flag=CYCLIC),
+                 BCParams(name="Wall", flag=ADIABAT_WALL)]
+    mesh = channel_quad_mesh(8, 4, 0.0, 4.0, 0.0, 1.0,
+                             bc_x="Cyc", bc_X="Cyc", bc_y="Wall")
+    mesh.bc_id[mesh.bc_id == 1] = 0
+    mesh.bc_names = ["Cyc", "unused", "Wall"]
+    s = Solver(p, mesh)
+    assert s.residual_soa is not None     # RANS rides the fast path now
+    compare(s, s.residual_soa, _perturbed(s))
+
+
+def test_soa_wall_model():
+    """Wall-modeled channel: the SoA path gathers the wall-model input
+    state from the (U, F, E) volume solution."""
+    from hifiles_tpu.config.params import BCParams, CYCLIC, ISOTHERM_WALL
+    from hifiles_tpu.mesh.generate import channel_quad_mesh
+    from test_rans_viscous_bc import _rans_channel_input
+    p = _rans_channel_input()
+    p.RANS = 0
+    p.LES, p.SGS_model, p.C_s = 1, 0, 0.1
+    p.wall_model = 1
+    p.bc_list = [BCParams(name="Cyc", flag=CYCLIC),
+                 BCParams(name="unused", flag=CYCLIC),
+                 BCParams(name="Wall", flag=ISOTHERM_WALL,
+                          T_static=1.0, use_wm=1)]
+    mesh = channel_quad_mesh(8, 4, 0.0, 4.0, 0.0, 1.0,
+                             bc_x="Cyc", bc_X="Cyc", bc_y="Wall")
+    mesh.bc_id[mesh.bc_id == 1] = 0
+    mesh.bc_names = ["Cyc", "unused", "Wall"]
+    s = Solver(p, mesh)
+    assert s.residual_soa is not None
+    assert s._bc_fns.wm_tables is not None
+    compare(s, s.residual_soa, _perturbed(s))
+
+
+def _run_pair(p, mesh_fn, n=5):
+    """Run the same case with and without the SoA fast path."""
+    os.environ["HIFILES_NO_SOA"] = "1"
+    try:
+        s_ref = Solver(p, mesh_fn())
+    finally:
+        os.environ.pop("HIFILES_NO_SOA")
+    s = Solver(p, mesh_fn())
+    assert s.residual_soa is not None
+    s_ref.run(n, dt=p.dt)
+    s.run(n, dt=p.dt)
+    a, b = np.asarray(s_ref.u), np.asarray(s.u)
+    assert np.isfinite(b).all()
+    scale = max(np.abs(a).max(), 1.0)
+    assert np.abs(a - b).max() < 1e-10 * scale, np.abs(a - b).max()
+
+
+def test_soa_shock_capture_steps():
+    """Shock capture (Persson + exp filter) as an SoA post-stage."""
+    p = tgv_input()
+    p.shock_cap = 1
+    p.s0 = 0.0            # filter everywhere: exercises the filtered branch
+    _run_pair(p, lambda: periodic_hex_mesh(3, 3, 3))
+
+
+def test_soa_svv_steps():
+    """SVV model: per-step solution filter on the SoA path."""
+    from test_les import tgv_input as les_tgv
+    p = les_tgv(les=1, sgs_model=3)
+    _run_pair(p, lambda: periodic_hex_mesh(3, 3, 3))
