@@ -33,9 +33,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 GOLDENS = {
     "plain": [6.942559266463e-04, 4.966582730412e-02, 4.966528341174e-02,
               6.387555599213e-02, 1.171203181148e-01],
-    "overint": None,   # filled by scripts/gen_bench_goldens.py
-    "smag": None,
-    "shock": None,
+    "overint": [7.043973891995e-04, 4.966741427779e-02, 4.966534301638e-02,
+                6.388367712497e-02, 1.197029054164e-01],
+    "smag": [6.919287843629e-04, 4.965830221772e-02, 4.965592548251e-02,
+             6.387890130281e-02, 1.165391653776e-01],
+    # s0=0 fires the exp filter everywhere: rows are large by construction
+    "shock": [1.088603258132e+00, 7.200572490692e+00, 7.200572013854e+00,
+              2.065789848566e-01, 2.723395996093e+02],
 }
 
 

@@ -160,10 +160,15 @@ def main(argv=None):
 
     if p.test_case:
         err = solver.compute_error()
-        norm = np.sqrt(err[0]) if p.error_norm_type == 2 else err[0]
-        print("final error vs analytic:", " ".join(f"{e:.10e}" for e in norm))
+        norm = np.sqrt(err) if p.error_norm_type == 2 else err
+        row = list(norm[0])
+        if p.viscous:
+            # gradient-error row appended like the reference
+            # (ref:src/output.cpp:2144-2157)
+            row += list(norm[1])
+        print("final error vs analytic:", " ".join(f"{e:.10e}" for e in row))
         with open(os.path.join(outdir, "error.dat"), "a") as f:
-            f.write(" ".join(f"{e:.10e}" for e in norm) + "\n")
+            f.write(" ".join(f"{e:.10e}" for e in row) + "\n")
 
     print(f"total wall time {time.time() - t_start:.1f}s")
     return 0

@@ -78,6 +78,31 @@ def channel_quad_mesh(nx: int, ny: int, x0: float, x1: float,
     return mesh
 
 
+def ywall_channel_quad_mesh(nx: int, ny: int, x0: float, x1: float,
+                            y0: float, y1: float,
+                            bc_ymin: str = "Wall_Bot",
+                            bc_ymax: str = "Wall_Top") -> MeshData:
+    """x-cyclic quad channel with separately named wall groups on y- and
+    y+ (Couette flow, ref:src/eles.cpp:5222-5245 test_case 5)."""
+    mesh = periodic_quad_mesh(nx, ny, x0, x1, y0, y1)
+    names = [bc_ymin, bc_ymax, "Cyclic"]
+    bc_id = -np.ones_like(mesh.bc_id)
+    for j in range(ny):
+        for i in range(nx):
+            c = j * nx + i
+            if j == 0:
+                bc_id[c, 0] = 0
+            if i == nx - 1:
+                bc_id[c, 1] = 2
+            if j == ny - 1:
+                bc_id[c, 2] = 1
+            if i == 0:
+                bc_id[c, 3] = 2
+    mesh.bc_id = bc_id
+    mesh.bc_names = names
+    return mesh
+
+
 def periodic_mixed_mesh_2d(nx: int, ny: int,
                            x0: float = -1.0, x1: float = 1.0,
                            y0: float = -1.0, y1: float = 1.0) -> MeshData:

@@ -103,6 +103,22 @@ class SoaTables:
             return (np.asarray(fpts)[:, None] * F
                     + np.arange(F)[None, :]).reshape(-1)
 
+        d = ops.n_dims
+
+        def rows_fm_of(fpts):
+            """Field-major rows: gather result IS the F stacked planes
+            (row i*nfp+k = plane i, face point k) — no interleave gather."""
+            return (np.asarray(fpts)[None, :] * F
+                    + np.arange(F)[:, None]).reshape(-1)
+
+        def rows3_fm_of(fpts):
+            """Field-major rows into the (Pf*d*F, E) view of the
+            dim-concatenated face gradient, all d sections stacked."""
+            f_ = np.asarray(fpts)
+            return np.concatenate(
+                [(f_[None, :] * (d * F) + m * F
+                  + np.arange(F)[:, None]).reshape(-1) for m in range(d)])
+
         ref_vol = {1: 4.0, 4: 8.0, 0: 2.0, 2: 4.0 / 3.0,
                    3: 4.0}[ops.ele_type]
         _delta_slot = ((block.detjac_fpts * ref_vol) ** (1.0 / ops.n_dims)
@@ -126,6 +142,8 @@ class SoaTables:
             g = {
                 "idx_l": ele_l[gi], "idx_r": ele_r[gi],
                 "rows_l": rows_of(fl), "rows_r": rows_of(fr),
+                "rows_fm_l": rows_fm_of(fl), "rows_fm_r": rows_fm_of(fr),
+                "rows3_fm_l": rows3_fm_of(fl), "rows3_fm_r": rows3_fm_of(fr),
                 "rows_r_local": (r_order[:, None] * F
                                  + np.arange(F)[None, :]).reshape(-1),
                 "faces": gi,
@@ -158,6 +176,11 @@ class SoaTables:
             self.ele_b = bslot[:, 0] // Pf
             fpt_b = bslot % Pf
             self.rows_b = np.stack([rows_of(fpt_b[i]) for i in range(Fb)])
+            # rows into the dim-concatenated (Pf*d*F, E) face-gradient view
+            self.rows_b3 = np.stack([np.stack(
+                [(fpt_b[i][:, None] * (d * F) + m * F
+                  + np.arange(F)[None, :]).reshape(-1) for i in range(Fb)])
+                for m in range(d)])
             # boundary faces share a pool layout only if their fpt rows are
             # identical per face; gather per-face rows instead (2-D fancy
             # gather over (Fb, nfp*F) is fine on the small boundary set)
@@ -166,6 +189,7 @@ class SoaTables:
         else:
             self.ele_b = np.empty(0, dtype=np.int64)
             self.rows_b = np.empty((0, nfp * F), dtype=np.int64)
+            self.rows_b3 = np.empty((d, 0, nfp * F), dtype=np.int64)
             pool_pos_b = np.empty(0, dtype=np.int64)
             self.bdy_lf = np.empty(0, dtype=np.int64)
 
@@ -212,6 +236,10 @@ class BlockArraysSoa:
             self.groups.append({
                 "idx_l": i32(g["idx_l"]), "idx_r": i32(g["idx_r"]),
                 "rows_l": i32(g["rows_l"]), "rows_r": i32(g["rows_r"]),
+                "rows_fm_l": i32(g["rows_fm_l"]),
+                "rows_fm_r": i32(g["rows_fm_r"]),
+                "rows3_fm_l": i32(g["rows3_fm_l"]),
+                "rows3_fm_r": i32(g["rows3_fm_r"]),
                 "rows_r_local": i32(g["rows_r_local"]),
                 "sl": slice(off, off + ng),
             })
@@ -252,6 +280,7 @@ class BlockArraysSoa:
         if T.Fb:
             self.ele_b = i32(T.ele_b)
             self.rows_b = i32(T.rows_b)
+            self.rows_b3 = i32(T.rows_b3)
             self.norm_bdy = B.norm_bdy          # AoS (Fb, nfp, d)
             self.jginv_bdy = getattr(B, "jginv_bdy", None)
             self.inv_detjac_bdy = getattr(B, "inv_detjac_bdy", None)
@@ -674,23 +703,37 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         """(C, F, E) -> list of F planes (C, E) (squeezed slices)."""
         return [x[:, i] for i in range(nF)]
 
-    # fpt-major rows <-> field planes via 2-D static row permutations:
-    # reshape/stack through (nfp, 1, N) intermediates makes XLA tile the
-    # whole fused face physics T(1,128) (1/8 sublane occupancy); a 125-row
-    # gather on a 2-D array keeps everything on (8,128) tiles
-    _interleave = jnp.asarray(
-        (np.arange(nfp * nF).reshape(nfp, nF).T).reshape(-1), jnp.int32)
+    # fpt-major rows <-> field planes: reshape/stack through (nfp, 1, N)
+    # intermediates makes XLA tile the whole fused face physics T(1,128)
+    # (1/8 sublane occupancy); 125-row gathers on 2-D arrays keep (8,128)
+    # tiles.  READ side: the gather rows are FIELD-major (rows_fm_*), so
+    # the gather result's row blocks are the planes directly — no
+    # interleave gather (measured ~64 us/stage on TPU v5e).  WRITE side
+    # (pool copies) must stay fpt-major to match the `sel` inverse tables:
+    # one deinterleave gather per pool.
     _deinterleave = jnp.asarray(
         (np.arange(nfp * nF).reshape(nF, nfp).T).reshape(-1), jnp.int32)
-
-    def face_planes(rows2d):
-        """(nfp*F, N) fpt-major rows -> F planes (nfp, N)."""
-        fm = rows2d[_interleave]            # field-major blocks
-        return [fm[i * nfp:(i + 1) * nfp] for i in range(nF)]
 
     def stack_rows(pl):
         """F planes (nfp, N) -> (nfp*F, N) fpt-major rows."""
         return jnp.concatenate(pl, axis=0)[_deinterleave]
+
+    def gather_fm(src2, which):
+        """Per group: field-major static row gather + minor element
+        gather, concatenated along faces -> F planes (nfp, Fi)."""
+        cat = jnp.concatenate(
+            [src2[g["rows_fm_" + which]][:, g["idx_" + which]]
+             for g in S.groups], axis=1)
+        return [cat[i * nfp:(i + 1) * nfp] for i in range(nF)]
+
+    def gather3_fm(src2, which):
+        """Same, on the dim-concatenated (Pf*d*F, E) gradient view: one
+        gather pair per side covers all d dims -> [d][F] planes."""
+        cat = jnp.concatenate(
+            [src2[g["rows3_fm_" + which]][:, g["idx_" + which]]
+             for g in S.groups], axis=1)
+        return [[cat[(m * nF + i) * nfp:(m * nF + i + 1) * nfp]
+                 for i in range(nF)] for m in range(d)]
 
     def common_inv_flux_p(u_l, u_r, norm):
         if cfg.equation == 0:
@@ -735,17 +778,6 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         """(Fb, nfp, F) AoS -> (nfp*F, Fb) rows in element-local order."""
         return jnp.transpose(fn_aos, (1, 2, 0)).reshape(nfp * nF, Fb)
 
-    def gather_side(d2, rows, idx):
-        """2-D (Pf*F, E) view: static row gather + minor element gather."""
-        return d2[rows][:, idx]
-
-    def gather_cat(src2, which):
-        """Concatenate per-group (row-gather + element-gather) results
-        along the face axis, in pool l-section order."""
-        return jnp.concatenate(
-            [gather_side(src2, g["rows_" + which], g["idx_" + which])
-             for g in S.groups], axis=1)
-
     def r_copies(rows):
         """Pool r-section: per group, static column slice + static 2-D
         row gather into the R element's local fpt order."""
@@ -757,8 +789,8 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         d2 = disu_f.reshape(Pf * nF, E)
 
         # 2. all interior faces at once (concatenated in group order)
-        u_l = face_planes(gather_cat(d2, "l"))        # F planes (nfp, Fi)
-        u_r = face_planes(gather_cat(d2, "r"))
+        u_l = gather_fm(d2, "l")                      # F planes (nfp, Fi)
+        u_r = gather_fm(d2, "r")
         if has_bdy:
             # small 2-axis fancy gather on the boundary set only
             u_bl = d2[S.rows_b, S.ele_b[:, None]].reshape(Fb, nfp, nF)
@@ -784,9 +816,11 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
             # physical gradient planes at upts: (1/det) JGinv^T . tg
             gr = [sum(S.jg_u[m][l] * tg[m] for m in range(d)) * S.inv_det_u
                   for l in range(d)]
-            # transformed gradient at the faces, per dim
-            tgf = [dg(S.opp_0, tg[m]) for m in range(d)]   # (Pf, F, E)
-            tgf2 = [a.reshape(Pf * nF, E) for a in tgf]
+            # transformed gradient at the faces: ONE extrapolation GEMM
+            # over the dim-concatenated planes (one relayout copy instead
+            # of d) and one gather pair per side for all dims
+            tg_cat = jnp.concatenate(tg, axis=1)           # (U, d*F, E)
+            t2 = dg(S.opp_0, tg_cat).reshape(Pf * d * nF, E)
 
         # 4. volume transformed flux (ref:src/eles.cpp:1415-1545).
         # Viscous (+SGS) flux planes at upts first; the inviscid part is
@@ -846,8 +880,8 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         # 5. common interface flux, all interior faces at once
         fn = common_inv_flux_p(u_l, u_r, S.norm)
         if cfg.viscous:
-            tlp = [face_planes(gather_cat(tgf2[m], "l")) for m in range(d)]
-            trp = [face_planes(gather_cat(tgf2[m], "r")) for m in range(d)]
+            tlp = gather3_fm(t2, "l")
+            trp = gather3_fm(t2, "r")
             g_l = [[sum(S.jginv_l[m][l] * tlp[m][i]
                         for m in range(d)) * S.inv_det_l
                     for i in range(nF)] for l in range(d)]
@@ -875,8 +909,8 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
                     for m in range(d):
                         sf2 = dg(S.opp_0,
                                  stackj(simf[m])).reshape(Pf * nF, E)
-                        sl = face_planes(gather_cat(sf2, "l"))
-                        sr = face_planes(gather_cat(sf2, "r"))
+                        sl = gather_fm(sf2, "l")
+                        sr = gather_fm(sf2, "r")
                         fv_l[m] = [a + b for a, b in zip(fv_l[m], sl)]
                         fv_r[m] = [a + b for a, b in zip(fv_r[m], sr)]
             # LDG common viscous flux (ref:src/inters.cpp:561-611)
@@ -892,7 +926,7 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
             fn_b = bc_fns.inv_common_flux(u_bl, S.norm_bdy, fluc=fluc,
                                           ramp=ramp)
             if cfg.viscous:
-                tb = [tgf2[m][S.rows_b, S.ele_b[:, None]]
+                tb = [t2[S.rows_b3[m], S.ele_b[:, None]]
                       .reshape(Fb, nfp, nF) for m in range(d)]
                 tgb = jnp.stack(tb, axis=-1)          # (Fb, nfp, F, d)
                 g_b = adjT_apply(S.jginv_bdy, tgb, S.inv_detjac_bdy)

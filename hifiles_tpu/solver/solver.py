@@ -506,7 +506,8 @@ class Solver:
         return self.u
 
     # ------------------------------------------------------------------
-    def compute_error(self, norm_type: int | None = None) -> np.ndarray:
+    def compute_error(self, norm_type: int | None = None,
+                      u_grad=None) -> np.ndarray:
         """Volume-cubature error vs the analytic test case
         (ref:src/eles.cpp:5076-5136, ref:src/output.cpp:2052-2164).
 
@@ -527,7 +528,27 @@ class Solver:
             out[0] = np.einsum("ec,ecf->f", w, np.abs(err))
         else:
             out[0] = np.einsum("ec,ecf->f", w, err * err)
-        # gradient error only needed for viscous test cases; fill later
+        # gradient error row (ref:src/eles.cpp:5109-5123,5185-5280):
+        # computed for viscous test cases, and only for the fields whose
+        # analytic gradient exists (the reference leaves error_grad_sol
+        # zero elsewhere): tc 2/3 -> field 0 only, tc 5 (Couette) -> all
+        # note the reference's gradient row is computed from grad_disu_upts
+        # LEFT OVER from the final RK stage's CalcResidual — i.e. the
+        # gradient of the last stage's input state, not of the final u
+        # (ref:src/HiFiLES.cpp:201-233 + eles.cpp:5109-5117); pass u_grad
+        # to reproduce that exactly (used by the parity test)
+        if p.viscous and p.test_case in (2, 3, 5):
+            ug = self.u if u_grad is None else u_grad
+            grad_u = np.asarray(self.gradient_fn(ug), dtype=np.float64)
+            grad_cub = np.einsum("cu,eufd->ecfd", ops.opp_vol_cubpts, grad_u)
+            gerr = grad_cub - grad_a
+            if p.test_case in (2, 3):
+                gerr = gerr[..., :1, :]
+            if norm_type == 1:
+                row = np.einsum("ec,ecfd->f", w, np.abs(gerr))
+            else:
+                row = np.einsum("ec,ecfd->f", w, gerr * gerr)
+            out[1, :row.shape[0]] = row
         return out
 
     def residual_norm(self, norm_type: int = 2,

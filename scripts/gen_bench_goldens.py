@@ -11,8 +11,19 @@ import json
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the axon sitecustomize initializes the TPU backend at interpreter start;
+# JAX_PLATFORMS=cpu in the environment does NOT override it — force CPU
+# the way tests/conftest.py does
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.extend.backend.clear_backends()
+except Exception:
+    pass
+assert jax.default_backend() == "cpu", jax.default_backend()
 
 
 def golden_row(cfg_name):

@@ -69,3 +69,27 @@ def test_pure_diffusion_decay():
     decay = np.exp(-2 * 0.1 * np.pi**2 * 0.1)
     ratio = np.linalg.norm(u1) / np.linalg.norm(u0)
     assert abs(ratio - decay) < 1e-4, (ratio, decay)
+
+
+def test_gradient_error_convergence_tet():
+    """Gradient-L2 error row (ref:src/eles.cpp:5109-5123,5185-5211) on
+    tets converges at ~order p — the BASELINE.md NS-gradient-convergence
+    evidence class (doc/AIAApaper summaryTable_ele1_err2: observed
+    gradient orders ~= p for p=1..5 on tets)."""
+    from hifiles_tpu.mesh.generate import periodic_tet_mesh
+
+    errs_g, errs_s = [], []
+    for n in (4, 8):
+        p = adv_diff_input(order=2, diff=0.02)
+        p.dz_cyclic = 2.0
+        p.wave_speed = (1.0, 0.5, 0.25)
+        mesh = periodic_tet_mesh(n, n, n, -1, 1, -1, 1, -1, 1)
+        s = Solver(p, mesh)
+        s.run(25 * n // 4, dt=2e-3 * 4 / n)
+        err = np.sqrt(s.compute_error(norm_type=2))
+        errs_s.append(err[0, 0])
+        errs_g.append(err[1, 0])
+    order_s = np.log2(errs_s[0] / errs_s[1])
+    order_g = np.log2(errs_g[0] / errs_g[1])
+    assert order_s > 2.4, (errs_s, order_s)
+    assert order_g > 1.7, (errs_g, order_g)
