@@ -111,13 +111,6 @@ class SoaTables:
             return (np.asarray(fpts)[None, :] * F
                     + np.arange(F)[:, None]).reshape(-1)
 
-        def rows3_fm_of(fpts):
-            """Field-major rows into the (Pf*d*F, E) view of the
-            dim-concatenated face gradient, all d sections stacked."""
-            f_ = np.asarray(fpts)
-            return np.concatenate(
-                [(f_[None, :] * (d * F) + m * F
-                  + np.arange(F)[:, None]).reshape(-1) for m in range(d)])
 
         ref_vol = {1: 4.0, 4: 8.0, 0: 2.0, 2: 4.0 / 3.0,
                    3: 4.0}[ops.ele_type]
@@ -126,6 +119,8 @@ class SoaTables:
         _wdist_slot = (block.wall_dist_fpts
                        if getattr(block, "wall_dist_fpts", None) is not None
                        else np.full_like(_delta_slot, 1e10))
+        self.delta_slot = _delta_slot
+        self.wdist_slot = _wdist_slot
 
         self.groups = []
         pool_pos_l = np.empty(Fi, dtype=np.int64)   # face -> pool column
@@ -143,7 +138,6 @@ class SoaTables:
                 "idx_l": ele_l[gi], "idx_r": ele_r[gi],
                 "rows_l": rows_of(fl), "rows_r": rows_of(fr),
                 "rows_fm_l": rows_fm_of(fl), "rows_fm_r": rows_fm_of(fr),
-                "rows3_fm_l": rows3_fm_of(fl), "rows3_fm_r": rows3_fm_of(fr),
                 "rows_r_local": (r_order[:, None] * F
                                  + np.arange(F)[None, :]).reshape(-1),
                 "faces": gi,
@@ -238,8 +232,6 @@ class BlockArraysSoa:
                 "rows_l": i32(g["rows_l"]), "rows_r": i32(g["rows_r"]),
                 "rows_fm_l": i32(g["rows_fm_l"]),
                 "rows_fm_r": i32(g["rows_fm_r"]),
-                "rows3_fm_l": i32(g["rows3_fm_l"]),
-                "rows3_fm_r": i32(g["rows3_fm_r"]),
                 "rows_r_local": i32(g["rows_r_local"]),
                 "sl": slice(off, off + ng),
             })
@@ -270,6 +262,18 @@ class BlockArraysSoa:
         self.wdist_u = (f(block.wall_dist_upts.T)
                         if getattr(block, "wall_dist_upts", None) is not None
                         else jnp.full_like(self.delta_u, 1e10))
+        # element-side fpt geometry planes (Pf, E): metric, outward normal,
+        # LES cutoff + wall distance — the interior viscous face stage
+        # evaluates the viscous NORMAL flux on the element side and gathers
+        # one scalar plane per field instead of d gradient planes per side
+        jgf = block.jginv_fpts.reshape(E, Pf, d, d)
+        self.jg_f = [[f(jgf[:, :, m, l].T) for l in range(d)]
+                     for m in range(d)]
+        self.inv_det_f = f(1.0 / block.detjac_fpts.reshape(E, Pf).T)
+        nrmf = block.norm_fpts.reshape(E, Pf, d)
+        self.norm_f = [f(nrmf[:, :, m].T) for m in range(d)]
+        self.delta_f = f(T.delta_slot.reshape(E, Pf).T)
+        self.wdist_f = f(T.wdist_slot.reshape(E, Pf).T)
         # over-integration (de-aliasing) operators in SoA layouts
         if block.jginv_over is not None:
             self.opp_over = f(block.opp_over)                     # (C2, U)
@@ -690,8 +694,6 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
     if use_eddy:
         # SGS cutoff = filter_ratio * Deardorff delta (ref:src/eles.cpp:2480)
         filter_delta_u = cfg.filter_ratio * S.delta_u
-        filter_delta_l = cfg.filter_ratio * S.delta_l
-        filter_delta_r = cfg.filter_ratio * S.delta_r
     if use_similarity:
         dg_filter = lambda x: dg(les_filter, x)
     if has_wm:
@@ -725,15 +727,6 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
             [src2[g["rows_fm_" + which]][:, g["idx_" + which]]
              for g in S.groups], axis=1)
         return [cat[i * nfp:(i + 1) * nfp] for i in range(nF)]
-
-    def gather3_fm(src2, which):
-        """Same, on the dim-concatenated (Pf*d*F, E) gradient view: one
-        gather pair per side covers all d dims -> [d][F] planes."""
-        cat = jnp.concatenate(
-            [src2[g["rows3_fm_" + which]][:, g["idx_" + which]]
-             for g in S.groups], axis=1)
-        return [[cat[(m * nF + i) * nfp:(m * nF + i + 1) * nfp]
-                 for i in range(nF)] for m in range(d)]
 
     def common_inv_flux_p(u_l, u_r, norm):
         if cfg.equation == 0:
@@ -818,9 +811,9 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
                   for l in range(d)]
             # transformed gradient at the faces: ONE extrapolation GEMM
             # over the dim-concatenated planes (one relayout copy instead
-            # of d) and one gather pair per side for all dims
+            # of d); the interior face stage consumes it element-side
             tg_cat = jnp.concatenate(tg, axis=1)           # (U, d*F, E)
-            t2 = dg(S.opp_0, tg_cat).reshape(Pf * d * nF, E)
+            tgf3 = dg(S.opp_0, tg_cat)                     # (Pf, d*F, E)
 
         # 4. volume transformed flux (ref:src/eles.cpp:1415-1545).
         # Viscous (+SGS) flux planes at upts first; the inviscid part is
@@ -880,53 +873,59 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         # 5. common interface flux, all interior faces at once
         fn = common_inv_flux_p(u_l, u_r, S.norm)
         if cfg.viscous:
-            tlp = gather3_fm(t2, "l")
-            trp = gather3_fm(t2, "r")
-            g_l = [[sum(S.jginv_l[m][l] * tlp[m][i]
-                        for m in range(d)) * S.inv_det_l
+            # viscous NORMAL flux evaluated on the ELEMENT side (one
+            # scalar plane per field at every fpt, fused into the
+            # extrapolation epilogue), then gathered per side — 3x less
+            # face-gather traffic than exchanging d gradient planes per
+            # side, and the per-side physical-gradient metric work halves
+            # (each element fpt is touched once, not once per face side).
+            # The r-side enters with a sign flip: n_r = -n_l at a shared
+            # face (ref:src/inters.cpp:561-611 evaluates fv per side with
+            # the owner's state/gradient, exactly as here).
+            tgf_pl = [[tgf3[:, m * nF + i] for i in range(nF)]
+                      for m in range(d)]
+            g_f = [[sum(S.jg_f[m][l] * tgf_pl[m][i]
+                        for m in range(d)) * S.inv_det_f
                     for i in range(nF)] for l in range(d)]
-            g_r = [[sum(S.jginv_r[m][l] * trp[m][i]
-                        for m in range(d)) * S.inv_det_r
-                    for i in range(nF)] for l in range(d)]
+            u_f = planes(disu_f)
             if cfg.equation == 1:
-                fv_l = [[-cfg.diff_coeff * g_l[m][0]] for m in range(d)]
-                fv_r = [[-cfg.diff_coeff * g_r[m][0]] for m in range(d)]
+                fv_e = [[-cfg.diff_coeff * g_f[m][0]] for m in range(d)]
             else:
-                fv_l = visc_flux_p(u_l, g_l, d, **visc_kw)
-                fv_r = visc_flux_p(u_r, g_r, d, **visc_kw)
+                fv_e = visc_flux_p(u_f, g_f, d, **visc_kw)
                 if use_eddy:
-                    el = sgs_flux_p(u_l, g_l, filter_delta_l, S.wdist_l, d,
-                                    **sgs_kw)
-                    er = sgs_flux_p(u_r, g_r, filter_delta_r, S.wdist_r, d,
-                                    **sgs_kw)
-                    fv_l = [[a + b for a, b in zip(fv_l[m], el[m])]
-                            for m in range(d)]
-                    fv_r = [[a + b for a, b in zip(fv_r[m], er[m])]
+                    ee = sgs_flux_p(u_f, g_f,
+                                    cfg.filter_ratio * S.delta_f,
+                                    S.wdist_f, d, **sgs_kw)
+                    fv_e = [[a + b for a, b in zip(fv_e[m], ee[m])]
                             for m in range(d)]
                 if use_similarity:
-                    # extrapolate the upts similarity flux and gather at
-                    # the faces (ref:src/eles.cpp:2817 extrapolate_sgsFlux)
-                    for m in range(d):
-                        sf2 = dg(S.opp_0,
-                                 stackj(simf[m])).reshape(Pf * nF, E)
-                        sl = gather_fm(sf2, "l")
-                        sr = gather_fm(sf2, "r")
-                        fv_l[m] = [a + b for a, b in zip(fv_l[m], sl)]
-                        fv_r[m] = [a + b for a, b in zip(fv_r[m], sr)]
+                    # extrapolate the upts similarity flux for all dims
+                    # in ONE GEMM (ref:src/eles.cpp:2817)
+                    sf_cat = jnp.concatenate(
+                        [stackj(simf[m]) for m in range(d)], axis=1)
+                    sff3 = dg(S.opp_0, sf_cat)            # (Pf, d*F, E)
+                    fv_e = [[a + sff3[:, m * nF + i]
+                             for i, a in enumerate(fv_e[m])]
+                            for m in range(d)]
+            qn = [sum(fv_e[m][i] * S.norm_f[m] for m in range(d))
+                  for i in range(nF)]
+            q2 = stackj(qn).reshape(Pf * nF, E)
+            qn_l = gather_fm(q2, "l")
+            qn_r = gather_fm(q2, "r")
             # LDG common viscous flux (ref:src/inters.cpp:561-611)
             bl = 0.5 + cfg.ldg_beta * sgn
             br = 0.5 - cfg.ldg_beta * sgn
             for i in range(nF):
-                fc = sum((bl * fv_l[m][i] + br * fv_r[m][i])
-                         * S.norm[m] for m in range(d))
-                fn[i] = fn[i] + fc - cfg.ldg_tau * (u_r[i] - u_l[i])
+                fn[i] = (fn[i] + bl * qn_l[i] - br * qn_r[i]
+                         - cfg.ldg_tau * (u_r[i] - u_l[i]))
         rows_fn = stack_rows(fn)
         fn_parts = [rows_fn] + [-rc for rc in r_copies(rows_fn)]
         if has_bdy:
             fn_b = bc_fns.inv_common_flux(u_bl, S.norm_bdy, fluc=fluc,
                                           ramp=ramp)
             if cfg.viscous:
-                tb = [t2[S.rows_b3[m], S.ele_b[:, None]]
+                t2b = tgf3.reshape(Pf * d * nF, E)
+                tb = [t2b[S.rows_b3[m], S.ele_b[:, None]]
                       .reshape(Fb, nfp, nF) for m in range(d)]
                 tgb = jnp.stack(tb, axis=-1)          # (Fb, nfp, F, d)
                 g_b = adjT_apply(S.jginv_bdy, tgb, S.inv_detjac_bdy)
