@@ -121,18 +121,25 @@ class ProbeSet:
     def __init__(self, solver, pts: np.ndarray, fields: list[str]):
         self.pts = np.asarray(pts, dtype=np.float64)
         self.fields = fields
-        self.ele, ref = locate_points(solver.mesh, self.pts)
+        # a ShardedSolver carries its single-device setup as .base (its own
+        # .mesh is the device Mesh) and exposes the global-order solution
+        # via gather_u() (ref:src/output.cpp:1549-1752 probes are written
+        # by global probe index across ranks)
+        host = getattr(solver, "base", solver)
+        self.ele, ref = locate_points(host.mesh, self.pts)
         self.owned = np.where(self.ele >= 0)[0]
         # opp_probe: one interpolation row per owned probe
         # (ref:src/eles.cpp:3625-3633)
-        self.opp = solver.ops.interp_to(ref[self.owned]) \
-            if self.owned.size else np.zeros((0, solver.ops.n_upts))
+        self.opp = host.ops.interp_to(ref[self.owned]) \
+            if self.owned.size else np.zeros((0, host.ops.n_upts))
         self.solver = solver
 
     def sample(self) -> np.ndarray:
         """(n_owned, n_out_fields) current probe values."""
-        s = self.solver
-        u = np.asarray(s.u, dtype=np.float64)
+        s = getattr(self.solver, "base", self.solver)
+        u = (self.solver.gather_u().astype(np.float64)
+             if hasattr(self.solver, "gather_u")
+             else np.asarray(self.solver.u, dtype=np.float64))
         vals = np.einsum("pu,puf->pf", self.opp,
                          u[self.ele[self.owned]])
         nd = s.n_dims
@@ -335,7 +342,8 @@ def setup_probes(run_input, solver, outdir: str) -> ProbeManager:
         m = read_gambit(p.probe_source_file)
         sets_pts = [("mesh_probes", m.xv.copy())]
     else:
-        sets_pts = read_probe_script(p.probe_source_file, solver.n_dims)
+        sets_pts = read_probe_script(
+            p.probe_source_file, getattr(solver, "base", solver).n_dims)
     sets = []
     for name, pts in sets_pts:
         ps = ProbeSet(solver, pts, fields)

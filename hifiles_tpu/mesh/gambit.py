@@ -120,13 +120,13 @@ def read_gambit(path: str) -> MeshData:
 # the file position whose slots[pos] == s)
 def write_gambit(mesh, path: str, title: str = "hifiles_tpu") -> str:
     """Write a MeshData as a Gambit neutral file the reference binary can
-    read (linear tri/quad/hex; used to hand generated meshes to the
+    read (linear tri/quad/hex/tet/prism; used to hand generated meshes to the
     reference solver for parity runs).  Mirrors read_gambit / the
     reference's stream parser (ref:src/mesh_reader.cpp:105-393)."""
     import numpy as np
 
-    from .. import HEX, QUAD, TRI
-    gambit_type = {TRI: 3, QUAD: 2, HEX: 4}
+    from .. import HEX, PRISM, QUAD, TET, TRI
+    gambit_type = {TRI: 3, QUAD: 2, HEX: 4, TET: 6, PRISM: 5}
     n_cells = mesh.c2v.shape[0]
     n_verts = mesh.xv.shape[0]
     n_bdy = len(mesh.bc_names or [])
@@ -160,6 +160,8 @@ def write_gambit(mesh, path: str, title: str = "hifiles_tpu") -> str:
         2: lambda lf: lf + 1,
         3: lambda lf: lf + 1,
         4: lambda lf: {0: 1, 3: 2, 5: 3, 1: 4, 4: 5, 2: 6}[lf],
+        6: lambda lf: {3: 1, 2: 2, 0: 3, 1: 4}[lf],
+        5: lambda lf: {2: 1, 3: 2, 4: 3, 0: 4, 1: 5}[lf],
     }
     for b, name in enumerate(mesh.bc_names or []):
         faces = np.argwhere(mesh.bc_id == b)

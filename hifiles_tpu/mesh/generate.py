@@ -285,3 +285,116 @@ def periodic_prism_mesh(nx: int, ny: int, nz: int,
                    (np.abs(pts[:, ax] - hi[ax]) < tol).all():
                     bc_id[c, k] = 0
     return mesh
+
+
+def channel_prism_tet_mesh(nx: int, nz: int, ny_prism: int, ny_tet: int,
+                           x0: float = 0.0, x1: float = 2.0,
+                           y0: float = 0.0, y1: float = 1.0,
+                           z0: float = 0.0, z1: float = 1.0,
+                           bc_wall: str = "Wall", bc_top: str = "Top",
+                           y_stretch: float = 1.0) -> MeshData:
+    """Wall-layer mixed mesh: prism layers (tri cross-section in xz,
+    extruded in wall-normal y) near the y=y0 wall, tets above — the reduced
+    twin of the SD7003 wall-modeled ILES configuration (BASELINE config #4,
+    ref:testcases/navier-stokes/readme.txt:42-77), which uses exactly this
+    prism-near-wall / tet-above topology.
+
+    Conformity: every xz quad is split along the (i,k)->(i+1,k+1) diagonal;
+    the tet region uses the Kuhn 6-tet hex subdivision whose y-bottom face
+    diagonal is the same (translation-invariant, so x/z cyclic faces and
+    the prism/tet interface all match).
+
+    x and z are cyclic ("Cyclic" group 0); y=y0 tags ``bc_wall`` (group 1),
+    y=y1 tags ``bc_top`` (group 2).  ``y_stretch`` > 1 geometrically
+    refines the y grid toward the wall.
+    """
+    from .. import PRISM
+    from .core import corner_vlist_face
+
+    ny = ny_prism + ny_tet
+    xs = np.linspace(x0, x1, nx + 1)
+    zs = np.linspace(z0, z1, nz + 1)
+    if y_stretch == 1.0:
+        ys = np.linspace(y0, y1, ny + 1)
+    else:
+        w = y_stretch ** np.arange(ny)
+        ys = y0 + (y1 - y0) * np.concatenate([[0.0], np.cumsum(w)]) / w.sum()
+
+    def vid(i, j, k):
+        return (k * (ny + 1) + j) * (nx + 1) + i
+
+    V = (nx + 1) * (ny + 1) * (nz + 1)
+    xv = np.empty((V, 3))
+    for k in range(nz + 1):
+        for j in range(ny + 1):
+            for i in range(nx + 1):
+                xv[vid(i, j, k)] = (xs[i], ys[j], zs[k])
+
+    # xz triangulation (diagonal A-D), both tris counterclockwise seen
+    # from +y so the prism bottom-tri normal points at the top tri
+    tris = []                  # (nx*nz*2, 3) of (i, k) pairs
+    for k in range(nz):
+        for i in range(nx):
+            A, B = (i, k), (i + 1, k)
+            C, D = (i, k + 1), (i + 1, k + 1)
+            tris.append((A, D, B))
+            tris.append((A, C, D))
+
+    cells = []                 # (ctype, [verts])
+    for j in range(ny_prism):
+        for t in tris:
+            bot = [vid(i, j, k) for (i, k) in t]
+            top = [vid(i, j + 1, k) for (i, k) in t]
+            cells.append((PRISM, bot + top))
+    # Kuhn 6-tet split of each virtual hex (slot = di + 2*dj + 4*dk)
+    kuhn = [(0, 1, 3, 7), (0, 3, 2, 7), (0, 2, 6, 7),
+            (0, 6, 4, 7), (0, 4, 5, 7), (0, 5, 1, 7)]
+    for j in range(ny_prism, ny):
+        for k in range(nz):
+            for i in range(nx):
+                hv = [vid(i + di, j + dj, k + dk)
+                      for dk in (0, 1) for dj in (0, 1) for di in (0, 1)]
+                # hv index = di + 2*dj + 4*dk
+                for sp in kuhn:
+                    cells.append((TET, [hv[s] for s in sp]))
+
+    C = len(cells)
+    c2v = -np.ones((C, MAX_V_PER_C), dtype=np.int64)
+    c2n_v = np.empty(C, dtype=np.int64)
+    ctype = np.empty(C, dtype=np.int64)
+    for c, (ct, verts) in enumerate(cells):
+        ctype[c] = ct
+        c2n_v[c] = len(verts)
+        c2v[c, :len(verts)] = verts
+
+    # orientation sanity: positive volume for every tet
+    tet_mask = ctype == TET
+    if tet_mask.any():
+        p0 = xv[c2v[tet_mask, 0]]
+        e1 = xv[c2v[tet_mask, 1]] - p0
+        e2 = xv[c2v[tet_mask, 2]] - p0
+        e3 = xv[c2v[tet_mask, 3]] - p0
+        vol = np.einsum("ij,ij->i", np.cross(e1, e2), e3)
+        assert (vol > 0).all(), "negative tet orientation"
+
+    bc_id = -np.ones((C, MAX_F_PER_C), dtype=np.int64)
+    bc_names = ["Cyclic", bc_wall, bc_top]
+    tol = 1e-12
+    nf_of = {PRISM: 5, TET: 4}
+    for c in range(C):
+        ct = int(ctype[c])
+        for f in range(nf_of[ct]):
+            vl = corner_vlist_face(ct, int(c2n_v[c]), f)
+            pts = xv[c2v[c, vl]]
+            if (np.abs(pts[:, 1] - y0) < tol).all():
+                bc_id[c, f] = 1
+            elif (np.abs(pts[:, 1] - y1) < tol).all():
+                bc_id[c, f] = 2
+            elif ((np.abs(pts[:, 0] - x0) < tol).all()
+                  or (np.abs(pts[:, 0] - x1) < tol).all()
+                  or (np.abs(pts[:, 2] - z0) < tol).all()
+                  or (np.abs(pts[:, 2] - z1) < tol).all()):
+                bc_id[c, f] = 0
+    return MeshData(n_dims=3, xv=xv, c2v=c2v, c2n_v=c2n_v, ctype=ctype,
+                    bc_id=bc_id, bc_names=bc_names,
+                    ic2icg=np.arange(C, dtype=np.int64))

@@ -116,8 +116,13 @@ def _spectral_partition(conn, n_cells: int, n_shards: int):
             deg = np.asarray(sub.sum(1)).ravel()
             L = sp.diags(deg) - sub
             try:
+                # deterministic start vector: ARPACK's default v0 draws
+                # from the GLOBAL numpy RNG, making the partition depend
+                # on unrelated earlier np.random use (and the Fiedler
+                # direction is degenerate on symmetric meshes)
+                v0 = np.random.default_rng(k).standard_normal(k)
                 vals, vecs = spl.eigsh(L.asfptype(), k=2, which="SM",
-                                       tol=1e-6, maxiter=5000)
+                                       tol=1e-6, maxiter=5000, v0=v0)
                 order = np.argsort(vecs[:, np.argsort(vals)[1]])
             except Exception:                 # pragma: no cover
                 order = np.arange(k)          # degenerate: id split
@@ -184,6 +189,14 @@ def graph_partition(conn: FaceConnectivity, n_cells: int,
                     pick = int(unass[int(np.argmin(degs))])
                 absorb(pick)
     part = _refine_partition(xadj, adjncy, np.asarray(part), n_shards)
+    # never do worse than the KL-refined contiguous split (the spectral
+    # seed can land in a bad local optimum on degenerate symmetric meshes)
+    cut = np.sum(part[conn.int_ele_l] != part[conn.int_ele_r])
+    contig = _refine_partition(xadj, adjncy,
+                               _contiguous_partition(n_cells, n_shards),
+                               n_shards)
+    if np.sum(contig[conn.int_ele_l] != contig[conn.int_ele_r]) < cut:
+        part = contig
     # exact balance sanity
     sizes = np.bincount(part, minlength=n_shards)
     if sizes.max() - sizes.min() > 1:

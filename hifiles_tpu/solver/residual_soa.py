@@ -217,6 +217,11 @@ class BlockArraysSoa:
         self.opp_2_stack = B.opp_2_stack
         self.opp_5_stack = B.opp_5_stack
         self.opp_div_all = B.opp_div_all
+        # NOTE (measured, TPU v5e TGV p=4): merging the GEMMs that share an
+        # input into one launch ([opp_0; opp_2*] @ u, [opp_5*] @ delta) is
+        # 5% SLOWER (2.56e8 vs 2.71e8 DOF*stage/s back-to-back) — XLA fuses
+        # each separate GEMM's epilogue into its consumer, which the merged
+        # launch forces to materialize.  Keep per-consumer GEMMs.
         # jginv planes at upts: jg[l][m] (U, 1, E)
         self.jg_u = [[f(block.jginv_upts[:, :, l, m].T)[:, None, :]
                       for m in range(d)] for l in range(d)]
