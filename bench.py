@@ -112,10 +112,22 @@ def main():
     s.run(n_steps, dt=dt)
     jax.block_until_ready(s.u)
 
-    t0 = time.perf_counter()
-    s.run(n_steps, dt=dt)
-    jax.block_until_ready(s.u)
-    wall = time.perf_counter() - t0
+    # min-of-3 timed repeats, each restarted from the post-warmup state:
+    # the dispatch through the axon tunnel adds a noisy ~30 ms per run()
+    # call, +-10% on a ~100 ms chunk.  Restoring (u, reg) between repeats
+    # keeps the final state = warmup + n_steps so the accuracy gate below
+    # stays exact.
+    u_w, reg_w, t_w = s.u, s.reg, s.time
+    wall = float("inf")
+    for _ in range(3):
+        # run_chunk donates its input buffers: hand it device COPIES so
+        # the saved post-warmup state survives all repeats
+        s.u, s.reg, s.time = jnp.copy(u_w), jnp.copy(reg_w), t_w
+        jax.block_until_ready((s.u, s.reg))
+        t0 = time.perf_counter()
+        s.run(n_steps, dt=dt)
+        jax.block_until_ready(s.u)
+        wall = min(wall, time.perf_counter() - t0)
 
     n_stages = 5
     dof = mesh.n_cells * (order + 1) ** 3

@@ -942,6 +942,7 @@ class ShardedSolver:
         has_ramp = any(getattr(b, "pressure_ramp", 0)
                        for b in (self.p.bc_list or []))
         ti_core = self._ti_core
+        axis = self.axis
         d = self.base.ops.n_dims
         dtype = self.dtype
         prec = jax.lax.Precision[self.rcfg.precision.upper()]
@@ -964,14 +965,20 @@ class ShardedSolver:
             fluc = None
             if ti_core is not None:
                 # inlet update once per step at stage 0, like the
-                # single-device loop (ref:src/solver.cpp:111-118)
+                # single-device loop (ref:src/solver.cpp:111-118); eddies
+                # convect with the GLOBAL min step under local dt (the
+                # single-device dt_s = min(dt); padding clones carry dt=0
+                # and are excluded)
+                dt_ti = dt if getattr(dt, "ndim", 0) == 0 else \
+                    jax.lax.pmin(jnp.where(dt > 0.0, dt, jnp.inf).min(),
+                                 axis)
                 disu_f = jnp.einsum(
                     "pu,euf->epf", opp_0, u, preferred_element_type=dtype,
                     precision=prec).reshape(El * Pf, nF)
                 u_bl = disu_f[tabs["bdy_slot"]]
                 rows = tabs["ti_row"]
                 ti, fl = ti_core(
-                    ti, u_bl[rows], geo["ti_norm"], dt, geo["ti_pos3"],
+                    ti, u_bl[rows], geo["ti_norm"], dt_ti, geo["ti_pos3"],
                     geo["ti_wdA"], geo["ti_mask"], P=tiP,
                     gidx=tabs["ti_gidx"])
                 fluc = jnp.zeros(u_bl.shape[:2] + (d,), dtype).at[rows].set(
@@ -1169,10 +1176,6 @@ class ShardedSolver:
             dt_j = jnp.asarray(dt, self.dtype)
             dt_min = float(jnp.where(dt_j > 0, dt_j, jnp.inf).min()) \
                 if dt_j.ndim else float(dt_j)
-        if self._ti_core is not None and not (
-                isinstance(dt_j, jnp.ndarray) and dt_j.ndim == 0
-                or isinstance(dt, (int, float))):
-            raise NotImplementedError("local dt with a turbulent inlet")
         state = self._step_jit(
             (self.u, self.reg, self._iter_k, self._ti_state), dt_j,
             n_steps, self.geo, self.tabs, self.send_idx, self.bcP,

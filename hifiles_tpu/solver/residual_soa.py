@@ -200,6 +200,46 @@ class SoaTables:
         if (sel < 0).any():
             return                           # coverage hole: fall back
         self.sel = sel                       # (nf, E)
+
+        # direct per-local-face mapping: when every element's face lf comes
+        # from ONE (group, side), the inverse "pool gather" collapses to a
+        # column slice (+ permutation when the elements aren't in group
+        # order).  On a periodic box every lf is direct and three of six
+        # permutations are the identity — the general pool path then reads
+        # 3x the bytes for nothing.  None when any lf is mixed/boundary.
+        offs = np.concatenate(
+            [[0], np.cumsum([len(o) for o in order])]).astype(np.int64)
+        self.group_offs = offs
+        lf_direct = []
+        ar = np.arange(E)
+        for lf in range(nf):
+            cols = sel[lf]
+            if Fb and (cols >= 2 * Fi).any():
+                lf_direct = None
+                break
+            side = 0 if (cols < Fi).all() else \
+                (1 if (cols >= Fi).all() else None)
+            if side is None:
+                lf_direct = None
+                break
+            c = cols - side * Fi
+            g = int(np.searchsorted(offs, c[0], side="right") - 1)
+            if not ((c >= offs[g]) & (c < offs[g + 1])).all():
+                lf_direct = None
+                break
+            perm = c - offs[g]
+            lf_direct.append((side, g,
+                              None if np.array_equal(perm, ar) else perm))
+        self.lf_direct = lf_direct
+        # identity short-circuit flags for the group tables
+        for g, gdict in enumerate(self.groups):
+            gdict["idx_l_id"] = np.array_equal(gdict["idx_l"], ar[:gdict["idx_l"].size]) \
+                and gdict["idx_l"].size == E
+            gdict["idx_r_id"] = np.array_equal(gdict["idx_r"], ar[:gdict["idx_r"].size]) \
+                and gdict["idx_r"].size == E
+            nfF = gdict["rows_r_local"].size
+            gdict["r_local_id"] = np.array_equal(gdict["rows_r_local"],
+                                                 np.arange(nfF))
         self.Fi, self.nfp, self.nf, self.Pf = Fi, nfp, nf, Pf
         self.ok = True
 
@@ -238,9 +278,17 @@ class BlockArraysSoa:
                 "rows_fm_l": i32(g["rows_fm_l"]),
                 "rows_fm_r": i32(g["rows_fm_r"]),
                 "rows_r_local": i32(g["rows_r_local"]),
+                "idx_l_id": g["idx_l_id"], "idx_r_id": g["idx_r_id"],
+                "r_local_id": g["r_local_id"],
                 "sl": slice(off, off + ng),
             })
             off += ng
+        # direct per-lf inverse mapping (see SoaTables)
+        self.lf_direct = None
+        if T.lf_direct is not None:
+            self.lf_direct = [(side, g,
+                               None if perm is None else i32(perm))
+                              for side, g, perm in T.lf_direct]
         # concatenated face geometry (one plane set across all groups, in
         # group order = pool l-section order)
         cat = lambda key: np.concatenate([g[key] for g in T.groups], -1)
@@ -727,10 +775,14 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
 
     def gather_fm(src2, which):
         """Per group: field-major static row gather + minor element
-        gather, concatenated along faces -> F planes (nfp, Fi)."""
-        cat = jnp.concatenate(
-            [src2[g["rows_fm_" + which]][:, g["idx_" + which]]
-             for g in S.groups], axis=1)
+        gather, concatenated along faces -> F planes (nfp, Fi).  The
+        element gather is skipped when the group's elements are already
+        in order (true for half the groups on a structured box)."""
+        def one(g):
+            rows = src2[g["rows_fm_" + which]]
+            return rows if g["idx_" + which + "_id"] \
+                else rows[:, g["idx_" + which]]
+        cat = jnp.concatenate([one(g) for g in S.groups], axis=1)
         return [cat[i * nfp:(i + 1) * nfp] for i in range(nF)]
 
     def common_inv_flux_p(u_l, u_r, norm):
@@ -778,8 +830,25 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
 
     def r_copies(rows):
         """Pool r-section: per group, static column slice + static 2-D
-        row gather into the R element's local fpt order."""
-        return [rows[:, g["sl"]][g["rows_r_local"]] for g in S.groups]
+        row gather into the R element's local fpt order (identity for
+        rotation-free pairings, e.g. periodic boxes)."""
+        return [rows[:, g["sl"]] if g["r_local_id"]
+                else rows[:, g["sl"]][g["rows_r_local"]] for g in S.groups]
+
+    def scatter_faces(rows_l, rcop, neg_r):
+        """Element-face rows (nf*nfp*F, E): the inverse of the face gather.
+        Direct path (S.lf_direct): each local face lf is a column slice of
+        its (group, side) block, permuted into element order when needed —
+        no concatenated pool, no (nf x E) gathers on it
+        (ref:src/int_inters.cpp:217-220 writes point-by-point; this is the
+        batched inverse).  rcop = r_copies(rows_l); neg_r flips the r-side
+        sign (normal fluxes; the LDG common solution keeps +)."""
+        blocks = []
+        for side, g, perm in S.lf_direct:
+            src = rows_l[:, S.groups[g]["sl"]] if side == 0 else \
+                (-rcop[g] if neg_r else rcop[g])
+            blocks.append(src if perm is None else src[:, perm])
+        return jnp.concatenate(blocks, axis=0)
 
     def residual_soa(u, fluc=None, ramp=None):
         # 1. extrapolate to flux points: one GEMM (ref:src/eles.cpp:1360)
@@ -801,14 +870,19 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
             u_c = [0.5 * (a + b) - bcoef * (a - b)
                    for a, b in zip(u_l, u_r)]
             rows_c = stack_rows(u_c)                  # (nfp*F, Fi) l-order
-            parts = [rows_c] + r_copies(rows_c)
-            if has_bdy:
-                u_c_b = bc_fns.ldg_solution(u_bl, S.norm_bdy, fluc=fluc,
-                                            ramp=ramp)
-                parts.append(bdy_bridge(u_c_b))
-            pool_uc = jnp.concatenate(parts, axis=1)
-            delta_rows = jnp.concatenate(
-                [pool_uc[:, S.sel[lf]] for lf in range(nf)], axis=0) - d2
+            if S.lf_direct is not None:
+                delta_rows = scatter_faces(rows_c, r_copies(rows_c),
+                                           neg_r=False) - d2
+            else:
+                parts = [rows_c] + r_copies(rows_c)
+                if has_bdy:
+                    u_c_b = bc_fns.ldg_solution(u_bl, S.norm_bdy,
+                                                fluc=fluc, ramp=ramp)
+                    parts.append(bdy_bridge(u_c_b))
+                pool_uc = jnp.concatenate(parts, axis=1)
+                delta_rows = jnp.concatenate(
+                    [pool_uc[:, S.sel[lf]] for lf in range(nf)],
+                    axis=0) - d2
             delta = delta_rows.reshape(Pf, nF, E)
             tg = [tg[m] + dg(S.opp_5_stack[m], delta) for m in range(d)]
             # physical gradient planes at upts: (1/det) JGinv^T . tg
@@ -924,6 +998,12 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
                 fn[i] = (fn[i] + bl * qn_l[i] - br * qn_r[i]
                          - cfg.ldg_tau * (u_r[i] - u_l[i]))
         rows_fn = stack_rows(fn)
+        if S.lf_direct is not None:
+            ntc_rows = scatter_faces(rows_fn, r_copies(rows_fn),
+                                     neg_r=True) * tdA_rows
+            ntc = ntc_rows.reshape(Pf, nF, E)
+            return _finish(u, ntc, tdisf,
+                           grp if cfg.rans else None)
         fn_parts = [rows_fn] + [-rc for rc in r_copies(rows_fn)]
         if has_bdy:
             fn_b = bc_fns.inv_common_flux(u_bl, S.norm_bdy, fluc=fluc,
@@ -950,7 +1030,9 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         ntc_rows = jnp.concatenate(
             [pool_fn[:, S.sel[lf]] for lf in range(nf)], axis=0) * tdA_rows
         ntc = ntc_rows.reshape(Pf, nF, E)
+        return _finish(u, ntc, tdisf, grp if cfg.rans else None)
 
+    def _finish(u, ntc, tdisf, grp):
         # 7. fused divergence GEMM (ref:src/eles.cpp:1654-1772)
         rhs_cat = jnp.concatenate([tdisf, ntc], axis=0)  # (d*U+Pf, F, E)
         div = dg(S.opp_div_all, rhs_cat)                 # (U, F, E)

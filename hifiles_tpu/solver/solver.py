@@ -138,6 +138,7 @@ class Solver:
                                             bc_fns)
         self._bc_fns = bc_fns
         self._gradient_fn = None
+        self._dt_jit = None
         # field-major (E, F, U) residual: numerically identical (1e-11)
         # but measured SLOWER than the face path on TPU v5e (254x vs 295x
         # baseline on the TGV bench — its explicit face-row transposes cost
@@ -451,41 +452,50 @@ class Solver:
     def compute_dt(self):
         """CFL time step (ref:src/solver.cpp:484-549,
         ref:src/eles.cpp:1267-1356): dt_type 0 fixed, 1 global min,
-        2 per-element local (returns an (E,) array)."""
+        2 per-element local (returns an (E,) device array).
+
+        Runs jitted ON DEVICE (the sharded path's dt_body ported back,
+        parallel/sharding.py) so unsteady dt_type 1/2 runs never pull the
+        state to the host; only the scalar min crosses for bookkeeping."""
         p = self.p
         if p.dt_type == 0:
             return p.dt
-        lam = np.asarray(max_wavespeed(self.u, p.gamma, self.n_dims))
-        lam_inv = lam.max(axis=1)   # per element
-        dt_inv = p.CFL * self.block.h_ref / lam_inv / (2 * p.order + 1)
-        if p.viscous:
-            from ..models.viscous import sutherland_mu
-            u = np.asarray(self.u)
-            rho = u[..., 0]
-            ke = 0.5 * np.sum(u[..., 1:1 + self.n_dims]**2, axis=-1) / rho
-            inte = (u[..., self.n_dims + 1] - ke) / rho
-            mu = np.asarray(sutherland_mu(inte, p.gamma, p.mu_inf, p.rt_inf,
-                                          p.c_sth, p.fix_vis))
-            lam_visc = (max(4.0 / 3.0, p.gamma / p.prandtl)
-                        * mu / rho).max(axis=1)
-            dt_visc = (p.CFL * 0.25 * self.block.h_ref**2 / lam_visc
-                       / (2 * p.order + 1))
-            dt_ele = np.minimum(dt_inv, dt_visc)
-        else:
-            dt_ele = dt_inv
-        if p.dt_type == 2:
-            return dt_ele          # local time stepping (steady runs)
-        return float(dt_ele.min())
+        if self._dt_jit is None:
+            d, order = self.n_dims, p.order
+            h_ref = jnp.asarray(self.block.h_ref, self.dtype)
+            viscous = bool(p.viscous) and p.equation == 0
+            gamma, CFL = p.gamma, p.CFL
+            local = p.dt_type == 2
+
+            def dt_fn(u):
+                lam = max_wavespeed(u, gamma, d).max(axis=1)
+                dt_ele = CFL * h_ref / lam / (2 * order + 1)
+                if viscous:
+                    from ..models.viscous import sutherland_mu
+                    rho = u[..., 0]
+                    ke = 0.5 * jnp.sum(u[..., 1:1 + d] ** 2, axis=-1) / rho
+                    inte = (u[..., d + 1] - ke) / rho
+                    mu = sutherland_mu(inte, gamma, p.mu_inf, p.rt_inf,
+                                       p.c_sth, p.fix_vis)
+                    lam_v = (max(4.0 / 3.0, gamma / p.prandtl)
+                             * mu / rho).max(axis=1)
+                    dt_ele = jnp.minimum(
+                        dt_ele,
+                        CFL * 0.25 * h_ref ** 2 / lam_v / (2 * order + 1))
+                return dt_ele if local else dt_ele.min()
+
+            self._dt_jit = jax.jit(dt_fn)
+        return self._dt_jit(self.u)
 
     def run(self, n_steps: int, dt=None):
         if dt is None:
             dt = self.compute_dt()
-        if isinstance(dt, np.ndarray) and dt.ndim == 1:
-            # local dt: broadcasts (E,1,1) against the (E,U,F) state in the
-            # RK update (ref:src/eles.cpp:1095-1105 dt_local); eddy
-            # advection and forcing use the global min step
+        if getattr(dt, "ndim", 0) == 1:
+            # local dt (numpy or device array): broadcasts (E,1,1) against
+            # the (E,U,F) state in the RK update (ref:src/eles.cpp:1095-1105
+            # dt_local); eddy advection and forcing use the global min step
             dt_min = float(dt.min())
-            dt_j = jnp.asarray(dt[:, None, None], dtype=self.dtype)
+            dt_j = jnp.asarray(dt, dtype=self.dtype)[:, None, None]
         else:
             dt_min = float(dt)
             dt_j = jnp.asarray(dt, self.dtype)

@@ -305,3 +305,36 @@ def test_sharded_turbulent_inlet_matches_single(inlet_type):
     for a, b in zip(s8._ti_state[:2], s1._ti_state[:2]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-12)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_local_dt_with_sem_inlet_matches_single():
+    """Local time stepping + SEM turbulent inlet, sharded == single device
+    (round-3 closure of the former NotImplementedError): eddies convect
+    with the pmin-global step, per-element dt applies to the RK update
+    (ref:src/solver.cpp:484-549 local dt + :111-118 inlet update)."""
+    from hifiles_tpu.mesh.generate import channel_quad_mesh
+    from tests.test_turb_inlet import les_channel_input
+
+    def make_input():
+        p = les_channel_input(inlet_type=2)
+        p.dt_type = 2          # local CFL dt
+        p.CFL = 0.05
+        return p
+
+    s1 = Solver(make_input(), channel_quad_mesh(8, 4, 0.0, 2.0, 0.0, 1.0),
+                dtype=jnp.float64)
+    assert s1.turb_inlet is not None
+    dt1 = s1.compute_dt()
+    assert getattr(dt1, "ndim", 0) == 1       # genuinely local, on device
+    s1.run(3, dt=dt1)
+
+    s8 = ShardedSolver(make_input(),
+                       channel_quad_mesh(8, 4, 0.0, 2.0, 0.0, 1.0),
+                       dtype=jnp.float64)
+    assert s8._ti_core is not None
+    dt8 = s8.compute_dt()
+    s8.run(3, dt=dt8)
+    # same local dt per element (gathered) and same state
+    np.testing.assert_allclose(s8.gather_u(), np.asarray(s1.u),
+                               rtol=0, atol=1e-12)

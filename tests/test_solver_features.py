@@ -80,7 +80,9 @@ def test_local_dt_steady_state():
     mesh.xv[:, 0] = np.sign(mesh.xv[:, 0]) * np.abs(mesh.xv[:, 0]) ** 1.5
     s = Solver(p, mesh)
     dt = s.compute_dt()
-    assert isinstance(dt, np.ndarray) and dt.ndim == 1
+    # on-device local dt: a (E,) jax array (ported sharded dt_body)
+    assert getattr(dt, "ndim", 0) == 1
+    dt = np.asarray(dt)
     assert dt.max() / dt.min() > 1.2          # genuinely local
     u0 = np.asarray(s.u).copy()
     s.run(10)
