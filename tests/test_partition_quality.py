@@ -50,3 +50,51 @@ def test_partition_quality_cylinder():
     s7 = np.bincount(part7, minlength=7)
     assert s7.max() - s7.min() <= 1
     assert edge_cut(conn, part7) <= 0.15 * n_int
+
+
+def test_partition_quality_3d_tgv_hex():
+    """3-D partition evidence on the TGV 16^3 hex box (the headline bench
+    mesh): spectral bisection + KL must cut at most ~half the contiguous
+    split's edges (measured 844 vs 1792, 8 parts, ~1 s host-side)."""
+    from hifiles_tpu.mesh.core import build_faces
+    from hifiles_tpu.mesh.generate import periodic_hex_mesh
+    from hifiles_tpu.parallel.sharding import (_contiguous_partition,
+                                               graph_partition)
+
+    mesh = periodic_hex_mesh(16, 16, 16)
+    conn = build_faces(mesh, {0: 9}, np.array([2 * np.pi] * 3))
+
+    def cut(p):
+        return int(np.sum(p[conn.int_ele_l] != p[conn.int_ele_r]))
+
+    part = graph_partition(conn, mesh.n_cells, 8)
+    sizes = np.bincount(part, minlength=8)
+    assert sizes.max() - sizes.min() <= 1
+    assert cut(part) <= 0.55 * cut(_contiguous_partition(mesh.n_cells, 8))
+
+
+def test_partition_quality_3d_50k():
+    """Realistic-size 3-D mesh (51200 hexes): quality and the O(cut)
+    host-side cost both hold at scale (measured cut 4944 vs 11200
+    contiguous, 8 parts, ~11 s one-time host setup on this 1-core host —
+    the cut-front KL keeps refinement O(passes * cut), not O(N * deg))."""
+    import time
+
+    from hifiles_tpu.mesh.core import build_faces
+    from hifiles_tpu.mesh.generate import periodic_hex_mesh
+    from hifiles_tpu.parallel.sharding import (_contiguous_partition,
+                                               graph_partition)
+
+    mesh = periodic_hex_mesh(40, 40, 32)
+    conn = build_faces(mesh, {0: 9}, np.array([2 * np.pi] * 3))
+
+    def cut(p):
+        return int(np.sum(p[conn.int_ele_l] != p[conn.int_ele_r]))
+
+    t0 = time.time()
+    part = graph_partition(conn, mesh.n_cells, 8)
+    elapsed = time.time() - t0
+    sizes = np.bincount(part, minlength=8)
+    assert sizes.max() - sizes.min() <= 1
+    assert cut(part) <= 0.6 * cut(_contiguous_partition(mesh.n_cells, 8))
+    assert elapsed < 120.0, f"partition took {elapsed:.0f}s"
