@@ -262,6 +262,20 @@ class BlockArraysSoa:
         # 5% SLOWER (2.56e8 vs 2.71e8 DOF*stage/s back-to-back) — XLA fuses
         # each separate GEMM's epilogue into its consumer, which the merged
         # launch forces to materialize.  Keep per-consumer GEMMs.
+        # By the same token the divergence runs SPLIT on the plain path:
+        # one GEMM per transformed-flux dim plane + one for the face
+        # correction, so the (d*U+Pf, F, E) rhs_cat concat (a DUS chain +
+        # an extra 13 MB round trip) never materializes and each
+        # elementwise tdisf plane fuses upstream (4.21e8 vs 4.17e8).
+        # With over-integration ON the tdisf planes are GEMM outputs
+        # (over_filter projection) that must materialize anyway, and the
+        # single fused divergence GEMM measures FASTER there (2.85e8 vs
+        # 2.64e8) — keep rhs_cat + opp_div_all on the over-int path.
+        U = B.n_upts
+        ops = block.ops
+        self.opp_div_parts = [f(ops.opp_div_fused[:, l * U:(l + 1) * U])
+                              for l in range(d)]
+        self.opp_corr = f(ops.opp_3)
         # jginv planes at upts: jg[l][m] (U, 1, E)
         self.jg_u = [[f(block.jginv_upts[:, :, l, m].T)[:, None, :]
                       for m in range(d)] for l in range(d)]
@@ -933,7 +947,7 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
                 if fvj is not None:
                     t = t + sum(S.jg_u[l][m] * fvj[m] for m in range(d))
                 parts.append(t)
-            tdisf = jnp.concatenate(parts, axis=0)     # (d*U, F, E)
+            tdisf = parts                              # d x (U, F, E)
         else:
             fl = inv_flux_planes(u)
             if fv is not None:
@@ -945,9 +959,8 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
                 fl = [[a + b for a, b in zip(fl[m], simf[m])]
                       for m in range(d)]
             flj = [stackj(fl[m]) for m in range(d)]
-            tdisf = jnp.concatenate(
-                [sum(S.jg_u[l][m] * flj[m] for m in range(d))
-                 for l in range(d)], axis=0)           # (d*U, F, E)
+            tdisf = [sum(S.jg_u[l][m] * flj[m] for m in range(d))
+                     for l in range(d)]                # d x (U, F, E)
 
         # 5. common interface flux, all interior faces at once
         fn = common_inv_flux_p(u_l, u_r, S.norm)
@@ -1033,9 +1046,15 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         return _finish(u, ntc, tdisf, grp if cfg.rans else None)
 
     def _finish(u, ntc, tdisf, grp):
-        # 7. fused divergence GEMM (ref:src/eles.cpp:1654-1772)
-        rhs_cat = jnp.concatenate([tdisf, ntc], axis=0)  # (d*U+Pf, F, E)
-        div = dg(S.opp_div_all, rhs_cat)                 # (U, F, E)
+        # 7. divergence GEMMs (ref:src/eles.cpp:1654-1772); split vs
+        # fused chosen per path — see the layout note in BlockArraysSoa
+        if cfg.over_int:
+            rhs_cat = jnp.concatenate(tdisf + [ntc], axis=0)
+            div = dg(S.opp_div_all, rhs_cat)             # (U, F, E)
+        else:
+            div = dg(S.opp_corr, ntc)                    # (U, F, E)
+            for l in range(d):
+                div = div + dg(S.opp_div_parts[l], tdisf[l])
         rhs = -div * S.inv_det_u
         if cfg.rans:
             # SA source (ref:src/eles.cpp:2650, ref:src/source.cpp:33-105)
