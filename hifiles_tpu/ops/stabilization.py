@@ -153,6 +153,24 @@ def build_over_int_ops(ops: ElementOps, over_int_order: int):
         loc, w = tet_interior_cubature(min(over_int_order, 6))
         phi = dubiner_3d(loc, ops.order)
         norms = np.ones(ops.n_upts)
+    elif ops.ele_type == PRISM:
+        # hybrid rule: tri interior cubature x 1-D Gauss; modal basis =
+        # orthonormal tri Dubiner x unnormalized Legendre in z (norm
+        # 2/(2k+1)), z mode outer — the layout of ops.vandermonde
+        # (ref:src/eles_pris.cpp:938-969 set_over_int)
+        from .basis import legendre
+        from .quadrature import GAUSS, line_rule
+        from .simplex import dubiner_2d, tri_interior_cubature
+        tri_c, w_tc = tri_interior_cubature(min(over_int_order, 7))
+        zc, wzc = line_rule(GAUSS, over_int_order)
+        loc = np.array([(r, s, z) for z in zc for (r, s) in tri_c])
+        w = np.array([wt * wz for wz in wzc for wt in w_tc])
+        dub = dubiner_2d(loc[:, :2], ops.order)          # (C, n_tri)
+        n_tri = dub.shape[1]
+        phi = np.concatenate(
+            [dub * legendre(loc[:, 2], k)[:, None]
+             for k in range(ops.order + 1)], axis=1)     # (C, U)
+        norms = ops.modal_norms
     else:
         raise NotImplementedError(
             f"over-integration for ctype {ops.ele_type}")
