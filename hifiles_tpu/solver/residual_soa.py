@@ -284,6 +284,8 @@ class BlockArraysSoa:
         # all-interior-faces arrays (l-section / pool order)
         self.groups = []
         off = 0
+        nFq = T.groups[0]["rows_fm_l"].size // T.nfp if T.groups else 1
+        fmaj = lambda v: (v % nFq) * T.Pf + v // nFq
         for g in T.groups:
             ng = g["idx_l"].size
             self.groups.append({
@@ -291,6 +293,10 @@ class BlockArraysSoa:
                 "rows_l": i32(g["rows_l"]), "rows_r": i32(g["rows_r"]),
                 "rows_fm_l": i32(g["rows_fm_l"]),
                 "rows_fm_r": i32(g["rows_fm_r"]),
+                # same rows into a FIELD-major (F*Pf, E) source (a plain
+                # plane concat, no interleave copy on the producer side)
+                "rows_fq_l": i32(fmaj(g["rows_fm_l"])),
+                "rows_fq_r": i32(fmaj(g["rows_fm_r"])),
                 "rows_r_local": i32(g["rows_r_local"]),
                 "idx_l_id": g["idx_l_id"], "idx_r_id": g["idx_r_id"],
                 "r_local_id": g["r_local_id"],
@@ -787,13 +793,14 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         """F planes (nfp, N) -> (nfp*F, N) fpt-major rows."""
         return jnp.concatenate(pl, axis=0)[_deinterleave]
 
-    def gather_fm(src2, which):
+    def gather_fm(src2, which, tab="rows_fm_"):
         """Per group: field-major static row gather + minor element
         gather, concatenated along faces -> F planes (nfp, Fi).  The
         element gather is skipped when the group's elements are already
-        in order (true for half the groups on a structured box)."""
+        in order (true for half the groups on a structured box).
+        tab="rows_fq_" reads a FIELD-major (F*Pf, E) source instead."""
         def one(g):
-            rows = src2[g["rows_fm_" + which]]
+            rows = src2[g[tab + which]]
             return rows if g["idx_" + which + "_id"] \
                 else rows[:, g["idx_" + which]]
         cat = jnp.concatenate([one(g) for g in S.groups], axis=1)
@@ -1001,9 +1008,11 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
                             for m in range(d)]
             qn = [sum(fv_e[m][i] * S.norm_f[m] for m in range(d))
                   for i in range(nF)]
-            q2 = stackj(qn).reshape(Pf * nF, E)
-            qn_l = gather_fm(q2, "l")
-            qn_r = gather_fm(q2, "r")
+            # field-major rows: a block concat of the qn planes (no
+            # interleave copy); gathered with the rows_fq_* tables
+            q2 = jnp.concatenate(qn, axis=0)          # (F*Pf, E)
+            qn_l = gather_fm(q2, "l", tab="rows_fq_")
+            qn_r = gather_fm(q2, "r", tab="rows_fq_")
             # LDG common viscous flux (ref:src/inters.cpp:561-611)
             bl = 0.5 + cfg.ldg_beta * sgn
             br = 0.5 - cfg.ldg_beta * sgn
