@@ -275,7 +275,16 @@ class BlockArraysSoa:
         ops = block.ops
         self.opp_div_parts = [f(ops.opp_div_fused[:, l * U:(l + 1) * U])
                               for l in range(d)]
+        self.opp_div_cat = f(ops.opp_div_fused)        # (U, d*U)
         self.opp_corr = f(ops.opp_3)
+        # face-row (lf, fpt) views of the lift operators: the face stage
+        # produces FIELD-major rows (nf, F, nfp, E); the lift GEMMs
+        # contract (lf, fpt) directly via multi-dim dot_general — no
+        # fpt-major deinterleave of the face rows anywhere
+        nf_, nfp_ = T.nf, T.nfp
+        self.opp_corr4 = self.opp_corr.reshape(U, nf_, nfp_)
+        self.opp_5q = [jnp.reshape(B.opp_5_stack[m], (U, nf_, nfp_))
+                       for m in range(d)]
         # jginv planes at upts: jg[l][m] (U, 1, E)
         self.jg_u = [[f(block.jginv_upts[:, :, l, m].T)[:, None, :]
                       for m in range(d)] for l in range(d)]
@@ -298,6 +307,11 @@ class BlockArraysSoa:
                 "rows_fq_l": i32(fmaj(g["rows_fm_l"])),
                 "rows_fq_r": i32(fmaj(g["rows_fm_r"])),
                 "rows_r_local": i32(g["rows_r_local"]),
+                # field-major r-local permutation of (F*nfp, .) rows
+                "rows_rq_local": i32(
+                    (np.arange(nFq)[:, None] * T.nfp
+                     + (g["rows_r_local"].reshape(T.nfp, nFq)[:, 0] // nFq)
+                     [None, :]).reshape(-1)),
                 "idx_l_id": g["idx_l_id"], "idx_r_id": g["idx_r_id"],
                 "r_local_id": g["r_local_id"],
                 "sl": slice(off, off + ng),
@@ -754,13 +768,22 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
             build_les_filter(block.ops, cfg.filter_type, cfg.filter_ratio),
             dtype=dtype)
     has_wm = getattr(bc_fns, "wm_tables", None) is not None
-    # tdA rows (Pf*F, E)
-    tdA_rows = jnp.asarray(
-        np.repeat(block.tdA_fpts.reshape(E, Pf).T, nF, axis=0), dtype=dtype)
+    # tdA in face-row order (nf, F, nfp, E): value depends on (lf, fpt)
+    tdA_q = jnp.asarray(
+        np.broadcast_to(
+            block.tdA_fpts.reshape(E, nf, nfp).transpose(1, 2, 0)
+            [:, None, :, :], (nf, nF, nfp, E)), dtype=dtype)
 
     def dg(A, x):
         """(K, U') @ (U', F, E) -> (K, F, E)."""
         return jax.lax.dot_general(A, x, (((1,), (0,)), ((), ())),
+                                   precision=prec,
+                                   preferred_element_type=dtype)
+
+    def dgq(A4, x4):
+        """(U, nf, nfp) @ (nf, F, nfp, E) -> (U, F, E): lift GEMM over
+        field-major face rows, contracting (lf, fpt) directly."""
+        return jax.lax.dot_general(A4, x4, (((1, 2), (0, 2)), ((), ())),
                                    precision=prec,
                                    preferred_element_type=dtype)
 
@@ -778,21 +801,16 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         """(C, F, E) -> list of F planes (C, E) (squeezed slices)."""
         return [x[:, i] for i in range(nF)]
 
-    # fpt-major rows <-> field planes: reshape/stack through (nfp, 1, N)
-    # intermediates makes XLA tile the whole fused face physics T(1,128)
-    # (1/8 sublane occupancy); 125-row gathers on 2-D arrays keep (8,128)
-    # tiles.  READ side: the gather rows are FIELD-major (rows_fm_*), so
-    # the gather result's row blocks are the planes directly — no
-    # interleave gather (measured ~64 us/stage on TPU v5e).  WRITE side
-    # (pool copies) must stay fpt-major to match the `sel` inverse tables:
-    # one deinterleave gather per pool.
-    _deinterleave = jnp.asarray(
-        (np.arange(nfp * nF).reshape(nF, nfp).T).reshape(-1), jnp.int32)
-
-    def stack_rows(pl):
-        """F planes (nfp, N) -> (nfp*F, N) fpt-major rows."""
-        return jnp.concatenate(pl, axis=0)[_deinterleave]
-
+    # Row disciplines.  Reshape/stack through (nfp, 1, N) intermediates
+    # makes XLA tile the whole fused face physics T(1,128) (1/8 sublane
+    # occupancy); 125-row gathers on 2-D arrays keep (8,128) tiles.
+    # READ side: d2 is a free fpt-major reshape of the opp_0 GEMM output
+    # and is gathered with FIELD-major row tables (rows_fm_*), so the
+    # gather result's row blocks are the planes directly.  WRITE side:
+    # everything scattered back to elements (LDG delta, common normal
+    # flux) stays FIELD-major — plane concats are block copies, and the
+    # lift GEMMs contract the (lf, fpt) face rows directly (dgq) — so no
+    # fpt-major deinterleave exists anywhere.
     def gather_fm(src2, which, tab="rows_fm_"):
         """Per group: field-major static row gather + minor element
         gather, concatenated along faces -> F planes (nfp, Fi).  The
@@ -846,15 +864,15 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         return out
 
     def bdy_bridge(fn_aos):
-        """(Fb, nfp, F) AoS -> (nfp*F, Fb) rows in element-local order."""
-        return jnp.transpose(fn_aos, (1, 2, 0)).reshape(nfp * nF, Fb)
+        """(Fb, nfp, F) AoS -> (F*nfp, Fb) FIELD-major rows."""
+        return jnp.transpose(fn_aos, (2, 1, 0)).reshape(nF * nfp, Fb)
 
     def r_copies(rows):
-        """Pool r-section: per group, static column slice + static 2-D
-        row gather into the R element's local fpt order (identity for
-        rotation-free pairings, e.g. periodic boxes)."""
+        """Pool r-section: per group, static column slice + static
+        field-major row gather into the R element's local fpt order
+        (identity for rotation-free pairings, e.g. periodic boxes)."""
         return [rows[:, g["sl"]] if g["r_local_id"]
-                else rows[:, g["sl"]][g["rows_r_local"]] for g in S.groups]
+                else rows[:, g["sl"]][g["rows_rq_local"]] for g in S.groups]
 
     def scatter_faces(rows_l, rcop, neg_r):
         """Element-face rows (nf*nfp*F, E): the inverse of the face gather.
@@ -890,22 +908,27 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
             bcoef = cfg.ldg_beta * sgn
             u_c = [0.5 * (a + b) - bcoef * (a - b)
                    for a, b in zip(u_l, u_r)]
-            rows_c = stack_rows(u_c)                  # (nfp*F, Fi) l-order
+            # per-side delta (common - own) BEFORE the scatter: the rows
+            # stay field-major (a free plane concat) and the fpt-major
+            # d2 is never re-read
+            rows_dl = jnp.concatenate(
+                [c - a for c, a in zip(u_c, u_l)], axis=0)  # (F*nfp, Fi)
+            rows_dr = jnp.concatenate(
+                [c - b for c, b in zip(u_c, u_r)], axis=0)
             if S.lf_direct is not None:
-                delta_rows = scatter_faces(rows_c, r_copies(rows_c),
-                                           neg_r=False) - d2
+                delta_rows = scatter_faces(rows_dl, r_copies(rows_dr),
+                                           neg_r=False)
             else:
-                parts = [rows_c] + r_copies(rows_c)
+                parts = [rows_dl] + r_copies(rows_dr)
                 if has_bdy:
                     u_c_b = bc_fns.ldg_solution(u_bl, S.norm_bdy,
                                                 fluc=fluc, ramp=ramp)
-                    parts.append(bdy_bridge(u_c_b))
+                    parts.append(bdy_bridge(u_c_b - u_bl))
                 pool_uc = jnp.concatenate(parts, axis=1)
                 delta_rows = jnp.concatenate(
-                    [pool_uc[:, S.sel[lf]] for lf in range(nf)],
-                    axis=0) - d2
-            delta = delta_rows.reshape(Pf, nF, E)
-            tg = [tg[m] + dg(S.opp_5_stack[m], delta) for m in range(d)]
+                    [pool_uc[:, S.sel[lf]] for lf in range(nf)], axis=0)
+            delta = delta_rows.reshape(nf, nF, nfp, E)
+            tg = [tg[m] + dgq(S.opp_5q[m], delta) for m in range(d)]
             # physical gradient planes at upts: (1/det) JGinv^T . tg
             gr = [sum(S.jg_u[m][l] * tg[m] for m in range(d)) * S.inv_det_u
                   for l in range(d)]
@@ -1019,11 +1042,10 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
             for i in range(nF):
                 fn[i] = (fn[i] + bl * qn_l[i] - br * qn_r[i]
                          - cfg.ldg_tau * (u_r[i] - u_l[i]))
-        rows_fn = stack_rows(fn)
+        rows_fn = jnp.concatenate(fn, axis=0)         # (F*nfp, Fi)
         if S.lf_direct is not None:
-            ntc_rows = scatter_faces(rows_fn, r_copies(rows_fn),
-                                     neg_r=True) * tdA_rows
-            ntc = ntc_rows.reshape(Pf, nF, E)
+            ntc = (scatter_faces(rows_fn, r_copies(rows_fn), neg_r=True)
+                   .reshape(nf, nF, nfp, E) * tdA_q)
             return _finish(u, ntc, tdisf,
                            grp if cfg.rans else None)
         fn_parts = [rows_fn] + [-rc for rc in r_copies(rows_fn)]
@@ -1049,19 +1071,21 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         pool_fn = jnp.concatenate(fn_parts, axis=1)
 
         # 6. inverse gather + tdA scaling (ref:src/int_inters.cpp:217-220)
-        ntc_rows = jnp.concatenate(
-            [pool_fn[:, S.sel[lf]] for lf in range(nf)], axis=0) * tdA_rows
-        ntc = ntc_rows.reshape(Pf, nF, E)
+        ntc = (jnp.concatenate(
+            [pool_fn[:, S.sel[lf]] for lf in range(nf)], axis=0)
+            .reshape(nf, nF, nfp, E) * tdA_q)
         return _finish(u, ntc, tdisf, grp if cfg.rans else None)
 
     def _finish(u, ntc, tdisf, grp):
-        # 7. divergence GEMMs (ref:src/eles.cpp:1654-1772); split vs
-        # fused chosen per path — see the layout note in BlockArraysSoa
+        # 7. divergence GEMMs (ref:src/eles.cpp:1654-1772); ntc arrives
+        # as field-major face rows (nf, F, nfp, E) and is lifted by the
+        # multi-dim contraction; tdisf runs split on the plain path,
+        # fused on over-int — see the layout note in BlockArraysSoa
+        div = dgq(S.opp_corr4, ntc)                      # (U, F, E)
         if cfg.over_int:
-            rhs_cat = jnp.concatenate(tdisf + [ntc], axis=0)
-            div = dg(S.opp_div_all, rhs_cat)             # (U, F, E)
+            div = div + dg(S.opp_div_cat,
+                           jnp.concatenate(tdisf, axis=0))
         else:
-            div = dg(S.opp_corr, ntc)                    # (U, F, E)
             for l in range(d):
                 div = div + dg(S.opp_div_parts[l], tdisf[l])
         rhs = -div * S.inv_det_u
