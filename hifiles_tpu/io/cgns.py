@@ -98,9 +98,9 @@ def write_cgns(solver, directory: str, step: int) -> str:
             u_ppts = np.einsum("pu,euf->epf", opp_p, u)
 
             from ..mesh.shape import shape_basis
-            n_spts = int(view.mesh.c2n_v[0])
+            from ..solver.elements import mesh_shape_points
+            spts, n_spts = mesh_shape_points(view.mesh)
             sb = shape_basis(view.ops.ele_type, pts_ref, n_spts)
-            spts = view.mesh.xv[view.mesh.c2v[:, :n_spts]]
             pos = np.einsum("ps,esd->epd", sb, spts)      # (E, P, d)
 
             E, P = u_ppts.shape[:2]

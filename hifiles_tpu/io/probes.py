@@ -70,9 +70,9 @@ def locate_points(mesh, pts: np.ndarray, tol: float = 1e-8):
 
     Returns (ele (n,), ref (n, d)); ele = -1 when a point is outside the
     local mesh (ref:src/probe_input.cpp:1190-1204 set_loc_probepts)."""
-    n_spts = int(mesh.c2n_v[0])
+    from ..solver.elements import mesh_shape_points
     ct = int(mesh.ctype[0])
-    spts = mesh.xv[mesh.c2v[:, :n_spts]]             # (E, n_spts, d)
+    spts, n_spts = mesh_shape_points(mesh)           # (E, n_spts, d)
     lo = spts.min(axis=1) - tol
     hi = spts.max(axis=1) + tol
     d = mesh.n_dims

@@ -221,9 +221,9 @@ def write_vtu(solver, directory: str, step: int, rank: int = 0,
 
     # physical positions of plot points via the shape mapping
     from ..mesh.shape import shape_basis
-    n_spts = int(solver.mesh.c2n_v[0])
+    from ..solver.elements import mesh_shape_points
+    spts, n_spts = mesh_shape_points(solver.mesh)
     sb = shape_basis(solver.ops.ele_type, pts_ref, n_spts)
-    spts = solver.mesh.xv[solver.mesh.c2v[:, :n_spts]]
     pos = np.einsum("ps,esd->epd", sb, spts)         # (E, P, d)
 
     # per-element physical gradient (uncorrected; visualization only)

@@ -253,6 +253,53 @@ def prism_shape_dbasis(locs: np.ndarray, n_spts: int) -> np.ndarray:
     return out
 
 
+def shape_ref_locs(ctype: int, n_spts: int) -> np.ndarray:
+    """Reference coordinates of each shape node of a supported layout,
+    in the layout's own ordering (the locations where the corresponding
+    shape basis is the identity).  Used to upcast lower-node cells to a
+    block's common layout exactly (the reference keeps n_spts per cell,
+    ref:src/eles.cpp calc_pos; a common layout vectorizes the block)."""
+    if ctype == QUAD:
+        n1 = int(round(np.sqrt(n_spts)))
+        if n1 * n1 == n_spts:
+            nodes = _equi_1d(n1)
+            return np.array([(nodes[i], nodes[j])
+                             for j in range(n1) for i in range(n1)])
+        if n_spts == 8:
+            return np.array([(-1, -1), (1, -1), (1, 1), (-1, 1),
+                             (0, -1), (1, 0), (0, 1), (-1, 0)], float)
+    if ctype == HEX:
+        n1 = int(round(n_spts ** (1.0 / 3.0)))
+        if n1 ** 3 == n_spts:
+            nodes = _equi_1d(n1)
+            return np.array([(nodes[i], nodes[j], nodes[k])
+                             for k in range(n1) for j in range(n1)
+                             for i in range(n1)])
+    if ctype == TRI:
+        v = np.array([(-1.0, -1.0), (1.0, -1.0), (-1.0, 1.0)])
+        if n_spts == 3:
+            return v
+        if n_spts == 6:
+            pairs = [(0, 1), (1, 2), (0, 2)]
+            return np.concatenate(
+                [v, [(v[a] + v[b]) / 2 for a, b in pairs]], axis=0)
+    if ctype == TET:
+        v = np.array([(-1.0, -1.0, -1.0), (1.0, -1.0, -1.0),
+                      (-1.0, 1.0, -1.0), (-1.0, -1.0, 1.0)])
+        if n_spts == 4:
+            return v
+        if n_spts == 10:
+            edges = [(0, 1), (0, 2), (1, 2), (0, 3), (1, 3), (2, 3)]
+            return np.concatenate(
+                [v, [(v[a] + v[b]) / 2 for a, b in edges]], axis=0)
+    if ctype == PRISM and n_spts == 6:
+        t = np.array([(-1.0, -1.0), (1.0, -1.0), (-1.0, 1.0)])
+        return np.concatenate(
+            [np.column_stack([t, -np.ones(3)]),
+             np.column_stack([t, np.ones(3)])], axis=0)
+    raise NotImplementedError(f"shape ref locs ctype={ctype} n_spts={n_spts}")
+
+
 def shape_basis(ctype: int, locs: np.ndarray, n_spts: int) -> np.ndarray:
     if ctype == QUAD:
         return quad_shape_basis(locs, n_spts)

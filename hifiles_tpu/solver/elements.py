@@ -212,6 +212,34 @@ class ElementBlock:
         return self.ops.n_fpts
 
 
+def mesh_shape_points(mesh: MeshData, sel: np.ndarray | None = None):
+    """(spts (E, n_spts, d), n_spts): shape points of the selected cells
+    on one common layout.  Heterogeneous shape-point counts (e.g. linear
+    interior cells + curved boundary cells of the same type) are upcast
+    to the richest layout by evaluating each cell's own shape map at the
+    rich layout's reference nodes — exact, since the rich basis contains
+    the poorer map (the reference keeps n_spts per cell,
+    ref:src/eles.cpp calc_pos / ref:src/mesh_reader.cpp:203-246)."""
+    if sel is None:
+        sel = np.arange(mesh.n_cells)
+    ct = int(mesh.ctype[sel[0]])
+    d = mesh.n_dims
+    n_spts_all = mesh.c2n_v[sel]
+    n_spts = int(n_spts_all.max())
+    if np.all(n_spts_all == n_spts):
+        return mesh.xv[mesh.c2v[sel][:, :n_spts]], n_spts
+    from ..mesh.shape import shape_ref_locs
+    rich = shape_ref_locs(ct, n_spts)
+    spts = np.empty((sel.size, n_spts, d))
+    for ns in np.unique(n_spts_all):
+        m = n_spts_all == ns
+        pts = mesh.xv[mesh.c2v[sel[m]][:, :int(ns)]]
+        spts[m] = (pts if ns == n_spts else
+                   np.einsum("qs,esd->eqd",
+                             shape_basis(ct, rich, int(ns)), pts))
+    return spts, n_spts
+
+
 def build_element_block(mesh: MeshData, conn: FaceConnectivity,
                         ops: ElementOps, check_geometry: bool = True,
                         delta_cyclic: np.ndarray | None = None,
@@ -231,11 +259,7 @@ def build_element_block(mesh: MeshData, conn: FaceConnectivity,
                 "mixed-type meshes: use solver.multiblock.MixedSolver")
     E = sel.size
     d = ops.n_dims
-    n_spts = int(mesh.c2n_v[sel[0]])
-    if not np.all(mesh.c2n_v[sel] == n_spts):
-        raise NotImplementedError("heterogeneous shape-point counts per block")
-
-    spts = mesh.xv[mesh.c2v[sel][:, :n_spts]]     # (E, n_spts, d)
+    spts, n_spts = mesh_shape_points(mesh, sel)   # (E, n_spts, d)
 
     # --- volume transforms (ref:src/eles.cpp:4035-4148)
     sb_u = shape_basis(ct, ops.loc_upts, n_spts)          # (U, n_spts)
