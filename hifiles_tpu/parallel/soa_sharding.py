@@ -98,20 +98,12 @@ def build_soa_shard_tables(block, tables, owner_flat, n_shards, El, nF,
         idx_r = np.zeros((n, Ng), dtype=np.int64)
         gnorm = np.zeros((n, nfp, d, Ng))
         gnorm[:, :, 0, :] = 1.0                   # safe padding normal
-        jgl = np.tile(np.eye(d), (n, nfp, Ng, 1, 1)).transpose(0, 1, 3, 4, 2)
-        jgr = jgl.copy()
-        idl = np.ones((n, nfp, Ng))
-        idr = np.ones((n, nfp, Ng))
         for s in range(n):
             for j, f in enumerate(per[s]):
-                sl, sr = f[6], f[7]
+                sl = f[6]
                 idx_l[s, j] = f[2]
                 idx_r[s, j] = f[3]
                 gnorm[s, :, :, j] = norm_slot[s, sl]
-                jgl[s, :, :, :, j] = jginv_slot[s, sl]
-                jgr[s, :, :, :, j] = jginv_slot[s, sr]
-                idl[s, :, j] = invdet_slot[s, sl]
-                idr[s, :, j] = invdet_slot[s, sr]
                 sel[s, f[4], f[2]] = off + j          # l pool col
                 covered[s, f[4], f[2]] = True
                 sel[s, f[5], f[3]] = -(off + j) - 1   # r col marker (tmp)
@@ -120,8 +112,8 @@ def build_soa_shard_tables(block, tables, owner_flat, n_shards, El, nF,
             rows_l=rows_of(fl), rows_r=rows_of(fr),
             rows_r_local=(r_order[:, None] * nF
                           + np.arange(nF)[None, :]).reshape(-1),
-            idx_l=idx_l, idx_r=idx_r, norm=gnorm, jginv_l=jgl, jginv_r=jgr,
-            inv_det_l=idl, inv_det_r=idr, sl=slice(off, off + Ng)))
+            idx_l=idx_l, idx_r=idx_r, norm=gnorm,
+            sl=slice(off, off + Ng)))
         off += Ng
     Fi_tot = off
     # resolve r markers now that Fi_tot is known
@@ -175,8 +167,6 @@ def build_soa_shard_tables(block, tables, owner_flat, n_shards, El, nF,
             lst.append(int(partner[0] // Pf))
     send_group_meta = {}          # (o) -> list of (pat, base, Nmax)
     send_tab = {}                 # (o, gi) -> (n, Nmax) element ids
-    send_jg = {}
-    send_id = {}
     recv_width = {}
     for o in offsets:
         base = 0
@@ -185,20 +175,11 @@ def build_soa_shard_tables(block, tables, owner_flat, n_shards, El, nF,
             per = send_lists[(o, p)]
             Nmax = max((len(x) for x in per), default=0)
             arr = np.zeros((n, Nmax), dtype=np.int64)
-            jg = np.tile(np.eye(d),
-                         (n, nfp, Nmax, 1, 1)).transpose(0, 1, 3, 4, 2)
-            iv = np.ones((n, nfp, Nmax))
-            rows_p = np.asarray(p)
             for t in range(n):
                 for j, e in enumerate(per[t]):
                     arr[t, j] = e
-                    slot = e * Pf + rows_p
-                    jg[t, :, :, :, j] = jginv_slot[t, slot]
-                    iv[t, :, j] = invdet_slot[t, slot]
             metas.append((p, base, Nmax))
             send_tab[(o, gi)] = arr
-            send_jg[(o, gi)] = jg
-            send_id[(o, gi)] = iv
             base += Nmax
         send_group_meta[o] = metas
         recv_width[o] = base
@@ -236,8 +217,6 @@ def build_soa_shard_tables(block, tables, owner_flat, n_shards, El, nF,
         col = np.zeros((n, Ng), dtype=np.int64)
         gnorm = np.zeros((n, nfp, d, Ng))
         gnorm[:, :, 0, :] = 1.0
-        jgl = np.tile(np.eye(d), (n, nfp, Ng, 1, 1)).transpose(0, 1, 3, 4, 2)
-        idl = np.ones((n, nfp, Ng))
         for s in range(n):
             for j, (fi, f) in enumerate(per[s]):
                 sl = f[0]
@@ -248,13 +227,11 @@ def build_soa_shard_tables(block, tables, owner_flat, n_shards, El, nF,
                     pat_s]
                 col[s, j] = off_base[o] + gbase + jj
                 gnorm[s, :, :, j] = norm_slot[s, sl]
-                jgl[s, :, :, :, j] = jginv_slot[s, sl]
-                idl[s, :, j] = invdet_slot[s, sl]
                 sel[s, lf_l, e_l] = 2 * Fi_tot + Fb + hoff + j
                 covered[s, lf_l, e_l] = True
         halo_groups.append(dict(
             rows_l=rows_of(fl), idx_l=idx_l, col=col, norm=gnorm,
-            jginv_l=jgl, inv_det_l=idl, rows_local=rows_local,
+            rows_local=rows_local,
             sl=slice(hoff, hoff + Ng)))
         hoff += Ng
     Fh_tot = hoff
@@ -285,22 +262,21 @@ def build_soa_shard_tables(block, tables, owner_flat, n_shards, El, nF,
         tabS[f"i{gi}_l"] = g["idx_l"]
         tabS[f"i{gi}_r"] = g["idx_r"]
         geoS[f"i{gi}_norm"] = g["norm"]
-        geoS[f"i{gi}_jgl"] = g["jginv_l"]
-        geoS[f"i{gi}_jgr"] = g["jginv_r"]
-        geoS[f"i{gi}_idl"] = g["inv_det_l"]
-        geoS[f"i{gi}_idr"] = g["inv_det_r"]
     for gi, g in enumerate(halo_groups):
         tabS[f"h{gi}_l"] = g["idx_l"]
         tabS[f"h{gi}_c"] = g["col"]
         geoS[f"h{gi}_norm"] = g["norm"]
-        geoS[f"h{gi}_jgl"] = g["jginv_l"]
-        geoS[f"h{gi}_idl"] = g["inv_det_l"]
     for o in offsets:
         for gi in range(len(send_pats[o])):
             tabS[f"s{o}_{gi}"] = send_tab[(o, gi)]
-            geoS[f"s{o}_{gi}_jg"] = send_jg[(o, gi)]
-            geoS[f"s{o}_{gi}_id"] = send_id[(o, gi)]
     tabS["sel"] = sel
+    # element-side fpt geometry planes: the viscous NORMAL flux is
+    # evaluated once per element fpt (and only the F qn planes cross the
+    # ICI), replacing per-side gradient metric tables
+    geoS["normf"] = norm_slot.reshape(n, El, Pf, d).transpose(0, 3, 2, 1)
+    geoS["jgf"] = jginv_slot.reshape(n, El, Pf, d, d).transpose(
+        0, 3, 4, 2, 1)
+    geoS["invdetf"] = invdet_slot.reshape(n, El, Pf).transpose(0, 2, 1)
     if Fb:
         tabS["rows_b"] = rows_b
         tabS["ele_b"] = ele_b
@@ -336,33 +312,66 @@ def make_shard_residual_soa(solver, meta):
     nG = len(meta["int_rows"])
     nH = len(meta["halo_rows"])
 
-    # static row tables as jnp constants
-    int_rows = [(jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32),
-                 jnp.asarray(c, jnp.int32), sl)
+    # Static row tables as jnp constants, following the single-device
+    # row disciplines (solver/residual_soa.py): READ gathers use tables
+    # in FIELD-major entry order (the gather result's row blocks ARE the
+    # field planes — no interleave gather); sources are either the
+    # fpt-major d2 view (a free reshape of the opp_0 GEMM output) or the
+    # field-major q2 plane concat (``_fq`` value-transformed tables).
+    # WRITE-side rows (pool parts) stay field-major throughout and the
+    # lift GEMMs contract the (lf, fpt) face rows directly (dgq).
+    _il_np = (np.arange(nfp * nF).reshape(nfp, nF).T).reshape(-1)
+
+    def _fqv(t):
+        """fpt-major (Pf*F) row values -> field-major (F*Pf) source."""
+        return (t % nF) * Pf + t // nF
+
+    def _rl_fq(rl):
+        """r-local row permutation, fpt-major -> field-major rows."""
+        order = np.asarray(rl).reshape(-1, nF)[:, 0] // nF
+        return (np.arange(nF)[:, None] * nfp + order[None, :]).reshape(-1)
+
+    i32c = lambda a: jnp.asarray(a, jnp.int32)
+    int_rows = [(i32c(np.asarray(a)[_il_np]), i32c(np.asarray(b)[_il_np]),
+                 i32c(_fqv(np.asarray(a))[_il_np]),
+                 i32c(_fqv(np.asarray(b))[_il_np]),
+                 i32c(_rl_fq(c)), sl)
                 for a, b, c, sl in meta["int_rows"]]
-    halo_rows = [(jnp.asarray(a, jnp.int32), jnp.asarray(rl, jnp.int32),
-                  sl) for a, rl, sl in meta["halo_rows"]]
+    halo_rows = [(i32c(np.asarray(a)[_il_np]),
+                  i32c(_fqv(np.asarray(a))[_il_np]),
+                  i32c(_rl_fq(rl)), sl)
+                 for a, rl, sl in meta["halo_rows"]]
+    # send tables: field-major entry order; _q variant reads q2
     send_rows = {
-        o: [jnp.asarray((np.asarray(p)[:, None] * nF
-                         + np.arange(nF)[None, :]).reshape(-1), jnp.int32)
+        o: [i32c((np.asarray(p)[None, :] * nF
+                  + np.arange(nF)[:, None]).reshape(-1))
+            for p in meta["send_rows"][o]] for o in offsets}
+    send_rows_q = {
+        o: [i32c((np.arange(nF)[:, None] * Pf
+                  + np.asarray(p)[None, :]).reshape(-1))
             for p in meta["send_rows"][o]] for o in offsets}
 
-    _il = jnp.asarray(
-        (np.arange(nfp * nF).reshape(nfp, nF).T).reshape(-1), jnp.int32)
-    _dl = jnp.asarray(
-        (np.arange(nfp * nF).reshape(nF, nfp).T).reshape(-1), jnp.int32)
-
-    def face_planes(rows2d):
-        fm = rows2d[_il]
-        return [fm[i * nfp:(i + 1) * nfp] for i in range(nF)]
-
-    def stack_rows(pl):
-        return jnp.concatenate(pl, axis=0)[_dl]
+    def split_planes(rows2d):
+        return [rows2d[i * nfp:(i + 1) * nfp] for i in range(nF)]
 
     def dg(A, x):
         return jax.lax.dot_general(A, x, (((1,), (0,)), ((), ())),
                                    precision=prec,
                                    preferred_element_type=dtype)
+
+    def dgq(A4, x4):
+        """(U, nf, nfp) @ (nf, F, nfp, El) -> (U, F, El)."""
+        return jax.lax.dot_general(A4, x4, (((1, 2), (0, 2)), ((), ())),
+                                   precision=prec,
+                                   preferred_element_type=dtype)
+
+    # lift operators in face-row form; tdisf divergence split per dim
+    # (the single-device split-div layout, solver/residual_soa.py)
+    opp_corr4 = jnp.reshape(opp["opp_div_all"][:, d * U:], (U, nf, nfp))
+    opp_div_parts = [opp["opp_div_all"][:, l * U:(l + 1) * U]
+                     for l in range(d)]
+    opp_5q = ([jnp.reshape(opp["opp_5_stack"][m], (U, nf, nfp))
+               for m in range(d)] if cfg.viscous else None)
 
     def common_inv_flux_p(u_l, u_r, norm):
         if cfg.equation == 0:
@@ -402,34 +411,32 @@ def make_shard_residual_soa(solver, meta):
         def gsl(src2, rows, idx):
             return src2[rows][:, idx]
 
-        # interior faces, concatenated in pool l order
-        u_l_rows = jnp.concatenate(
+        # interior faces, concatenated in pool l order (field-major rows:
+        # the row blocks are the F planes directly)
+        u_l = split_planes(jnp.concatenate(
             [gsl(d2, r[0], tabS[f"i{gi}_l"])
-             for gi, r in enumerate(int_rows)], axis=1)
-        u_r_rows = jnp.concatenate(
+             for gi, r in enumerate(int_rows)], axis=1))
+        u_r = split_planes(jnp.concatenate(
             [gsl(d2, r[1], tabS[f"i{gi}_r"])
-             for gi, r in enumerate(int_rows)], axis=1)
-        u_l = face_planes(u_l_rows)
-        u_r = face_planes(u_r_rows)
+             for gi, r in enumerate(int_rows)], axis=1))
         norm_i = [jnp.concatenate(
             [geoS[f"i{gi}_norm"][:, m] for gi in range(nG)], axis=1)
             for m in range(d)]
 
         # halo: send buffers, exchange, receiver-side gathers
+        # (ref:src/mpi_inters.cpp:218-276 send/receive_solution)
         send_bufs = {o: jnp.concatenate(
             [gsl(d2, send_rows[o][gi], tabS[f"s{o}_{gi}"])
              for gi in range(len(send_rows[o]))], axis=1)
             for o in offsets} if offsets else {}
         recv = exchange(send_bufs) if offsets else None
         if nH:
-            u_hl_rows = jnp.concatenate(
+            u_hl = split_planes(jnp.concatenate(
                 [gsl(d2, halo_rows[gi][0], tabS[f"h{gi}_l"])
-                 for gi in range(nH)], axis=1)
+                 for gi in range(nH)], axis=1))
             hcol = jnp.concatenate(
                 [tabS[f"h{gi}_c"] for gi in range(nH)], axis=0)
-            u_hr_rows = recv[:, hcol]
-            u_hl = face_planes(u_hl_rows)
-            u_hr = face_planes(u_hr_rows)
+            u_hr = split_planes(recv[:, hcol])
             norm_h = [jnp.concatenate(
                 [geoS[f"h{gi}_norm"][:, m] for gi in range(nH)], axis=1)
                 for m in range(d)]
@@ -437,60 +444,48 @@ def make_shard_residual_soa(solver, meta):
             u_bl = d2[tabS["rows_b"], tabS["ele_b"][:, None]].reshape(
                 Fb, nfp, nF)
 
-        # viscous gradient path
+        # viscous gradient path: per-side LDG deltas scattered
+        # field-major, lifted with the (lf, fpt) contraction (the
+        # single-device write-side discipline)
         if cfg.viscous:
             tg = [dg(opp["opp_2_stack"][m], u) for m in range(d)]
             sgn_i = ldg_sign_p(norm_i)
             bco = cfg.ldg_beta * sgn_i
             u_c = [0.5 * (a + b) - bco * (a - b) for a, b in zip(u_l, u_r)]
-            rows_c = stack_rows(u_c)
-            parts = [rows_c]
+            rows_dl = jnp.concatenate(
+                [c - a for c, a in zip(u_c, u_l)], axis=0)
+            rows_dr = jnp.concatenate(
+                [c - b for c, b in zip(u_c, u_r)], axis=0)
+            parts = [rows_dl]
             for gi, r in enumerate(int_rows):
-                parts.append(rows_c[:, r[3]][r[2]])
+                parts.append(rows_dr[:, r[5]][r[4]])
             if Fb:
                 u_c_b = bc_fns.ldg_solution(u_bl, geoS["norm_b"], P=bcP,
                                             ramp=ramp, fluc=fluc)
-                parts.append(jnp.transpose(u_c_b, (1, 2, 0)).reshape(
-                    nfp * nF, Fb))
+                parts.append(jnp.transpose(u_c_b - u_bl, (2, 1, 0))
+                             .reshape(nF * nfp, Fb))
             if nH:
                 sgn_h = ldg_sign_p(norm_h)
                 bch = cfg.ldg_beta * sgn_h
                 u_c_h = [0.5 * (a + b) - bch * (a - b)
                          for a, b in zip(u_hl, u_hr)]
-                rows_ch = stack_rows(u_c_h)
+                rows_dh = jnp.concatenate(
+                    [c - a for c, a in zip(u_c_h, u_hl)], axis=0)
                 # reorder each group's columns to element-ascending rows
-                parts.extend(rows_ch[:, hr[2]][hr[1]] for hr in halo_rows)
+                parts.extend(rows_dh[:, hr[3]][hr[2]] for hr in halo_rows)
             pool_uc = jnp.concatenate(parts, axis=1)
-            delta_rows = jnp.concatenate(
+            delta = jnp.concatenate(
                 [pool_uc[:, tabS["sel"][lf]] for lf in range(nf)],
-                axis=0) - d2
-            delta = delta_rows.reshape(Pf, nF, El)
-            tg = [tg[m] + dg(opp["opp_5_stack"][m], delta)
-                  for m in range(d)]
+                axis=0).reshape(nf, nF, nfp, El)
+            tg = [tg[m] + dgq(opp_5q[m], delta) for m in range(d)]
             gr = [sum(jg_u[m][l] * tg[m] for m in range(d)) * inv_det_u
                   for l in range(d)]
-            tgf = [dg(opp["opp_0"], tg[m]) for m in range(d)]
-            tgf2 = [a.reshape(Pf * nF, El) for a in tgf]
-            # send PHYSICAL gradients for halo partners (adjT on the
-            # sender with its own metric), one buffer per offset with
-            # the d planes stacked on the row axis
-            if offsets:
-                gsend = {}
-                for o in offsets:
-                    blocks = []
-                    for gi in range(len(send_rows[o])):
-                        tl = [gsl(tgf2[m], send_rows[o][gi],
-                                  tabS[f"s{o}_{gi}"]) for m in range(d)]
-                        tlp = [face_planes(a) for a in tl]
-                        jg = geoS[f"s{o}_{gi}_jg"]
-                        iv = geoS[f"s{o}_{gi}_id"]
-                        gphys = [stack_rows(
-                            [sum(jg[:, m, l] * tlp[m][i]
-                                 for m in range(d)) * iv
-                             for i in range(nF)]) for l in range(d)]
-                        blocks.append(jnp.concatenate(gphys, axis=0))
-                    gsend[o] = jnp.concatenate(blocks, axis=1)
-                grecv = exchange(gsend)
+            # transformed gradient at the faces: ONE extrapolation GEMM
+            # over the dim-concatenated planes
+            tg_cat = jnp.concatenate(tg, axis=1)       # (U, d*F, El)
+            tgf3 = dg(opp["opp_0"], tg_cat)            # (Pf, d*F, El)
+            tgf2 = [tgf3[:, m * nF:(m + 1) * nF].reshape(Pf * nF, El)
+                    for m in range(d)]
 
         # volume flux
         up = [u[:, i] for i in range(nF)]
@@ -499,8 +494,8 @@ def make_shard_residual_soa(solver, meta):
         else:
             inv_rho = 1.0 / up[0]
             v = [up[1 + m] * inv_rho for m in range(d)]
-            q2 = sum(vi * vi for vi in v)
-            pp = (gamma - 1.0) * (up[d + 1] - 0.5 * up[0] * q2)
+            q2v = sum(vi * vi for vi in v)
+            pp = (gamma - 1.0) * (up[d + 1] - 0.5 * up[0] * q2v)
             hp = up[d + 1] + pp
             fl = []
             for mm in range(d):
@@ -523,47 +518,51 @@ def make_shard_residual_soa(solver, meta):
                       for m in range(d)]
         flj = [jnp.stack(fl[m], axis=1) if len(fl[m]) > 1
                else fl[m][0][:, None, :] for m in range(d)]
-        tdisf = jnp.concatenate(
-            [sum(jg_u[l][m] * flj[m] for m in range(d)) for l in range(d)],
-            axis=0)
+        tdisf = [sum(jg_u[l][m] * flj[m] for m in range(d))
+                 for l in range(d)]                    # d x (U, F, El)
 
         # common interface fluxes
         fn = common_inv_flux_p(u_l, u_r, norm_i)
         if cfg.viscous:
-            tlp = [face_planes(jnp.concatenate(
-                [gsl(tgf2[m], r[0], tabS[f"i{gi}_l"])
-                 for gi, r in enumerate(int_rows)], axis=1))
-                for m in range(d)]
-            trp = [face_planes(jnp.concatenate(
-                [gsl(tgf2[m], r[1], tabS[f"i{gi}_r"])
-                 for gi, r in enumerate(int_rows)], axis=1))
-                for m in range(d)]
-            jgl = [[jnp.concatenate([geoS[f"i{gi}_jgl"][:, m, l]
-                                     for gi in range(nG)], axis=1)
-                    for l in range(d)] for m in range(d)]
-            jgr = [[jnp.concatenate([geoS[f"i{gi}_jgr"][:, m, l]
-                                     for gi in range(nG)], axis=1)
-                    for l in range(d)] for m in range(d)]
-            idl = jnp.concatenate([geoS[f"i{gi}_idl"]
-                                   for gi in range(nG)], axis=1)
-            idr = jnp.concatenate([geoS[f"i{gi}_idr"]
-                                   for gi in range(nG)], axis=1)
-            g_l = [[sum(jgl[m][l] * tlp[m][i] for m in range(d)) * idl
+            # viscous NORMAL flux on the ELEMENT side (one scalar plane
+            # per field at every fpt), then gathered per side — and only
+            # the F qn planes cross the ICI for halo faces, not d*F
+            # gradient planes (the single-device element-side layout)
+            tgf_pl = [[tgf3[:, m * nF + i] for i in range(nF)]
+                      for m in range(d)]
+            jgf = geoS["jgf"]                      # (d, d, Pf, El)
+            ivf = geoS["invdetf"]                  # (Pf, El)
+            g_f = [[sum(jgf[m, l] * tgf_pl[m][i] for m in range(d)) * ivf
                     for i in range(nF)] for l in range(d)]
-            g_r = [[sum(jgr[m][l] * trp[m][i] for m in range(d)) * idr
-                    for i in range(nF)] for l in range(d)]
-            fv_l = visc_faces(u_l, g_l)
-            fv_r = visc_faces(u_r, g_r)
+            u_f = [disu_f[:, i] for i in range(nF)]
+            fv_e = visc_faces(u_f, g_f)
+            normf = geoS["normf"]                  # (d, Pf, El)
+            qn = [sum(fv_e[m][i] * normf[m] for m in range(d))
+                  for i in range(nF)]
+            q2 = jnp.concatenate(qn, axis=0)       # (F*Pf, El) field-major
+            qn_l = split_planes(jnp.concatenate(
+                [gsl(q2, r[2], tabS[f"i{gi}_l"])
+                 for gi, r in enumerate(int_rows)], axis=1))
+            qn_r = split_planes(jnp.concatenate(
+                [gsl(q2, r[3], tabS[f"i{gi}_r"])
+                 for gi, r in enumerate(int_rows)], axis=1))
+            # qn exchange (the send_corrected_gradient analog,
+            # ref:src/mpi_inters.cpp:278-338 — but 3x less traffic)
+            if offsets:
+                qsend = {o: jnp.concatenate(
+                    [gsl(q2, send_rows_q[o][gi], tabS[f"s{o}_{gi}"])
+                     for gi in range(len(send_rows_q[o]))], axis=1)
+                    for o in offsets}
+                qrecv = exchange(qsend)
             bl = 0.5 + cfg.ldg_beta * sgn_i
             br = 0.5 - cfg.ldg_beta * sgn_i
             for i in range(nF):
-                fc = sum((bl * fv_l[m][i] + br * fv_r[m][i]) * norm_i[m]
-                         for m in range(d))
-                fn[i] = fn[i] + fc - cfg.ldg_tau * (u_r[i] - u_l[i])
-        rows_fn = stack_rows(fn)
+                fn[i] = (fn[i] + bl * qn_l[i] - br * qn_r[i]
+                         - cfg.ldg_tau * (u_r[i] - u_l[i]))
+        rows_fn = jnp.concatenate(fn, axis=0)          # (F*nfp, Fi)
         fn_parts = [rows_fn]
         for gi, r in enumerate(int_rows):
-            fn_parts.append(-rows_fn[:, r[3]][r[2]])
+            fn_parts.append(-rows_fn[:, r[5]][r[4]])
         if Fb:
             fn_b = bc_fns.inv_common_flux(u_bl, geoS["norm_b"], P=bcP,
                                           ramp=ramp, fluc=fluc)
@@ -576,49 +575,36 @@ def make_shard_residual_soa(solver, meta):
                 fn_b = fn_b + bc_fns.visc_common_flux(
                     u_bl, g_b, geoS["norm_b"], None, P=bcP, ramp=ramp,
                     fluc=fluc)
-            fn_parts.append(jnp.transpose(fn_b, (1, 2, 0)).reshape(
-                nfp * nF, Fb))
+            fn_parts.append(jnp.transpose(fn_b, (2, 1, 0)).reshape(
+                nF * nfp, Fb))
         if nH:
             fn_h = common_inv_flux_p(u_hl, u_hr, norm_h)
             if cfg.viscous:
-                tlh = [face_planes(jnp.concatenate(
-                    [gsl(tgf2[m], halo_rows[gi][0], tabS[f"h{gi}_l"])
-                     for gi in range(nH)], axis=1)) for m in range(d)]
-                jghl = [[jnp.concatenate([geoS[f"h{gi}_jgl"][:, m, l]
-                                          for gi in range(nH)], axis=1)
-                         for l in range(d)] for m in range(d)]
-                idhl = jnp.concatenate([geoS[f"h{gi}_idl"]
-                                        for gi in range(nH)], axis=1)
-                g_hl = [[sum(jghl[m][l] * tlh[m][i]
-                             for m in range(d)) * idhl
-                         for i in range(nF)] for l in range(d)]
-                # received physical gradient: rows [l*nfp*F ...]
-                gh_rows = grecv[:, hcol]
-                g_hr = [[pl for pl in face_planes(
-                    gh_rows[l * nfp * nF:(l + 1) * nfp * nF])]
-                    for l in range(d)]
-                fv_hl = visc_faces(u_hl, g_hl)
-                fv_hr = visc_faces(u_hr, g_hr)
+                qn_hl = split_planes(jnp.concatenate(
+                    [gsl(q2, halo_rows[gi][1], tabS[f"h{gi}_l"])
+                     for gi in range(nH)], axis=1))
+                # received qn was evaluated with the PARTNER's outward
+                # normal (= -ours), exactly the r-side convention
+                qn_hr = split_planes(qrecv[:, hcol])
                 bh_l = 0.5 + cfg.ldg_beta * sgn_h
                 bh_r = 0.5 - cfg.ldg_beta * sgn_h
                 for i in range(nF):
-                    fc = sum((bh_l * fv_hl[m][i] + bh_r * fv_hr[m][i])
-                             * norm_h[m] for m in range(d))
-                    fn_h[i] = (fn_h[i] + fc
+                    fn_h[i] = (fn_h[i] + bh_l * qn_hl[i] - bh_r * qn_hr[i]
                                - cfg.ldg_tau * (u_hr[i] - u_hl[i]))
-            rows_fnh = stack_rows(fn_h)
-            fn_parts.extend(rows_fnh[:, hr[2]][hr[1]] for hr in halo_rows)
+            rows_fnh = jnp.concatenate(fn_h, axis=0)
+            fn_parts.extend(rows_fnh[:, hr[3]][hr[2]] for hr in halo_rows)
         pool_fn = jnp.concatenate(fn_parts, axis=1)
 
-        tdA2 = jnp.transpose(geoS["tdA"], (1, 0))   # (Pf, El)
-        tdA_r = jnp.repeat(tdA2, nF, axis=0)        # (Pf*F, El)
-        ntc_rows = jnp.concatenate(
-            [pool_fn[:, tabS["sel"][lf]] for lf in range(nf)],
-            axis=0) * tdA_r
-        ntc = ntc_rows.reshape(Pf, nF, El)
+        tdA_q = jnp.broadcast_to(
+            jnp.transpose(geoS["tdA"], (1, 0)).reshape(nf, 1, nfp, El),
+            (nf, nF, nfp, El))
+        ntc = (jnp.concatenate(
+            [pool_fn[:, tabS["sel"][lf]] for lf in range(nf)], axis=0)
+            .reshape(nf, nF, nfp, El) * tdA_q)
 
-        rhs_cat = jnp.concatenate([tdisf, ntc], axis=0)
-        div = dg(opp["opp_div_all"], rhs_cat)
+        div = dgq(opp_corr4, ntc)
+        for l in range(d):
+            div = div + dg(opp_div_parts[l], tdisf[l])
         rhs = -div * inv_det_u
         # freeze padding clones (zero rhs keeps them at their finite IC)
         return rhs * geo["pad_mask"][None, None, :]
