@@ -35,9 +35,10 @@ Layout notes (measured on TPU v5e, TGV p=4 16^3 bench):
   * (F, U, E) + field-batched GEMMs  2.05e8 — the 5->8 sublane pad of the
     (F, E) minor pair costs less than splitting each operator GEMM into
     F batched N=E GEMMs; one large-N=F*E GEMM wins.  Kept (U, F, E).
-Next (round 3): generalize the face groups to halo faces (r-side remote,
-filled from the ppermute recv buffer) so the sharded path
-(parallel/sharding.py) shares this layout.
+The sharded path (parallel/soa_sharding.py) runs this same layout inside
+shard_map: halo faces extend the face groups (r-side filled from the
+ppermute recv buffer), and the element-side viscous normal flux means
+only the F qn planes cross the ICI instead of d*F gradient planes.
 """
 
 from __future__ import annotations
