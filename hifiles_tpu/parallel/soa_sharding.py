@@ -7,9 +7,12 @@ gathered locally like any interior face, while its r-side data arrives by
 `lax.ppermute` — the sender gathers the partner rows for its OWN elements
 (grouped by the sender-side fpt patterns, so every send is the same two
 fast gather forms) and ships one (nfp*F, cols) buffer per ring offset
-(the send_solution / send_corrected_gradient analog,
-ref:src/mpi_inters.cpp:218-338).  The common flux at halo faces is
-evaluated one-sided on each shard, exactly like the slot path.
+(the send_solution analog, ref:src/mpi_inters.cpp:218-276).  The viscous
+exchange ships the F element-side NORMAL-flux (qn) planes instead of d*F
+physical-gradient planes — 3x less ICI traffic than the reference's
+send_corrected_gradient (ref:src/mpi_inters.cpp:278-338).  The common
+flux at halo faces is evaluated one-sided on each shard, exactly like
+the slot path.
 
 shard_map requires one program for all shards, so group signatures are
 UNIONED across shards and each group's face count is padded to the
