@@ -15,6 +15,7 @@ gate at the default BENCH_* sizes):
   overint polynomial de-aliasing (over_int_order = p + 2)
   smag    LES Smagorinsky SGS
   shock   Persson shock capture + exp filter + RoeM
+  rans    SA-RANS 6-field pipeline + source (Rusanov)
 Non-default BENCH_ORDER/MESH/STEPS runs are UNGATED: the JSON reports
 "gated": false and a notice goes to stderr.
 
@@ -44,6 +45,9 @@ GOLDENS = {
     # s0=0 fires the exp filter everywhere: rows are large by construction
     "shock": [1.088603258132e+00, 7.200572490692e+00, 7.200572013854e+00,
               2.065789848566e-01, 2.723395996093e+02],
+    # SA-RANS 6-field pipeline + source (Rusanov; no walls on the box)
+    "rans": [6.943910266273e-04, 4.966470599174e-02, 4.966454207897e-02,
+             6.387825310230e-02, 1.168259456754e-01],
 }
 
 # Per-config gate tolerance.  overint's extra large HIGHEST contractions
@@ -68,6 +72,10 @@ def configure(p, cfg_name):
     elif cfg_name == "shock":
         p.shock_cap, p.s0 = 1, 0.0     # filter fires everywhere: worst case
         p.riemann_solve_type = 2       # RoeM (BASELINE #5 pairing)
+    elif cfg_name == "rans":
+        p.RANS = 1                     # SA: 6-field pipeline + source
+        p.riemann_solve_type = 0       # Rusanov (HLLC invalid with RANS,
+        #                                ref:src/input.cpp analog)
     else:
         raise SystemExit(f"unknown BENCH_CONFIG '{cfg_name}'")
 
