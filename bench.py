@@ -36,18 +36,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # [6.7475e-4, 4.96598e-2, 4.96598e-2, 6.38773e-2, 1.12159e-1], ~4% off in
 # those fields); platform-to-platform f32 spread is ~1e-3, gate at 5e-3.
 GOLDENS = {
-    "plain": [6.942559266463e-04, 4.966582730412e-02, 4.966528341174e-02,
-              6.387555599213e-02, 1.171203181148e-01],
-    "overint": [7.043973891995e-04, 4.966741427779e-02, 4.966534301638e-02,
-                6.388367712497e-02, 1.197029054164e-01],
-    "smag": [6.919287843629e-04, 4.965830221772e-02, 4.965592548251e-02,
-             6.387890130281e-02, 1.165391653776e-01],
+    "plain": [6.943961489014e-04, 4.966602101922e-02, 4.966460168362e-02,
+              6.387749314308e-02, 1.171515956521e-01],
+    "overint": [7.042890647426e-04, 4.966627433896e-02, 4.966493695974e-02,
+                6.388366222382e-02, 1.196787953377e-01],
+    "smag": [6.919272127561e-04, 4.965798929334e-02, 4.965761303902e-02,
+             6.387990713120e-02, 1.165345534682e-01],
     # s0=0 fires the exp filter everywhere: rows are large by construction
-    "shock": [1.088603258132e+00, 7.200572490692e+00, 7.200572013854e+00,
-              2.065789848566e-01, 2.723395996093e+02],
-    # SA-RANS 6-field pipeline + source (Rusanov; no walls on the box)
-    "rans": [6.943910266273e-04, 4.966470599174e-02, 4.966454207897e-02,
-             6.387825310230e-02, 1.168259456754e-01],
+    "shock": [1.088602662086e+00, 7.200570583344e+00, 7.200584888458e+00,
+              2.065790295601e-01, 2.723397827148e+02],
+    # SA-RANS 6-field pipeline + source (Rusanov; no walls on the box —
+    # nu_tilde seeded at the free-stream level so the SA terms and the
+    # 6th residual row are live)
+    "rans": [6.940367165953e-04, 4.965478181839e-02, 4.965390637517e-02,
+             6.387882679701e-02, 1.167582497001e-01, 3.304140991531e-04],
 }
 
 # Per-config gate tolerance.  overint's extra large HIGHEST contractions
@@ -117,14 +119,19 @@ def main():
     p.L_free_stream = 1.0
     p.Mach_c_ic, p.T_c_ic, p.rho_c_ic = 0.1, 300.0, 0.0008421095852102401
     p.dt = 1.440389e-5
+    configure(p, cfg_name)   # BEFORE setup_params: RANS ICs + validation depend on it
     p.setup_params()
-    configure(p, cfg_name)
 
     mesh = periodic_hex_mesh(n1, n1, n1)
     # MXU pass count for f32 contractions: highest (default, ~6 bf16
     # passes) or high (3 passes); the accuracy gate below arbitrates
     precision = os.environ.get("BENCH_PRECISION", "highest")
     s = Solver(p, mesh, dtype=jnp.float32, precision=precision)
+    if cfg_name == "rans":
+        # the TGV IC leaves nu_tilde 0 (matching the reference's set_ics);
+        # seed the free-stream level so SA production/diffusion/destruction
+        # are live and the 6-row gate covers them
+        s.u = s.u.at[..., -1].set(p.mu_tilde_inf)
 
     dt = p.dt
     s.run(n_steps, dt=dt)        # warmup: compiles the gate-path chunk
@@ -174,7 +181,7 @@ def main():
              and gold is not None)
     if gated:
         gold = np.array(gold)
-        res = np.asarray(s.residual_norm(norm_type=1))[:5]
+        res = np.asarray(s.residual_norm(norm_type=1))[:len(gold)]
         rel = np.abs(res - gold) / gold
         rtol = GATE_RTOL.get(cfg_name, 5e-3)
         assert rel.max() < rtol, (

@@ -8,6 +8,7 @@ ref:src/source.cpp:107-112); here the vorticity magnitude generalizes to
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .viscous import sutherland_mu
@@ -40,7 +41,7 @@ def sa_source(u, grad_u, wall_dist, *, gamma, mu_inf, rt_inf, c_sth, fix_vis,
         S = jnp.sqrt(wx * wx + wy * wy + wz * wz)
 
     chi = nu_tilde_c / mu
-    psi = jnp.where(chi <= 10.0, 0.05 * jnp.log1p(jnp.exp(20.0 * chi)), chi)
+    psi = jnp.where(chi <= 10.0, 0.05 * jax.nn.softplus(20.0 * chi), chi)
     f_v1 = chi**3 / (chi**3 + c_v1**3)
     f_v2 = 1.0 - psi / (1.0 + psi * f_v1)
     kd2 = kappa**2 * wall_dist**2

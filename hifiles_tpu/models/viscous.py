@@ -8,6 +8,7 @@ flux, so entries carry the minus sign already).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -68,7 +69,7 @@ def viscous_flux(u, grad_u, *, gamma, prandtl, mu_inf, rt_inf, c_sth,
     if rans:
         # SA diffusion (ref:src/flux.cpp:225-241)
         nu_tilde = nu_tilde_c / rho
-        psi = jnp.where(chi <= 10.0, 0.05 * jnp.log1p(jnp.exp(20.0 * chi)), chi)
+        psi = jnp.where(chi <= 10.0, 0.05 * jax.nn.softplus(20.0 * chi), chi)
         dnu = (grad_u[..., n_dims + 2, :] - rho_d * nu_tilde[..., None]) / rho[..., None]
         sa_row = -(1.0 / omega) * (mu * (1.0 + psi))[..., None] * dnu
         rows.append(sa_row[..., None, :])

@@ -166,7 +166,6 @@ def build_over_int_ops(ops: ElementOps, over_int_order: int):
         loc = np.array([(r, s, z) for z in zc for (r, s) in tri_c])
         w = np.array([wt * wz for wz in wzc for wt in w_tc])
         dub = dubiner_2d(loc[:, :2], ops.order)          # (C, n_tri)
-        n_tri = dub.shape[1]
         phi = np.concatenate(
             [dub * legendre(loc[:, 2], k)[:, None]
              for k in range(ops.order + 1)], axis=1)     # (C, U)

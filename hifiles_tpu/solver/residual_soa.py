@@ -564,7 +564,7 @@ def visc_flux_p(u, gr, d, *, gamma, prandtl, mu_inf, rt_inf, c_sth, fix_vis,
     if rans:
         nu_tilde = nu_tilde_c * inv_rho
         psi = jnp.where(chi <= 10.0,
-                        0.05 * jnp.log1p(jnp.exp(20.0 * chi)), chi)
+                        0.05 * jax.nn.softplus(20.0 * chi), chi)
         coef = (1.0 / omega) * mu * (1.0 + psi)
         for mm in range(d):
             dnu = (gr[mm][d + 2] - gr[mm][0] * nu_tilde) * inv_rho
@@ -703,7 +703,7 @@ def sa_source_p(u, gr, wdist, d, *, gamma, mu_inf, rt_inf, c_sth, fix_vis,
         wz = dv[1][0] - dv[0][1]
         S = jnp.sqrt(wx * wx + wy * wy + wz * wz)
     chi = nu_tilde_c / mu
-    psi = jnp.where(chi <= 10.0, 0.05 * jnp.log1p(jnp.exp(20.0 * chi)), chi)
+    psi = jnp.where(chi <= 10.0, 0.05 * jax.nn.softplus(20.0 * chi), chi)
     f_v1 = chi**3 / (chi**3 + c_v1**3)
     f_v2 = 1.0 - psi / (1.0 + psi * f_v1)
     kd2 = kappa**2 * wdist * wdist

@@ -54,13 +54,20 @@ def golden_row(cfg_name):
     p.L_free_stream = 1.0
     p.Mach_c_ic, p.T_c_ic, p.rho_c_ic = 0.1, 300.0, 0.0008421095852102401
     p.dt = 1.440389e-5
+    bench.configure(p, cfg_name)   # BEFORE setup_params: RANS ICs + validation depend on it
     p.setup_params()
-    bench.configure(p, cfg_name)
 
     s = Solver(p, periodic_hex_mesh(16, 16, 16), dtype=jnp.float32)
+    if cfg_name == "rans":
+        # the TGV IC leaves nu_tilde 0 (matching the reference's set_ics);
+        # seed it at the free-stream level so the SA production/diffusion/
+        # destruction terms are live and the gate covers them
+        s.u = s.u.at[..., -1].set(p.mu_tilde_inf)
     s.run(10, dt=p.dt)
     s.run(10, dt=p.dt)
-    return [float(x) for x in np.asarray(s.residual_norm(norm_type=1))[:5]]
+    n_gate = 6 if cfg_name == "rans" else 5
+    return [float(x)
+            for x in np.asarray(s.residual_norm(norm_type=1))[:n_gate]]
 
 
 if __name__ == "__main__":

@@ -46,8 +46,8 @@ def main():
     p.L_free_stream = 1.0
     p.Mach_c_ic, p.T_c_ic, p.rho_c_ic = 0.1, 300.0, 0.0008421095852102401
     p.dt = 1.440389e-5
+    bench_mod.configure(p, cfg_name)   # BEFORE setup_params: RANS ICs + validation depend on it
     p.setup_params()
-    bench_mod.configure(p, cfg_name)
 
     s = Solver(p, periodic_hex_mesh(n1, n1, n1), dtype=jnp.float32)
     s.run(10, dt=p.dt)          # compile + warm
