@@ -214,3 +214,26 @@ def test_soa_svv_steps():
     from test_les import tgv_input as les_tgv
     p = les_tgv(les=1, sgs_model=3)
     _run_pair(p, lambda: periodic_hex_mesh(3, 3, 3))
+
+
+def test_soa_rans_f32_high_chi():
+    """f32 regression for the SA psi softplus: chi > 4.4 overflowed the
+    naive log1p(exp(20*chi)) in f32 (exp(100) = inf -> NaN), which the
+    f64 suite never sees.  Seed nu_tilde at the free-stream level (chi=5)
+    and require a finite f32 residual."""
+    import jax.numpy as jnp
+    from test_rans_viscous_bc import _rans_channel_input
+    from hifiles_tpu.config.params import ADIABAT_WALL, BCParams, CYCLIC
+    from hifiles_tpu.mesh.generate import channel_quad_mesh
+    p = _rans_channel_input()
+    p.bc_list = [BCParams(name="Cyc", flag=CYCLIC),
+                 BCParams(name="CycX", flag=CYCLIC),
+                 BCParams(name="Wall", flag=ADIABAT_WALL)]
+    mesh = channel_quad_mesh(8, 4, 0.0, 4.0, 0.0, 1.0,
+                             bc_x="Cyc", bc_X="Cyc", bc_y="Wall")
+    mesh.bc_id[mesh.bc_id == 1] = 0
+    mesh.bc_names = ["Cyc", "unused", "Wall"]
+    s = Solver(p, mesh, dtype=jnp.float32)
+    s.u = s.u.at[..., -1].set(5.0 * p.mu_inf)     # chi ~= 5
+    r = np.asarray(s.residual_fn(s.u))
+    assert np.isfinite(r).all(), "f32 SA residual not finite"
