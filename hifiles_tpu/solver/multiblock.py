@@ -438,23 +438,47 @@ class MixedSolver:
         self.residual_fn = make_mixed_residual_fn(self.mt, self.rcfg, dtype,
                                                   bc_fns, wm_tables=wm_tables)
 
+        # mixed SoA (U_t, F, E_t) fast path (residual_mixed_soa.py):
+        # numerically identical (tests/test_mixed_soa.py), default for the
+        # time loop; opt out with HIFILES_NO_SOA=1
+        import os as _os
+        self.residual_soa = None
+        if not _os.environ.get("HIFILES_NO_SOA"):
+            from .residual_mixed_soa import make_mixed_residual_soa
+            self.residual_soa = make_mixed_residual_soa(
+                self.mt, self.rcfg, dtype, bc_fns, wm_tables=wm_tables)
+        from ..utils import log_residual_path
+        log_residual_path("MixedSolver",
+                          "mixed-SoA (fast)" if self.residual_soa is not None
+                          else "slot (fallback, up to 20x slower)")
+
         # per-block shock capture / SVV (ref:src/HiFiLES.cpp:211-218,
         # ref:src/eles.cpp:2087-2089)
         post_stage = None
+        self._post_stage_soa = None
         self.sensor_fns = None
         if run_input.shock_cap:
-            from ..ops.stabilization import make_shock_capture_fn
+            from ..ops.stabilization import (make_shock_capture_fn,
+                                             make_shock_capture_soa)
             caps = {}
+            caps_soa = {}
             for ct in cts:
                 caps[ct] = make_shock_capture_fn(
                     ops_by_ct[ct], run_input.s0, run_input.expf_fac,
                     run_input.expf_order, run_input.expf_cutoff,
                     run_input.shock_det_field, self.n_dims, dtype)
+                caps_soa[ct] = make_shock_capture_soa(
+                    ops_by_ct[ct], run_input.s0, run_input.expf_fac,
+                    run_input.expf_order, run_input.expf_cutoff,
+                    run_input.shock_det_field, self.n_dims, dtype)
             post_stage = lambda ut: tuple(
                 caps[ct](u)[0] for ct, u in zip(cts, ut))
+            self._post_stage_soa = lambda ut: tuple(
+                caps_soa[ct](u) for ct, u in zip(cts, ut))
             self.sensor_fns = {ct: (lambda u, c=caps[ct]: c(u)[1])
                                for ct in cts}
         self._pre_step = None
+        self._pre_step_soa = None
         if run_input.LES and run_input.SGS_model == 3:
             from ..ops.les_filter import build_les_filter
             svv = {ct: jnp.asarray(build_les_filter(
@@ -462,6 +486,10 @@ class MixedSolver:
                 run_input.filter_ratio), dtype=dtype) for ct in cts}
             self._pre_step = lambda ut: tuple(
                 jnp.einsum("ku,euf->ekf", svv[ct], u)
+                for ct, u in zip(cts, ut))
+            self._pre_step_soa = lambda ut: tuple(
+                jax.lax.dot_general(svv[ct], u, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=dtype)
                 for ct, u in zip(cts, ut))
         self._step = make_step_fn(self.residual_fn, run_input.adv_type,
                                   post_stage=post_stage)
@@ -475,14 +503,39 @@ class MixedSolver:
         self.reg = jax.tree.map(jnp.zeros_like, self.u)
         self.time = 0.0
 
-        def run_chunk(state, dt, n_steps):
-            def body(carry, _):
-                u, r = carry
-                if self._pre_step is not None:
-                    u = self._pre_step(u)
-                return self._step(u, r, dt), None
-            state, _ = jax.lax.scan(body, state, None, length=n_steps)
-            return state
+        if self.residual_soa is not None:
+            step_soa = make_step_fn(self.residual_soa, run_input.adv_type,
+                                    post_stage=self._post_stage_soa)
+            pre_soa = self._pre_step_soa
+
+            def run_chunk(state, dt, n_steps):
+                # transpose each block to elements-minor once per chunk;
+                # the whole scan runs on (U_t, F, E_t) state.  Local dt
+                # arrives as an (E_t, 1, 1) tuple for the (E, U, F)
+                # layout; re-lay it out along the minor element axis.
+                tr = lambda t: tuple(jnp.transpose(a, (1, 2, 0)) for a in t)
+                bk = lambda t: tuple(jnp.transpose(a, (2, 0, 1)) for a in t)
+                dt_c = (tuple(jnp.reshape(a, (1, 1, -1)) for a in dt)
+                        if isinstance(dt, tuple) else dt)
+                us, rs = tr(state[0]), tr(state[1])
+
+                def body(carry, _):
+                    u = carry[0]
+                    if pre_soa is not None:
+                        u = pre_soa(u)
+                    return step_soa(u, carry[1], dt_c), None
+                (us, rs), _ = jax.lax.scan(body, (us, rs), None,
+                                           length=n_steps)
+                return bk(us), bk(rs)
+        else:
+            def run_chunk(state, dt, n_steps):
+                def body(carry, _):
+                    u, r = carry
+                    if self._pre_step is not None:
+                        u = self._pre_step(u)
+                    return self._step(u, r, dt), None
+                state, _ = jax.lax.scan(body, state, None, length=n_steps)
+                return state
 
         self._run_chunk = jax.jit(run_chunk, static_argnums=2,
                                   donate_argnums=0)
