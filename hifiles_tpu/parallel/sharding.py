@@ -668,16 +668,21 @@ class ShardedSolver:
         self._residual_shard = self._make_shard_residual()
 
         # SoA (U, F, El) fast path inside shard_map (soa_sharding.py):
-        # same guards as the single-device SoA residual, plus no inlet /
-        # shock-capture / SVV hooks (those run in the (El, U, F) layout)
+        # covers the feature physics since round 4 (LES eddy+similarity,
+        # over-integration, SA-RANS, wall models, SEM inlets; shock
+        # capture / SVV run as SoA post/pre stages) — same coverage as
+        # the single-device SoA residual.  RANS+HLLC stays on the slot
+        # path (HLLC star states carry no SA field).
         self._residual_soa_shard = None
         import os as _os
         cfg = self.rcfg
-        if (not _os.environ.get("HIFILES_NO_SOA") and not cfg.les
-                and not cfg.rans and not cfg.over_int and cfg.fused
-                and not self.has_wm and self._ti_core is None
-                and base._post_stage is None and base._pre_step is None
-                and (cfg.equation != 0 or self.n_fields == ops.n_dims + 2)):
+        if (not _os.environ.get("HIFILES_NO_SOA") and cfg.fused
+                and not (cfg.rans
+                         and cfg.riemann_solve_type == riemann.HLLC)
+                and not (cfg.over_int and block.jginv_over is None)
+                and (cfg.equation != 0
+                     or self.n_fields == ops.n_dims
+                     + (3 if cfg.rans else 2))):
             from .soa_sharding import (build_soa_shard_tables,
                                        make_shard_residual_soa)
             out = build_soa_shard_tables(block, self.tables, owner_flat,
@@ -689,8 +694,23 @@ class ShardedSolver:
                     self.tabs["soa_" + k] = i32(v)
                 for k, v in geoS_np.items():
                     self.geo["soa_" + k] = f(v)
+                if cfg.over_int:
+                    self.geo["jginv_over"] = f(
+                        block.jginv_over[owner_flat].reshape(
+                            (self.n_shards, El) + block.jginv_over.shape[1:]))
+                    self.opp["opp_over"] = f(block.opp_over)
+                    self.opp["over_filter"] = f(block.over_filter)
+                if self.has_wm:
+                    self.tabs["soa_wm_ele"] = self.tabs["wm_ele"]
+                    self.tabs["soa_wm_upt"] = self.tabs["wm_upt"]
+                    self.geo["soa_wm_dist"] = self.geo["wm_dist"]
                 self._residual_soa_shard = make_shard_residual_soa(
                     self, meta)
+        from ..utils import log_residual_path
+        self.run_path = ("sharded SoA (fast)"
+                         if self._residual_soa_shard is not None
+                         else "sharded slot (fallback, up to 20x slower)")
+        log_residual_path("ShardedSolver", self.run_path)
 
         self._step_jit = jax.jit(self._make_step(), static_argnums=2,
                                  donate_argnums=0)
@@ -931,10 +951,15 @@ class ShardedSolver:
         residual = self._residual_shard
         soa_res = self._residual_soa_shard
         # shock capture after every stage + SVV pre-filter per step
-        # (closures are shard-shape agnostic; ref:src/HiFiLES.cpp:211-218)
-        post = self.base._post_stage
+        # (closures are shard-shape agnostic; ref:src/HiFiLES.cpp:211-218);
+        # the SoA path uses the elements-minor variants
+        if soa_res is not None:
+            post = self.base._post_stage_soa
+            pre = self.base._pre_step_soa
+        else:
+            post = self.base._post_stage
+            pre = self.base._pre_step
         ps = post if post is not None else (lambda x: x)
-        pre = self.base._pre_step
 
         def sq(tree):
             return jax.tree.map(lambda v: v[0], tree)
@@ -1125,7 +1150,9 @@ class ShardedSolver:
             return self.p.dt
         if self.rcfg.equation != 0:
             return self.p.dt
-        if not hasattr(self, "_dt_jit"):
+        dt_key = (self.p.dt_type, float(self.p.CFL))
+        if getattr(self, "_dt_key", None) != dt_key:
+            self._dt_key = dt_key
             self._dt_jit = self._make_dt_fn()
         return self._dt_jit(self.u, self.geo["h_ref"],
                             self.geo["pad_mask"])
@@ -1193,6 +1220,16 @@ class ShardedSolver:
         out = np.empty((self.n_eles,) + u.shape[1:], dtype=u.dtype)
         out[self.owner.reshape(-1)[real]] = u[real]
         return out
+
+    def scatter_u(self, u_global) -> None:
+        """Inverse of gather_u: distribute a global (E, U, F) solution
+        onto the owner-sharded device layout (padding clones replicate
+        their shard's first element, as at init)."""
+        u = np.asarray(u_global)
+        self.u = jax.device_put(
+            jnp.asarray(u[self.owner.reshape(-1)].reshape(self.u.shape),
+                        self.dtype),
+            self.u.sharding)
 
     # ------------------------------------------------------------------
     # checkpoint/resume: the same rank-count-independent HDF5 layout as

@@ -28,7 +28,9 @@ import jax
 import jax.numpy as jnp
 
 from ..solver.residual_soa import (hllc_p, ldg_sign_p, lf_p, roem_p,
-                                   rusanov_p, visc_flux_p)
+                                   rusanov_p, sa_source_p, sgs_flux_p,
+                                   similarity_flux_p, similarity_terms_p,
+                                   visc_flux_p)
 
 RUSANOV, LAX_FRIEDRICHS, ROEM, HLLC = 0, 1, 2, 3
 
@@ -280,6 +282,18 @@ def build_soa_shard_tables(block, tables, owner_flat, n_shards, El, nF,
     geoS["jgf"] = jginv_slot.reshape(n, El, Pf, d, d).transpose(
         0, 3, 4, 2, 1)
     geoS["invdetf"] = invdet_slot.reshape(n, El, Pf).transpose(0, 2, 1)
+    # LES cutoff length + wall distance planes at element fpts (the
+    # element-side SGS face flux, ref:src/eles.cpp:2480-2481)
+    ref_vol = {1: 4.0, 4: 8.0, 0: 2.0, 2: 4.0 / 3.0, 3: 4.0}[ops.ele_type]
+    delta_slot = ((block.detjac_fpts * ref_vol) ** (1.0 / d)
+                  / (ops.order + 1)).reshape(E, Pf)
+    wdist_slot = (block.wall_dist_fpts.reshape(E, Pf)
+                  if getattr(block, "wall_dist_fpts", None) is not None
+                  else np.full((E, Pf), 1e10))
+    geoS["delta_f"] = delta_slot[owner_flat].reshape(n, El, Pf).transpose(
+        0, 2, 1)
+    geoS["wdist_f"] = wdist_slot[owner_flat].reshape(n, El, Pf).transpose(
+        0, 2, 1)
     if Fb:
         tabS["rows_b"] = rows_b
         tabS["ele_b"] = ele_b
@@ -311,7 +325,24 @@ def make_shard_residual_soa(solver, meta):
     offsets = meta["offsets"]
     gamma, Pr = cfg.gamma, cfg.prandtl
     visc_kw = dict(gamma=gamma, prandtl=Pr, mu_inf=cfg.mu_inf,
-                   rt_inf=cfg.rt_inf, c_sth=cfg.c_sth, fix_vis=cfg.fix_vis)
+                   rt_inf=cfg.rt_inf, c_sth=cfg.c_sth, fix_vis=cfg.fix_vis,
+                   rans=cfg.rans, prandtl_t=cfg.prandtl_t, c_v1=cfg.c_v1,
+                   omega=cfg.omega)
+    # feature physics (round-4: the sharded twin of the single-device SoA
+    # coverage, solver/residual_soa.py).  The similarity face flux enters
+    # the element-side qn planes, so the reference's THIRD halo exchange
+    # (send_sgsf_fpts, ref:src/mpi_inters.cpp:339-398) collapses into the
+    # qn ppermute — no extra ICI traffic.
+    use_eddy = cfg.les and cfg.sgs_model in (0, 1, 2) and cfg.viscous
+    use_similarity = cfg.les and cfg.sgs_model in (2, 4) and cfg.viscous
+    sgs_kw = dict(sgs_model=cfg.sgs_model, C_s=cfg.C_s, gamma=gamma,
+                  prandtl_t=cfg.prandtl_t, kappa=cfg.kappa)
+    if use_similarity:
+        from ..ops.les_filter import build_les_filter
+        les_filter = jnp.asarray(
+            build_les_filter(solver.base.ops, cfg.filter_type,
+                             cfg.filter_ratio), dtype=dtype)
+    has_wm = getattr(solver, "has_wm", False)
     nG = len(meta["int_rows"])
     nH = len(meta["halo_rows"])
 
@@ -388,10 +419,15 @@ def make_shard_residual_soa(solver, meta):
         ws = [float(cfg.wave_speed[m]) for m in range(d)]
         return lf_p(u_l, u_r, norm, ws, cfg.lambda_lf)
 
-    def visc_faces(u_p, g_p):
+    def visc_faces(u_p, g_p, delta_f=None, wdist_f=None):
         if cfg.equation == 1:
             return [[-cfg.diff_coeff * g_p[m][0]] for m in range(d)]
-        return visc_flux_p(u_p, g_p, d, **visc_kw)
+        fv = visc_flux_p(u_p, g_p, d, **visc_kw)
+        if use_eddy:
+            ee = sgs_flux_p(u_p, g_p, cfg.filter_ratio * delta_f, wdist_f,
+                            d, **sgs_kw)
+            fv = [[a + b for a, b in zip(fv[m], ee[m])] for m in range(d)]
+        return fv
 
     def exchange(bufs):
         """bufs: {offset: (rows, cols)} -> concat of ppermute'd recvs."""
@@ -407,6 +443,12 @@ def make_shard_residual_soa(solver, meta):
         jg_u = [[jnp.transpose(geo["jginv_upts"][:, :, l, m])[:, None, :]
                  for m in range(d)] for l in range(d)]
         inv_det_u = jnp.transpose(1.0 / geo["detjac_upts"])[:, None, :]
+        if use_eddy or cfg.rans:
+            delta_u = jnp.transpose(geo["delta_upts"])       # (U, El)
+            wdist_u = jnp.transpose(geo["wdist_upts"])
+        if cfg.over_int:
+            jg_o = [[jnp.transpose(geo["jginv_over"][:, :, l, m])
+                     [:, None, :] for m in range(d)] for l in range(d)]
 
         disu_f = dg(opp["opp_0"], u)              # (Pf, F, El)
         d2 = disu_f.reshape(Pf * nF, El)
@@ -490,39 +532,77 @@ def make_shard_residual_soa(solver, meta):
             tgf2 = [tgf3[:, m * nF:(m + 1) * nF].reshape(Pf * nF, El)
                     for m in range(d)]
 
-        # volume flux
-        up = [u[:, i] for i in range(nF)]
-        if cfg.equation == 1:
-            fl = [[up[0] * cfg.wave_speed[m]] for m in range(d)]
-        else:
-            inv_rho = 1.0 / up[0]
-            v = [up[1 + m] * inv_rho for m in range(d)]
+        # volume flux (the single-device SoA stage 4, residual_soa.py)
+        def inv_flux_planes(x):
+            if cfg.equation == 1:
+                return [[x[:, 0] * cfg.wave_speed[m]] for m in range(d)]
+            xp = [x[:, i] for i in range(nF)]
+            inv_rho = 1.0 / xp[0]
+            v = [xp[1 + m] * inv_rho for m in range(d)]
             q2v = sum(vi * vi for vi in v)
-            pp = (gamma - 1.0) * (up[d + 1] - 0.5 * up[0] * q2v)
-            hp = up[d + 1] + pp
-            fl = []
+            pp = (gamma - 1.0) * (xp[d + 1] - 0.5 * xp[0] * q2v)
+            hp = xp[d + 1] + pp
+            out = []
             for mm in range(d):
-                rows = [up[1 + mm]]
+                rows = [xp[1 + mm]]
                 for i in range(d):
-                    r_ = up[1 + i] * v[mm]
+                    r_ = xp[1 + i] * v[mm]
                     if i == mm:
                         r_ = r_ + pp
                     rows.append(r_)
                 rows.append(hp * v[mm])
-                fl.append(rows)
+                for k in range(d + 2, nF):   # SA advection
+                    rows.append(xp[k] * v[mm])
+                out.append(rows)
+            return out
+
+        def stackj(pl):
+            return (jnp.stack(pl, axis=1) if len(pl) > 1
+                    else pl[0][:, None, :])
+
+        up = [u[:, i] for i in range(nF)]
+        fv = None
+        simf = None
+        grp = None
         if cfg.viscous:
             if cfg.equation == 1:
-                for m in range(d):
-                    fl[m][0] = fl[m][0] - cfg.diff_coeff * gr[m][:, 0]
+                fv = [[-cfg.diff_coeff * gr[m][:, 0]] for m in range(d)]
             else:
                 grp = [[gr[l][:, i] for i in range(nF)] for l in range(d)]
                 fv = visc_flux_p(up, grp, d, **visc_kw)
+                if use_eddy:
+                    fvs = sgs_flux_p(up, grp,
+                                     cfg.filter_ratio * delta_u, wdist_u,
+                                     d, **sgs_kw)
+                    fv = [[a + b for a, b in zip(fv[m], fvs[m])]
+                          for m in range(d)]
+                if use_similarity:
+                    Lu, Le = similarity_terms_p(
+                        up, lambda x: dg(les_filter, x), d)
+                    simf = similarity_flux_p(up, Lu, Le, gamma, d)
+        if cfg.over_int:
+            u_over = dg(opp["opp_over"], u)            # (C2, F, El)
+            flj_o = [stackj(r) for r in inv_flux_planes(u_over)]
+            fvj = ([stackj(fv[m]) for m in range(d)]
+                   if fv is not None else None)
+            tdisf = []
+            for l in range(d):
+                t = dg(opp["over_filter"],
+                       sum(jg_o[l][m] * flj_o[m] for m in range(d)))
+                if fvj is not None:
+                    t = t + sum(jg_u[l][m] * fvj[m] for m in range(d))
+                tdisf.append(t)
+        else:
+            fl = inv_flux_planes(u)
+            if fv is not None:
                 fl = [[a + b for a, b in zip(fl[m], fv[m])]
                       for m in range(d)]
-        flj = [jnp.stack(fl[m], axis=1) if len(fl[m]) > 1
-               else fl[m][0][:, None, :] for m in range(d)]
-        tdisf = [sum(jg_u[l][m] * flj[m] for m in range(d))
-                 for l in range(d)]                    # d x (U, F, El)
+            if simf is not None:
+                fl = [[a + b for a, b in zip(fl[m], simf[m])]
+                      for m in range(d)]
+            flj = [stackj(fl[m]) for m in range(d)]
+            tdisf = [sum(jg_u[l][m] * flj[m] for m in range(d))
+                     for l in range(d)]                # d x (U, F, El)
 
         # common interface fluxes
         fn = common_inv_flux_p(u_l, u_r, norm_i)
@@ -538,7 +618,19 @@ def make_shard_residual_soa(solver, meta):
             g_f = [[sum(jgf[m, l] * tgf_pl[m][i] for m in range(d)) * ivf
                     for i in range(nF)] for l in range(d)]
             u_f = [disu_f[:, i] for i in range(nF)]
-            fv_e = visc_faces(u_f, g_f)
+            fv_e = visc_faces(u_f, g_f, geoS.get("delta_f"),
+                              geoS.get("wdist_f"))
+            if use_similarity:
+                # extrapolate the upts similarity flux for all dims in ONE
+                # GEMM; its normal flux rides the qn planes — the
+                # reference's third exchange (send_sgsf_fpts) needs no
+                # separate ppermute (ref:src/mpi_inters.cpp:339-398)
+                sf_cat = jnp.concatenate(
+                    [stackj(simf[m]) for m in range(d)], axis=1)
+                sff3 = dg(opp["opp_0"], sf_cat)        # (Pf, d*F, El)
+                fv_e = [[a + sff3[:, m * nF + i]
+                         for i, a in enumerate(fv_e[m])]
+                        for m in range(d)]
             normf = geoS["normf"]                  # (d, Pf, El)
             qn = [sum(fv_e[m][i] * normf[m] for m in range(d))
                   for i in range(nF)]
@@ -575,9 +667,16 @@ def make_shard_residual_soa(solver, meta):
                 tgb = jnp.stack(tb, axis=-1)
                 from ..solver.kernels import adjT_apply
                 g_b = adjT_apply(geoS["jginv_b"], tgb, geoS["invdet_b"])
+                wm_kw = {}
+                if has_wm:
+                    # wall-model input state gathered from the SoA volume
+                    # solution (ref:src/eles.cpp:4873-4903)
+                    wm_kw = dict(
+                        wm_state=u[tabS["wm_upt"], :, tabS["wm_ele"]],
+                        wm_dist=geoS["wm_dist"])
                 fn_b = fn_b + bc_fns.visc_common_flux(
                     u_bl, g_b, geoS["norm_b"], None, P=bcP, ramp=ramp,
-                    fluc=fluc)
+                    fluc=fluc, **wm_kw)
             fn_parts.append(jnp.transpose(fn_b, (2, 1, 0)).reshape(
                 nF * nfp, Fb))
         if nH:
@@ -606,9 +705,22 @@ def make_shard_residual_soa(solver, meta):
             .reshape(nf, nF, nfp, El) * tdA_q)
 
         div = dgq(opp_corr4, ntc)
-        for l in range(d):
-            div = div + dg(opp_div_parts[l], tdisf[l])
+        if cfg.over_int:
+            div = div + dg(opp["opp_div_fused"],
+                           jnp.concatenate(tdisf, axis=0))
+        else:
+            for l in range(d):
+                div = div + dg(opp_div_parts[l], tdisf[l])
         rhs = -div * inv_det_u
+        if cfg.rans:
+            # SA source (ref:src/eles.cpp:2650, ref:src/source.cpp:33-105)
+            src = sa_source_p(
+                up, grp, wdist_u, d, gamma=gamma, mu_inf=cfg.mu_inf,
+                rt_inf=cfg.rt_inf, c_sth=cfg.c_sth, fix_vis=cfg.fix_vis,
+                kappa=cfg.kappa, c_v1=cfg.c_v1, c_v2=cfg.c_v2,
+                c_v3=cfg.c_v3, c_b1=cfg.c_b1, c_b2=cfg.c_b2,
+                c_w2=cfg.c_w2, c_w3=cfg.c_w3, omega=cfg.omega)
+            rhs = rhs.at[:, d + 2, :].add(src)
         # freeze padding clones (zero rhs keeps them at their finite IC)
         return rhs * geo["pad_mask"][None, None, :]
 

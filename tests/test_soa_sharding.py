@@ -54,6 +54,91 @@ def test_soa_shard_boundaries_unequal_shards():
     assert diff < 1e-12, diff
 
 
+# ----------------------------------------------------------------------
+# round-4: feature physics through the sharded SoA path (8-dev == 1-dev)
+# ----------------------------------------------------------------------
+
+def _pair(p, mesh, n=3, n_dev=8, perturb=None):
+    ss = ShardedSolver(p, mesh, devices=jax.devices()[:n_dev],
+                       dtype=jnp.float64)
+    assert ss._residual_soa_shard is not None, \
+        "sharded SoA path should activate for this feature config"
+    s1 = Solver(p, mesh, dtype=jnp.float64)
+    if perturb is not None:
+        u = perturb(np.asarray(s1.u))
+        s1.u = jnp.asarray(u, s1.dtype)
+        ss.u = jax.device_put(
+            jnp.asarray(u[ss.owner.reshape(-1)].reshape(ss.u.shape),
+                        ss.dtype), ss.u.sharding)
+    ss.run(n, dt=p.dt)
+    s1.run(n, dt=p.dt)
+    diff = np.abs(np.asarray(ss.gather_u()) - np.asarray(s1.u)).max()
+    scale = max(np.abs(np.asarray(s1.u)).max(), 1.0)
+    assert diff < 1e-11 * scale, diff
+
+
+def _noise(seed=0, amp=0.02):
+    def f(u):
+        rng = np.random.default_rng(seed)
+        return u * (1.0 + amp * rng.random(u.shape))
+    return f
+
+
+@pytest.mark.parametrize("model", [0, 1, 4])
+def test_soa_shard_les_models(model):
+    """Eddy + similarity SGS on the sharded SoA path; the similarity
+    normal flux rides the qn exchange (the send_sgsf_fpts analog)."""
+    from test_les import tgv_input as les_tgv
+    p = les_tgv(les=1, sgs_model=model)
+    p.order = 2
+    _pair(p, periodic_hex_mesh(4, 2, 2), perturb=_noise())
+
+
+def test_soa_shard_over_int():
+    p = tgv_input()
+    p.order = 2
+    p.over_int, p.over_int_order = 1, 4
+    _pair(p, periodic_hex_mesh(4, 2, 2), perturb=_noise())
+
+
+def test_soa_shard_shock_capture():
+    p = tgv_input()
+    p.order = 2
+    p.shock_cap, p.s0 = 1, 0.0
+    p.riemann_solve_type = 2            # RoeM (BASELINE #5 pairing)
+    _pair(p, periodic_hex_mesh(4, 2, 2), perturb=_noise())
+
+
+def test_soa_shard_svv():
+    from test_les import tgv_input as les_tgv
+    p = les_tgv(les=1, sgs_model=3)
+    p.order = 2
+    _pair(p, periodic_hex_mesh(4, 2, 2), perturb=_noise())
+
+
+def test_soa_shard_rans_channel():
+    """SA-RANS 6-field pipeline + source through the sharded SoA path."""
+    from hifiles_tpu.config.params import ADIABAT_WALL, BCParams, CYCLIC
+    from test_rans_viscous_bc import _rans_channel_input
+    p = _rans_channel_input()
+    p.bc_list = [BCParams(name="Cyc", flag=CYCLIC),
+                 BCParams(name="CycX", flag=CYCLIC),
+                 BCParams(name="Wall", flag=ADIABAT_WALL)]
+    mesh = channel_quad_mesh(8, 4, 0.0, 4.0, 0.0, 1.0,
+                             bc_x="Cyc", bc_X="Cyc", bc_y="Wall")
+    mesh.bc_id[mesh.bc_id == 1] = 0
+    mesh.bc_names = ["Cyc", "unused", "Wall"]
+    _pair(p, mesh, n_dev=7, perturb=_noise())
+
+
+def test_soa_shard_wall_model():
+    """Wall-modeled LES channel: wm input state gathered from the sharded
+    SoA volume solution."""
+    from test_mixed_wall_model import _channel_mesh, _wm_input
+    p = _wm_input()
+    _pair(p, _channel_mesh(), n_dev=7, perturb=_noise())
+
+
 def test_soa_shard_opt_out(monkeypatch):
     monkeypatch.setenv("HIFILES_NO_SOA", "1")
     p = tgv_input()
