@@ -448,9 +448,9 @@ class MixedSolver:
             self.residual_soa = make_mixed_residual_soa(
                 self.mt, self.rcfg, dtype, bc_fns, wm_tables=wm_tables)
         from ..utils import log_residual_path
-        log_residual_path("MixedSolver",
-                          "mixed-SoA (fast)" if self.residual_soa is not None
-                          else "slot (fallback, up to 20x slower)")
+        self.run_path = ("mixed-SoA (fast)" if self.residual_soa is not None
+                         else "slot (fallback, up to 20x slower)")
+        log_residual_path("MixedSolver", self.run_path)
 
         # per-block shock capture / SVV (ref:src/HiFiLES.cpp:211-218,
         # ref:src/eles.cpp:2087-2089)

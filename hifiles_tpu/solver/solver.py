@@ -272,6 +272,8 @@ class Solver:
                         and not self._forcing and not self._avg)
         self._run_chunk = jax.jit(self._make_run_chunk(), static_argnums=2,
                                   donate_argnums=0)
+        from ..utils import log_residual_path
+        log_residual_path("Solver", self.run_path)
 
     # ------------------------------------------------------------------
     def _make_run_chunk(self):
@@ -287,6 +289,7 @@ class Solver:
         if self._simple:
             if self.residual_soa is not None and (pre is None
                                                   or pre_soa is not None):
+                self.run_path = "SoA (fast)"
                 from .step import make_step_fn as _mk
                 step_soa = _mk(self.residual_soa, p.adv_type,
                                post_stage=self._post_stage_soa)
@@ -316,6 +319,7 @@ class Solver:
                 return run_chunk
 
             if self.residual_fm is not None and pre is None:
+                self.run_path = "field-major (fast)"
                 from .step import make_step_fn as _mk
                 step_fm = _mk(self.residual_fm, p.adv_type)
 
@@ -332,6 +336,8 @@ class Solver:
                     return (jnp.transpose(ufm, (0, 2, 1)),
                             jnp.transpose(rfm, (0, 2, 1)))
                 return run_chunk
+
+            self.run_path = "slot (fallback, up to 20x slower)"
 
             def run_chunk(state, dt, n_steps):
                 def body(carry, _):
@@ -364,6 +370,118 @@ class Solver:
         if avg:
             avg_fields = list(p.average_fields)
             spinup = p.spinup_time
+
+        # "Non-simple" runs (SEM inlets, BC ramping, body forcing, time
+        # averages) stay on the SoA fast path too (round 4): the inlet
+        # face extraction is one opp_0 GEMM, forcing is a reduction over
+        # static gathers, averaging is elementwise on (U, K, E) planes —
+        # only the fluc/source/average bookkeeping differs from _simple
+        # (ref:src/eles.cpp:5281-5484, :5630-5700, bdy_inters.cpp:1478).
+        if self.residual_soa is not None and (self._pre_step is None
+                                              or pre_soa is not None):
+            self.run_path = "SoA featured (fast)"
+            residual_soa = self.residual_soa
+            post_soa = self._post_stage_soa
+            Pf = self.ops.n_fpts
+            if ti is not None:
+                bs = self.block.bdy_slot
+                nfp_b = bs.shape[1]
+                ti_rows = jnp.asarray(
+                    ((bs % Pf)[:, :, None] * nF
+                     + np.arange(nF)[None, None, :]).reshape(
+                        bs.shape[0], nfp_b * nF), jnp.int32)
+                ti_eles = jnp.asarray(bs[:, 0] // Pf, jnp.int32)
+            if forcing:
+                fs = self._force_slots
+                frows = [jnp.asarray((fs % Pf) * nF + k, jnp.int32)
+                         for k in (0, 1)]
+                fcols = jnp.asarray(fs // Pf, jnp.int32)
+
+            def run_chunk(state, dt, n_steps):
+                u0, r0, k0, ti0, mdot0_, tsim0, uavg0 = state
+                us = jnp.transpose(u0, (1, 2, 0))
+                rs = jnp.transpose(r0, (1, 2, 0))
+                ua0 = (jnp.transpose(uavg0, (1, 2, 0)) if avg else uavg0)
+                dt_c = (jnp.reshape(dt, (1, 1, -1))
+                        if getattr(dt, "ndim", 0) == 3 else dt)
+
+                def body(carry, _):
+                    u, r, k, ti_state, mdot_old, t_sim, ua = carry
+                    if pre_soa is not None:
+                        u = pre_soa(u)
+                    ramp = k.astype(dtype) if has_ramp else None
+                    fluc = None
+                    dt_s = (jnp.min(dt_c) if hasattr(dt_c, "ndim")
+                            and dt_c.ndim else dt_c)
+                    if ti is not None or forcing:
+                        d2 = jax.lax.dot_general(
+                            opp_0, u, (((1,), (0,)), ((), ())),
+                            precision=prec,
+                            preferred_element_type=dtype).reshape(
+                                Pf * nF, -1)
+                    if ti is not None:
+                        u_bl = d2[ti_rows, ti_eles[:, None]].reshape(
+                            ti_rows.shape[0], -1, nF)
+                        ti_state, fluc = ti.update(ti_state, u_bl, dt_s)
+                    source = None
+                    if forcing:
+                        # channel/hill bulk-momentum forcing
+                        # (ref:src/eles.cpp:5281-5484 evaluate_body_force)
+                        rho_pl = d2[frows[0], fcols]
+                        mom_pl = d2[frows[1], fcols]
+                        mflux = jnp.sum(fwdA * mom_pl)
+                        rho_int = jnp.sum(fwdA * rho_pl)
+                        ubulk = jnp.where(rho_int == 0, 0.0,
+                                          mflux / rho_int)
+                        if p.body_force_type == 1:
+                            bf1 = (mdot0 - mflux) / (area * dt_s)
+                        else:
+                            bf1 = (mdot0 - 2.0 * mflux + mdot_old) \
+                                / (area * dt_s)
+                        bf = jnp.zeros((nF,), dtype).at[1].set(bf1)
+                        bf = bf.at[d + 1].set(bf1 * ubulk)
+                        bf2 = bf[:, None]          # broadcasts (U, F, E)
+                        source = lambda uu: bf2
+                        mdot_old = mflux
+                    inner = _mk(lambda uu: residual_soa(uu, fluc, ramp),
+                                p.adv_type, source_fn=source,
+                                post_stage=post_soa)
+                    u, r = inner(u, r, dt_c)
+                    t_sim = t_sim + dt_s
+                    if avg:
+                        # running average (ref:src/eles.cpp:5676-5698)
+                        rho = u[:, 0]
+                        cols = []
+                        for f_ in avg_fields:
+                            if f_ == "rho_average":
+                                cols.append(rho)
+                            elif f_ == "u_average":
+                                cols.append(u[:, 1] / rho)
+                            elif f_ == "v_average":
+                                cols.append(u[:, 2] / rho)
+                            elif f_ == "w_average":
+                                cols.append(u[:, 3] / rho)
+                            else:  # e_average
+                                cols.append(u[:, d + 1] / rho)
+                        cur = jnp.stack(cols, axis=1)       # (U, K, E)
+                        t_rel = t_sim - spinup
+                        a = (t_rel - dt_s) / t_rel
+                        b = dt_s / t_rel
+                        ua = jnp.where(t_rel <= dt_s, cur,
+                                       a * ua + b * cur)
+                    return (u, r, k + 1, ti_state, mdot_old, t_sim,
+                            ua), None
+
+                carry = (us, rs, k0, ti0, mdot0_, tsim0, ua0)
+                carry, _ = jax.lax.scan(body, carry, None, length=n_steps)
+                us, rs, k0, ti0, mdot0_, tsim0, ua0 = carry
+                return (jnp.transpose(us, (2, 0, 1)),
+                        jnp.transpose(rs, (2, 0, 1)), k0, ti0, mdot0_,
+                        tsim0,
+                        jnp.transpose(ua0, (2, 0, 1)) if avg else ua0)
+            return run_chunk
+
+        self.run_path = "slot featured (fallback, up to 20x slower)"
 
         def run_chunk(state, dt, n_steps):
             def body(carry, _):
@@ -460,6 +578,13 @@ class Solver:
         p = self.p
         if p.dt_type == 0:
             return p.dt
+        # cache keyed on the deck knobs baked into the jitted fn, so a
+        # later p.CFL / p.dt_type mutation rebuilds instead of being
+        # silently ignored
+        dt_key = (p.dt_type, float(p.CFL))
+        if getattr(self, "_dt_key", None) != dt_key:
+            self._dt_jit = None
+            self._dt_key = dt_key
         if self._dt_jit is None:
             d, order = self.n_dims, p.order
             h_ref = jnp.asarray(self.block.h_ref, self.dtype)
