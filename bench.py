@@ -1,23 +1,28 @@
 #!/usr/bin/env python3
-"""Headline benchmark: 3-D Taylor-Green vortex, hex elements, p=4, viscous
-NS + HLLC + RK45 — the BASELINE.json flagship configuration.
+"""Headline benchmark suite.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "DOF*RK-stage/s", "vs_baseline": N}
+Default (`python bench.py`): runs EVERY flagship configuration — the
+BASELINE.json TGV p=4 hex case plus each feature-physics variant and the
+mixed tri+quad case — each with its own f32 accuracy gate, and prints ONE
+JSON line whose headline numbers are the plain config with a "configs"
+map recording every per-config gated rate:
+
+  {"metric": ..., "value": N, "unit": "DOF*RK-stage/s", "vs_baseline": N,
+   "gated": true, "configs": {"plain": {...}, "overint": {...}, ...}}
 
 vs_baseline compares against the reference CPU solver's measured per-device
 rate on the same case when REFERENCE_BASELINE.json is present (the reference
 publishes no throughput numbers, SURVEY.md §6), else reports 0.
 
-BENCH_CONFIG selects a feature-physics variant (each with its own accuracy
-gate at the default BENCH_* sizes):
-  plain   (default) viscous NS + HLLC
+BENCH_CONFIG selects a single configuration instead of the full suite:
+  plain   viscous NS + HLLC (TGV p=4 hex 16^3)
   overint polynomial de-aliasing (over_int_order = p + 2)
   smag    LES Smagorinsky SGS
   shock   Persson shock capture + exp filter + RoeM
   rans    SA-RANS 6-field pipeline + source (Rusanov)
-Non-default BENCH_ORDER/MESH/STEPS runs are UNGATED: the JSON reports
-"gated": false and a notice goes to stderr.
+  mixed   2-D tri+quad 13824-cell vortex p=4 (per-type SoA blocks)
+Non-default BENCH_ORDER/MESH/STEPS runs are UNGATED (plain config only):
+the JSON reports "gated": false and a notice goes to stderr.
 
 BENCH_TIMED_STEPS (default 100) sets the steps per timed dispatch; the
 rate is min-of-3 repeats of one run() call.  The accuracy gate always
@@ -31,8 +36,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# f32 L1 residual rows after 10 steps, p=4, 16^3 (CPU golden, 2026-08-17).
-# rho/energy entries are cancellation-sensitive in f32 (the plain f64 row is
+# f32 L1 residual rows after 10+10 steps (CPU goldens; see
+# scripts/gen_bench_goldens.py).  rho/energy entries are
+# cancellation-sensitive in f32 (the plain f64 row is
 # [6.7475e-4, 4.96598e-2, 4.96598e-2, 6.38773e-2, 1.12159e-1], ~4% off in
 # those fields); platform-to-platform f32 spread is ~1e-3, gate at 5e-3.
 GOLDENS = {
@@ -50,6 +56,10 @@ GOLDENS = {
     # 6th residual row are live)
     "rans": [6.940367165953e-04, 4.965478181839e-02, 4.965390637517e-02,
              6.387882679701e-02, 1.167582497001e-01, 3.304140991531e-04],
+    # mixed tri+quad viscous vortex p=4 96x96 (gen_bench_goldens.py mixed,
+    # CPU f32, 2026-08-18)
+    "mixed": [6.738833151758e-03, 2.243594080210e-02, 2.263562195003e-02,
+              3.969965502620e-02],
 }
 
 # Per-config gate tolerance.  overint's extra large HIGHEST contractions
@@ -59,6 +69,8 @@ GOLDENS = {
 # current code, so this is platform spread, not drift).  Real corruption
 # moves these rows by >>10% (BENCH_PRECISION=high: 3.8x).
 GATE_RTOL = {"overint": 2e-2}
+
+ALL_CONFIGS = ["plain", "overint", "smag", "shock", "rans", "mixed"]
 
 
 def configure(p, cfg_name):
@@ -82,22 +94,90 @@ def configure(p, cfg_name):
         raise SystemExit(f"unknown BENCH_CONFIG '{cfg_name}'")
 
 
-def main():
+def mixed_input():
+    """2-D viscous isentropic vortex, p=4 — the mixed flagship deck
+    (matches scripts/gen_bench_goldens.py golden protocol)."""
+    from hifiles_tpu.config.params import RunInput
+    p = RunInput()
+    p.equation, p.viscous, p.order = 0, 1, 4
+    p.ic_form, p.test_case, p.adv_type = 0, 1, 3
+    p.riemann_solve_type = 3           # HLLC
+    p.dt_type, p.dt = 0, 1e-4
+    p.mach_free_stream = 0.3
+    p.dx_cyclic = p.dy_cyclic = 20.0
+    p.mu_inf, p.rt_inf, p.c_sth = 1e-4, 1.0, 0.0
+    p.fix_vis, p.prandtl = 1, 0.72
+    return p
+
+
+def _time_and_gate(s, run, dof, n_stages, n_steps, dt, residual_row,
+                   cfg_name, gated_sizes):
+    """Shared protocol: warmup n_steps, timed chunk min-of-3, then reset
+    and gate the state after exactly warmup + n_steps steps."""
     import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    run(n_steps, dt)             # warmup: compiles the gate-path chunk
+    jax.block_until_ready(s.u)
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+    u_w, reg_w, t_w = copy(s.u), copy(s.reg), s.time
+
+    # timed chunk: BENCH_TIMED_STEPS (default 100) steps in ONE dispatch,
+    # min of 3 repeats.  Measured on this axon tunnel: waiting for a
+    # device computation costs a fixed ~33 ms round trip regardless of its
+    # length — a 10-step chunk would report 36% tunnel latency, not solver
+    # speed.  A production run amortizes the sync the same way.
+    t_steps = int(os.environ.get("BENCH_TIMED_STEPS", 100))
+    run(t_steps, dt)             # compile the timed-chunk executable
+    jax.block_until_ready(s.u)
+    wall = float("inf")
+    for _ in range(3):
+        # run_chunk donates its inputs: hand it device COPIES so the saved
+        # post-warmup state survives for the accuracy gate below
+        s.u, s.reg, s.time = copy(u_w), copy(reg_w), t_w
+        jax.block_until_ready((s.u, s.reg))
+        t0 = time.perf_counter()
+        run(t_steps, dt)
+        jax.block_until_ready(s.u)
+        wall = min(wall, time.perf_counter() - t0)
+    rate = dof * n_stages * t_steps / wall
+
+    # gate state: exactly warmup + n_steps (the golden's 2 x 10 steps)
+    s.u, s.reg, s.time = copy(u_w), copy(reg_w), t_w
+    run(n_steps, dt)
+    for a in jax.tree.leaves(s.u):
+        assert np.isfinite(np.asarray(a)).all(), \
+            "NaN/Inf in benchmark solution"
+
+    gold = GOLDENS.get(cfg_name)
+    gated = gated_sizes and gold is not None
+    if gated:
+        gold = np.array(gold)
+        res = np.asarray(residual_row())[:len(gold)]
+        rel = np.abs(res - gold) / gold
+        rtol = GATE_RTOL.get(cfg_name, 5e-3)
+        assert rel.max() < rtol, (
+            f"benchmark accuracy drift vs f32 golden ({cfg_name}): "
+            f"{list(res)} vs {list(gold)} (rel {rel.max():.2e})")
+    else:
+        print(f"bench: accuracy gate SKIPPED for config={cfg_name} "
+              f"(no golden for these sizes)", file=sys.stderr)
+    return rate, bool(gated)
+
+
+def run_tgv(cfg_name):
+    """TGV p=4 hex 16^3 (BASELINE.json flagship) + feature variants."""
     import jax.numpy as jnp
     import numpy as np
 
     from hifiles_tpu.config.params import RunInput
     from hifiles_tpu.mesh.generate import periodic_hex_mesh
     from hifiles_tpu.solver.solver import Solver
-    from hifiles_tpu.utils import enable_persistent_cache
-
-    enable_persistent_cache()
 
     order = int(os.environ.get("BENCH_ORDER", 4))
     n1 = int(os.environ.get("BENCH_MESH", 16))
     n_steps = int(os.environ.get("BENCH_STEPS", 10))
-    cfg_name = os.environ.get("BENCH_CONFIG", "plain")
 
     # TGV deck parameters (testcases/navier-stokes/Taylor_Green_vortex)
     p = RunInput()
@@ -119,7 +199,7 @@ def main():
     p.L_free_stream = 1.0
     p.Mach_c_ic, p.T_c_ic, p.rho_c_ic = 0.1, 300.0, 0.0008421095852102401
     p.dt = 1.440389e-5
-    configure(p, cfg_name)   # BEFORE setup_params: RANS ICs + validation depend on it
+    configure(p, cfg_name)   # BEFORE setup_params: RANS ICs + validation
     p.setup_params()
 
     mesh = periodic_hex_mesh(n1, n1, n1)
@@ -133,65 +213,59 @@ def main():
         # are live and the 6-row gate covers them
         s.u = s.u.at[..., -1].set(p.mu_tilde_inf)
 
-    dt = p.dt
-    s.run(n_steps, dt=dt)        # warmup: compiles the gate-path chunk
-    jax.block_until_ready(s.u)
-    # post-warmup state for the gate: COPIES — every later run() donates
-    # whatever buffers it is handed
-    u_w, reg_w, t_w = jnp.copy(s.u), jnp.copy(s.reg), s.time
-
-    # timed chunk: BENCH_TIMED_STEPS (default 100) steps in ONE dispatch,
-    # min of 3 repeats.  Measured on this axon tunnel: waiting for a
-    # device computation costs a fixed ~33 ms round trip regardless of its
-    # length (device_get of one scalar: 34 ms) — a 10-step chunk (~58 ms
-    # device) would report 36% tunnel latency, not solver speed.  A
-    # production run amortizes the sync over its monitor interval exactly
-    # the same way.
-    t_steps = int(os.environ.get("BENCH_TIMED_STEPS", 100))
-    s.run(t_steps, dt=dt)        # compile the timed-chunk executable
-    jax.block_until_ready(s.u)
-    wall = float("inf")
-    for _ in range(3):
-        # run_chunk donates its inputs: hand it device COPIES so the saved
-        # post-warmup state survives for the accuracy gate below
-        s.u, s.reg, s.time = jnp.copy(u_w), jnp.copy(reg_w), t_w
-        jax.block_until_ready((s.u, s.reg))
-        t0 = time.perf_counter()
-        s.run(t_steps, dt=dt)
-        jax.block_until_ready(s.u)
-        wall = min(wall, time.perf_counter() - t0)
-
-    n_stages = 5
     dof = mesh.n_cells * (order + 1) ** 3
-    rate = dof * n_stages * t_steps / wall
+    gated_sizes = (order == 4 and n1 == 16 and n_steps == 10)
+    rate, gated = _time_and_gate(
+        s, lambda n, dt: s.run(n, dt=dt), dof, 5, n_steps, p.dt,
+        lambda: s.residual_norm(norm_type=1), cfg_name, gated_sizes)
+    suffix = "" if cfg_name == "plain" else f" +{cfg_name}"
+    return dict(metric=f"TGV p={order} hex {n1}^3 viscous NS{suffix} "
+                       "DOF*RK-stage/s",
+                value=rate, gated=gated)
 
-    # gate state: exactly warmup + n_steps (the golden's 2 x 10 steps)
-    s.u, s.reg, s.time = jnp.copy(u_w), jnp.copy(reg_w), t_w
-    s.run(n_steps, dt=dt)
 
-    u = np.asarray(s.u)
-    assert np.isfinite(u).all(), "NaN/Inf in benchmark solution"
+def run_mixed():
+    """Mixed tri+quad flagship: 13824-cell periodic box, p=4 viscous
+    vortex + HLLC through the per-type SoA fast path
+    (solver/residual_mixed_soa.py; BASELINE configs #2/#4 layout)."""
+    import jax.numpy as jnp
 
-    # accuracy gate: the L1 residual row after the (warmup + timed) 2x10
-    # benchmark steps must match the f32 CPU golden for this config — a
-    # perf change that corrupts the physics fails the benchmark.  Only the
-    # default sizes are golden'd; anything else runs ungated (stderr note).
-    gold = GOLDENS.get(cfg_name)
-    gated = (order == 4 and n1 == 16 and n_steps == 10
-             and gold is not None)
-    if gated:
-        gold = np.array(gold)
-        res = np.asarray(s.residual_norm(norm_type=1))[:len(gold)]
-        rel = np.abs(res - gold) / gold
-        rtol = GATE_RTOL.get(cfg_name, 5e-3)
-        assert rel.max() < rtol, (
-            f"benchmark accuracy drift vs f32 golden ({cfg_name}): "
-            f"{list(res)} vs {list(gold)} (rel {rel.max():.2e})")
-    else:
-        print(f"bench: accuracy gate SKIPPED (config={cfg_name}, "
-              f"order={order}, mesh={n1}, steps={n_steps} has no golden)",
+    from hifiles_tpu.mesh.generate import periodic_mixed_mesh_2d
+    from hifiles_tpu.solver.multiblock import MixedSolver
+
+    p = mixed_input()
+    mesh = periodic_mixed_mesh_2d(96, 96, -10, 10, -10, 10)
+    s = MixedSolver(p, mesh, dtype=jnp.float32)
+    assert s.residual_soa is not None, \
+        "mixed SoA fast path did not engage on the flagship mixed config"
+    dof = sum(b.n_eles * b.ops.n_upts for b in s.blocks.values())
+    rate, gated = _time_and_gate(
+        s, lambda n, dt: s.run(n, dt=dt), dof, 5, 10, p.dt,
+        lambda: s.residual_norm(norm_type=1), "mixed", True)
+    return dict(metric="mixed tri+quad 13824c p=4 viscous vortex "
+                       "DOF*RK-stage/s",
+                value=rate, gated=gated)
+
+
+def main():
+    from hifiles_tpu.utils import enable_persistent_cache
+    enable_persistent_cache()
+
+    custom_sizes = any(os.environ.get(k) for k in
+                       ("BENCH_ORDER", "BENCH_MESH", "BENCH_STEPS"))
+    sel = os.environ.get("BENCH_CONFIG", "plain" if custom_sizes else "all")
+    names = ALL_CONFIGS if sel == "all" else [sel]
+
+    results = {}
+    for name in names:
+        t0 = time.perf_counter()
+        r = run_mixed() if name == "mixed" else run_tgv(name)
+        results[name] = r
+        print(f"bench[{name}]: {r['value']:.4e} DOF*stage/s "
+              f"(gated={r['gated']}, {time.perf_counter() - t0:.0f}s)",
               file=sys.stderr)
 
+    head = results.get("plain", results[names[0]])
     vs_baseline = 0.0
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "REFERENCE_BASELINE.json")
@@ -199,18 +273,16 @@ def main():
         with open(ref_path) as f:
             ref = json.load(f)
         base = ref.get("tgv_p4_hex_dof_stage_per_s", 0.0)
-        if base:
-            vs_baseline = rate / base
+        if base and "plain" in results:
+            vs_baseline = results["plain"]["value"] / base
 
-    suffix = "" if cfg_name == "plain" else f" +{cfg_name}"
-    print(json.dumps({
-        "metric": f"TGV p={order} hex {n1}^3 viscous NS{suffix} "
-                  "DOF*RK-stage/s",
-        "value": rate,
-        "unit": "DOF*RK-stage/s",
-        "vs_baseline": vs_baseline,
-        "gated": gated,
-    }))
+    out = {"metric": head["metric"], "value": head["value"],
+           "unit": "DOF*RK-stage/s", "vs_baseline": vs_baseline,
+           "gated": all(r["gated"] for r in results.values())}
+    if len(results) > 1:
+        out["configs"] = {k: {"value": v["value"], "gated": v["gated"]}
+                          for k, v in results.items()}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

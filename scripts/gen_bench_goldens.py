@@ -70,8 +70,26 @@ def golden_row(cfg_name):
             for x in np.asarray(s.residual_norm(norm_type=1))[:n_gate]]
 
 
+def golden_row_mixed():
+    """Mixed tri+quad flagship (bench.run_mixed protocol): 96x96 box,
+    p=4 viscous vortex, f32, 10+10 steps, combined L1 residual row."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bench
+    from hifiles_tpu.mesh.generate import periodic_mixed_mesh_2d
+    from hifiles_tpu.solver.multiblock import MixedSolver
+
+    p = bench.mixed_input()
+    s = MixedSolver(p, periodic_mixed_mesh_2d(96, 96, -10, 10, -10, 10),
+                    dtype=jnp.float32)
+    s.run(10, dt=p.dt)
+    s.run(10, dt=p.dt)
+    return [float(x) for x in np.asarray(s.residual_norm(norm_type=1))]
+
+
 if __name__ == "__main__":
     cfgs = sys.argv[1:] or ["overint", "smag", "shock"]
     for c in cfgs:
-        row = golden_row(c)
+        row = golden_row_mixed() if c == "mixed" else golden_row(c)
         print(json.dumps({c: row}))
