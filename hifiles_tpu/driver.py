@@ -40,7 +40,8 @@ def main(argv=None):
 
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
-        print("usage: python -m hifiles_tpu <input_file> [--f64] [--outdir D]")
+        print("usage: python -m hifiles_tpu <input_file> [--f64] "
+              "[--outdir D] [--devices N]")
         return 1
     deck_path = argv[0]
     f64 = "--f64" in argv
@@ -48,7 +49,17 @@ def main(argv=None):
     outdir = "."
     if "--outdir" in argv:
         outdir = argv[argv.index("--outdir") + 1]
+    n_dev = 0
+    if "--devices" in argv:
+        # the `mpirun -np N bin/HiFiLES` analog: element-sharded solvers
+        # over an N-device jax mesh (ref:src/HiFiLES.cpp:62-65)
+        n_dev = int(argv[argv.index("--devices") + 1])
     os.makedirs(outdir, exist_ok=True)
+
+    if n_dev:
+        # must run before any other jax backend use (see provision_devices)
+        from .parallel import provision_devices
+        devices = provision_devices(n_dev)
 
     if f64:
         import jax
@@ -60,38 +71,72 @@ def main(argv=None):
     print(f"mesh: {mesh.n_cells} cells, {mesh.n_verts} vertices, "
           f"boundaries {mesh.bc_names}")
 
-    if np.unique(mesh.ctype).size > 1:
+    dtype = jnp.float64 if f64 else jnp.float32
+    mixed = np.unique(mesh.ctype).size > 1
+    if mixed:
         from .solver.multiblock import MixedSolver
-        solver = MixedSolver(p, mesh,
-                             dtype=jnp.float64 if f64 else jnp.float32)
-        dof = sum(solver.blocks[ct].n_eles * solver.blocks[ct].ops.n_upts
-                  for ct in solver.cts)
+        io_solver = MixedSolver(p, mesh, dtype=dtype)
+        dof = sum(io_solver.blocks[ct].n_eles
+                  * io_solver.blocks[ct].ops.n_upts
+                  for ct in io_solver.cts)
+        if n_dev:
+            from .parallel.mixed_sharding import ShardedMixedSolver
+            solver = ShardedMixedSolver(p, mesh, devices=devices,
+                                        dtype=dtype)
+        else:
+            solver = io_solver
     else:
-        solver = Solver(p, mesh, dtype=jnp.float64 if f64 else jnp.float32)
-        dof = solver.block.n_eles * solver.ops.n_upts
-    print(f"solver: order {p.order}, {solver.n_fields} fields, "
-          f"{dof} DOF/field")
+        if n_dev:
+            from .parallel.sharding import ShardedSolver
+            solver = ShardedSolver(p, mesh, devices=devices, dtype=dtype)
+            io_solver = solver.base      # single-device twin for output
+        else:
+            solver = io_solver = Solver(p, mesh, dtype=dtype)
+        dof = io_solver.block.n_eles * io_solver.ops.n_upts
+    print(f"solver: order {p.order}, {io_solver.n_fields} fields, "
+          f"{dof} DOF/field"
+          + (f", {n_dev} devices" if n_dev else ""))
+
+    def sync():
+        """Mirror the (sharded) device state into the single-device IO
+        twin; all writers/monitors read the gathered global layout, so
+        multi-device output files are bit-identical in format to
+        single-device ones (ref:src/output.cpp global-index hyperslabs)."""
+        if solver is not io_solver:
+            u = solver.gather_u()
+            if mixed:
+                io_solver.u = tuple(jnp.asarray(a, io_solver.dtype)
+                                    for a in u)
+            else:
+                io_solver.u = jnp.asarray(u, io_solver.dtype)
+            io_solver.time = solver.time
+        return io_solver
 
     if p.restart_flag:
         path = restart_filename(outdir, p.restart_iter)
-        t = read_restart(path, solver)
+        t = read_restart(path, io_solver)
         print(f"restarted from {path} at t={t}")
         if p.patch:
             # patch applied on restart too (ref:src/solver.cpp:321-482)
             from .solver.ics import apply_patch
-            solver.u = jnp.asarray(
-                apply_patch(p, solver.block.pos_upts,
-                            np.asarray(solver.u, dtype=np.float64)),
-                dtype=solver.dtype)
+            io_solver.u = jnp.asarray(
+                apply_patch(p, io_solver.block.pos_upts,
+                            np.asarray(io_solver.u, dtype=np.float64)),
+                dtype=io_solver.dtype)
+        if solver is not io_solver:
+            # distribute the restart state onto the device mesh
+            solver.scatter_u(io_solver.u if mixed
+                             else np.asarray(io_solver.u))
+            solver.time = t
         i0 = p.restart_iter
     else:
         i0 = 0
 
-    hist = HistoryWriter(os.path.join(outdir, "history.plt"), solver)
+    hist = HistoryWriter(os.path.join(outdir, "history.plt"), io_solver)
     probes = None
     if p.probe:
         from .io.probes import setup_probes
-        probes = setup_probes(p, solver, outdir)
+        probes = setup_probes(p, io_solver, outdir)
     events = sorted({p.monitor_res_freq, p.plot_freq, p.restart_dump_freq,
                      getattr(p, "probe_freq", 0) or 0})
     chunk = max(1, min(e for e in events if e > 0))
@@ -105,10 +150,14 @@ def main(argv=None):
     i = i0
     while i < i0 + p.n_steps:
         n = min(chunk, i0 + p.n_steps - i)
-        dt = solver.compute_dt()
+        if hasattr(solver, "compute_dt"):
+            dt = solver.compute_dt()
+        else:                     # ShardedMixedSolver: dt from the twin
+            dt = sync().compute_dt()
         solver.run(n, dt=dt)
         i += n
         if i % p.monitor_res_freq == 0 or i == i0 + p.n_steps:
+            sync()
             row = hist.write(i)
             res = row["residual"]
             # NaN abort (ref:src/output.cpp:2268-2275 HistoryOutput)
@@ -120,7 +169,7 @@ def main(argv=None):
             print(f"iter {i:8d}  t={solver.time:.6e}  res: {res_s}")
             if p.calc_force:
                 from .io.forces import write_force_file
-                write_force_file(solver, outdir, i)
+                write_force_file(sync(), outdir, i)
                 print(f"         force: "
                       + " ".join(f"{x:.6e}" for x in row["force"]))
         if (p.calc_force and 0 < p.monitor_cp_freq < 2**31 - 1
@@ -128,19 +177,19 @@ def main(argv=None):
             # cp-distribution dumps at their own cadence
             # (ref:src/HiFiLES.cpp monitor_cp_freq)
             from .io.forces import write_force_file
-            write_force_file(solver, outdir, i)
+            write_force_file(sync(), outdir, i)
         if probes is not None and getattr(p, "probe_freq", 0) \
                 and i % p.probe_freq == 0:
-            probes.append(solver, i)
+            probes.append(sync(), i)
         if p.plot_freq and i % p.plot_freq == 0:
             if p.write_type == 1:
                 from .io.tecplot import write_tec
-                write_tec(solver, outdir, i)
+                write_tec(sync(), outdir, i)
             elif p.write_type == 2:
                 from .io.cgns import write_cgns
-                write_cgns(solver, outdir, i)
+                write_cgns(sync(), outdir, i)
             else:
-                write_vtu(solver, outdir, i)
+                write_vtu(sync(), outdir, i)
         if profile and i - i0 >= chunk:
             import jax
             jax.profiler.stop_trace()
@@ -149,9 +198,9 @@ def main(argv=None):
         if p.restart_dump_freq and i % p.restart_dump_freq == 0:
             if p.restart_ascii:
                 from .io.restart import write_restart_ascii
-                write_restart_ascii(outdir, solver, step=i)
+                write_restart_ascii(outdir, sync(), step=i)
             else:
-                write_restart(outdir, solver, step=i)
+                write_restart(outdir, sync(), step=i)
             if getattr(solver, "turb_inlet", None) is not None \
                     and solver.turb_inlet.inlet_type == 2:
                 from .io.restart import write_sem_restart
@@ -159,7 +208,7 @@ def main(argv=None):
                                   solver._ti_state, p)
 
     if p.test_case:
-        err = solver.compute_error()
+        err = sync().compute_error()
         norm = np.sqrt(err) if p.error_norm_type == 2 else err
         row = list(norm[0])
         if p.viscous:

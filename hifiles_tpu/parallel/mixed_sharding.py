@@ -419,6 +419,10 @@ class ShardedMixedSolver:
         self.reg = jax.tree.map(jnp.zeros_like, self.u)
         self.time = 0.0
 
+        from ..utils import log_residual_path
+        self.run_path = "sharded mixed slot"
+        log_residual_path("ShardedMixedSolver", self.run_path)
+
         self._step_jit = jax.jit(self._make_step(), static_argnums=2,
                                  donate_argnums=0)
 
@@ -793,3 +797,14 @@ class ShardedMixedSolver:
             a = a.reshape(-1, a.shape[2], a.shape[3])
             out.append(a[self.pad_ct[ct].reshape(-1) > 0])
         return tuple(out)
+
+    def scatter_u(self, us) -> None:
+        """Inverse of gather_u: per-type global (E_ct, U, F) solutions
+        onto the owner-sharded layout (clones replicate as at init)."""
+        new = []
+        for ct, u_dev, u_g in zip(self.cts, self.u, us):
+            a = np.asarray(u_g)[self.owner_ct[ct].reshape(-1)]
+            new.append(jax.device_put(
+                jnp.asarray(a.reshape(u_dev.shape), self.dtype),
+                u_dev.sharding))
+        self.u = tuple(new)
