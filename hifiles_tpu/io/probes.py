@@ -133,15 +133,32 @@ class ProbeSet:
         self.opp = host.ops.interp_to(ref[self.owned]) \
             if self.owned.size else np.zeros((0, host.ops.n_upts))
         self.solver = solver
+        # ShardedSolver: precompute owner slots of the probe elements so
+        # each sample pulls ONLY those elements off the device mesh
+        # instead of gathering the full global state per probe write
+        self._owner_slots = None
+        if hasattr(solver, "owner") and self.owned.size:
+            flat = np.asarray(solver.owner).reshape(-1)
+            real = np.asarray(solver.pad_mask).reshape(-1) > 0
+            pos = np.full(solver.n_eles, -1, dtype=np.int64)
+            pos[flat[real]] = np.flatnonzero(real)
+            self._owner_slots = pos[self.ele[self.owned]]
 
     def sample(self) -> np.ndarray:
         """(n_owned, n_out_fields) current probe values."""
         s = getattr(self.solver, "base", self.solver)
-        u = (self.solver.gather_u().astype(np.float64)
-             if hasattr(self.solver, "gather_u")
-             else np.asarray(self.solver.u, dtype=np.float64))
-        vals = np.einsum("pu,puf->pf", self.opp,
-                         u[self.ele[self.owned]])
+        if self._owner_slots is not None:
+            u_dev = self.solver.u           # (n, El, U, F) sharded
+            n, El = u_dev.shape[:2]
+            sel = u_dev.reshape(n * El, *u_dev.shape[2:])[self._owner_slots]
+            vals = np.einsum("pu,puf->pf", self.opp,
+                             np.asarray(sel, dtype=np.float64))
+        else:
+            u = (self.solver.gather_u().astype(np.float64)
+                 if hasattr(self.solver, "gather_u")
+                 else np.asarray(self.solver.u, dtype=np.float64))
+            vals = np.einsum("pu,puf->pf", self.opp,
+                             u[self.ele[self.owned]])
         nd = s.n_dims
         out = []
         for name in self.fields:

@@ -223,6 +223,10 @@ def mesh_shape_points(mesh: MeshData, sel: np.ndarray | None = None):
     if sel is None:
         sel = np.arange(mesh.n_cells)
     ct = int(mesh.ctype[sel[0]])
+    assert np.all(mesh.ctype[sel] == ct), (
+        "mesh_shape_points: sel spans multiple element types; pass "
+        "per-type selections (a mixed upcast would silently apply the "
+        "wrong shape basis)")
     d = mesh.n_dims
     n_spts_all = mesh.c2n_v[sel]
     n_spts = int(n_spts_all.max())
