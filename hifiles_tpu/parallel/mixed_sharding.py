@@ -150,20 +150,50 @@ class ShardedMixedSolver:
                for f in range(Fi_all)]
         luts = match_fpts_grouped(pos_cat, gls, grs)
 
+        def face_rec(ele, locf):
+            """Type-aware face side: (shard, ct, e_local, lf, local fpts)
+            — the record form consumed by the mixed SoA table builder."""
+            ct = int(mesh.ctype[ele])
+            tl = int(loc_idx[ele])
+            nfp = int(ops_by_ct[ct].n_fpts_per_face[locf])
+            return (int(shard_of_tl[ct][tl]), ct, int(eloc_of_tl[ct][tl]),
+                    int(locf), fpt_off[ct][locf] + np.arange(nfp))
+
         ints = [[] for _ in range(n)]
         bdys = [[] for _ in range(n)]
         halos = [[] for _ in range(n)]
+        ints_rec = [[] for _ in range(n)]
+        bdy_rec = [[] for _ in range(n)]
+        halo_rec = [[] for _ in range(n)]
         for f in range(Fi_all):
             s_l, sl = shard_slots(conn.int_ele_l[f], conn.int_locf_l[f])
             s_r, sr0 = shard_slots(conn.int_ele_r[f], conn.int_locf_r[f])
             sr = sr0[luts[f]]
+            _, ct_l, el_l, lf_l, fl = face_rec(conn.int_ele_l[f],
+                                               conn.int_locf_l[f])
+            _, ct_r, el_r, lf_r, fr0 = face_rec(conn.int_ele_r[f],
+                                                conn.int_locf_r[f])
+            frm = fr0[luts[f]]
             if s_l == s_r:
                 ints[s_l].append((sl, sr))
+                ints_rec[s_l].append((ct_l, el_l, lf_l, fl,
+                                      ct_r, el_r, frm, gls[f]))
             else:
                 halos[s_l].append((sl, (s_l - s_r) % n, sr))
                 halos[s_r].append((sr, (s_r - s_l) % n, sl))
+                halo_rec[s_l].append((ct_l, el_l, lf_l, fl,
+                                      (s_l - s_r) % n, ct_r, el_r, frm,
+                                      gls[f]))
+                halo_rec[s_r].append((ct_r, el_r, lf_r, frm,
+                                      (s_r - s_l) % n, ct_l, el_l, fl,
+                                      grs[f][luts[f]]))
         for f in range(conn.bdy_ele.size):
             s, sl = shard_slots(conn.bdy_ele[f], conn.bdy_locf[f])
+            _, ct_b, el_b, lf_b, fb = face_rec(conn.bdy_ele[f],
+                                               conn.bdy_locf[f])
+            bdy_rec[s].append((ct_b, el_b, lf_b, fb, len(bdys[s]),
+                               global_slots(conn.bdy_ele[f],
+                                            conn.bdy_locf[f])))
             bdys[s].append((sl, int(conn.bdy_bcid[f]),
                             int(conn.bdy_ele[f]), int(conn.bdy_locf[f])))
 
@@ -419,8 +449,45 @@ class ShardedMixedSolver:
         self.reg = jax.tree.map(jnp.zeros_like, self.u)
         self.time = 0.0
 
+        # mixed SoA fast path inside shard_map (mixed_soa_sharding.py):
+        # per-type (U_t, F, E_t) blocks, per-face-shape pools, ppermute
+        # halos — the sharded twin of solver/residual_mixed_soa.py.
+        # RANS+HLLC stays on the slot path (HLLC star states carry no SA
+        # field), like the single-device dispatch.
+        import os as _os
+        self._residual_soa_shard = None
+        rc = self.rcfg
+        if (not _os.environ.get("HIFILES_NO_SOA")
+                and not (rc.rans
+                         and rc.riemann_solve_type == riemann.HLLC)
+                and not (rc.over_int
+                         and any(blocks[ct].jginv_over is None
+                                 for ct in cts))
+                and (rc.equation != 0
+                     or nF == d + (3 if rc.rans else 2))):
+            from .mixed_soa_sharding import (
+                build_mixed_soa_shard_tables,
+                make_mixed_shard_residual_soa)
+            norm_cat = np.concatenate(
+                [blocks[ct].norm_fpts for ct in cts])
+            out = build_mixed_soa_shard_tables(
+                cts, ops_by_ct, blocks, owner_ct, sizes_ct, E_loc, n,
+                nF, offsets, Fb, nfp_max, ints_rec, bdy_rec, halo_rec,
+                norm_cat, les=bool(run_input.LES))
+            if out is not None:
+                meta, tabS_np, geoS_np = out
+                for k2, v in tabS_np.items():
+                    self.tabs["msoa_" + k2] = i32(v)
+                for k2, v in geoS_np.items():
+                    self.geo["msoa_" + k2] = f(v)
+                self._residual_soa_shard = make_mixed_shard_residual_soa(
+                    self, meta)
+
         from ..utils import log_residual_path
-        self.run_path = "sharded mixed slot"
+        self.run_path = ("sharded mixed SoA (fast)"
+                         if self._residual_soa_shard is not None
+                         else "sharded mixed slot (fallback, up to 20x "
+                              "slower)")
         log_residual_path("ShardedMixedSolver", self.run_path)
 
         self._step_jit = jax.jit(self._make_step(), static_argnums=2,
@@ -683,17 +750,28 @@ class ShardedMixedSolver:
     def _make_step(self):
         adv = self.p.adv_type
         residual = self._make_shard_residual()
+        soa_res = self._residual_soa_shard
         n_types = len(self.cts)
         ps = lambda x: x
         if self.p.shock_cap:
-            from ..ops.stabilization import make_shock_capture_fn
-            caps = {ct: make_shock_capture_fn(
-                self.ops_by_ct[ct], self.p.s0, self.p.expf_fac,
-                self.p.expf_order, self.p.expf_cutoff,
-                self.p.shock_det_field, self.n_dims, self.dtype)
-                for ct in self.cts}
-            ps = lambda ut: tuple(caps[ct](u)[0]
-                                  for ct, u in zip(self.cts, ut))
+            if soa_res is not None:
+                from ..ops.stabilization import make_shock_capture_soa
+                caps = {ct: make_shock_capture_soa(
+                    self.ops_by_ct[ct], self.p.s0, self.p.expf_fac,
+                    self.p.expf_order, self.p.expf_cutoff,
+                    self.p.shock_det_field, self.n_dims, self.dtype)
+                    for ct in self.cts}
+                ps = lambda ut: tuple(caps[ct](u)
+                                      for ct, u in zip(self.cts, ut))
+            else:
+                from ..ops.stabilization import make_shock_capture_fn
+                caps = {ct: make_shock_capture_fn(
+                    self.ops_by_ct[ct], self.p.s0, self.p.expf_fac,
+                    self.p.expf_order, self.p.expf_cutoff,
+                    self.p.shock_det_field, self.n_dims, self.dtype)
+                    for ct in self.cts}
+                ps = lambda ut: tuple(caps[ct](u)[0]
+                                      for ct, u in zip(self.cts, ut))
         pre = None
         if self.p.LES and self.p.SGS_model == 3:
             from ..ops.les_filter import build_les_filter
@@ -701,9 +779,16 @@ class ShardedMixedSolver:
                 self.ops_by_ct[ct], self.p.filter_type,
                 self.p.filter_ratio), dtype=self.dtype)
                 for ct in self.cts}
-            pre = lambda ut: tuple(
-                jnp.einsum("ku,euf->ekf", svv[ct], u)
-                for ct, u in zip(self.cts, ut))
+            if soa_res is not None:
+                pre = lambda ut: tuple(
+                    jax.lax.dot_general(svv[ct], u,
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=self.dtype)
+                    for ct, u in zip(self.cts, ut))
+            else:
+                pre = lambda ut: tuple(
+                    jnp.einsum("ku,euf->ekf", svv[ct], u)
+                    for ct, u in zip(self.cts, ut))
 
         def sq(tree):
             return jax.tree.map(lambda v: v[0], tree)
@@ -714,8 +799,18 @@ class ShardedMixedSolver:
             dt = dt[0] if dt.ndim else dt
             geo, tabs, sends, bcP = sq(geo), sq(tabs), sq(sends), sq(bcP)
 
-            def rhs(x):
-                return residual(x, geo, tabs, sends, bcP)
+            if soa_res is not None:
+                # whole step in the per-type (U_t, F, E_t) layout — one
+                # transpose pair per step, like the single-type sharded
+                # SoA path (sharding.py)
+                us = tuple(jnp.transpose(u, (1, 2, 0)) for u in us)
+                regs = tuple(jnp.transpose(r, (1, 2, 0)) for r in regs)
+
+                def rhs(x):
+                    return soa_res(x, geo, tabs, bcP)
+            else:
+                def rhs(x):
+                    return residual(x, geo, tabs, sends, bcP)
 
             tmap = jax.tree.map
             if pre is not None:
@@ -749,6 +844,9 @@ class ShardedMixedSolver:
                 regs = r
             else:
                 raise ValueError(f"adv_type {adv}")
+            if soa_res is not None:
+                us = tuple(jnp.transpose(u, (2, 0, 1)) for u in us)
+                regs = tuple(jnp.transpose(r, (2, 0, 1)) for r in regs)
             return (tuple(u[None] for u in us),
                     tuple(r[None] for r in regs))
 

@@ -43,6 +43,7 @@ def test_sharded_mixed_matches_single(viscous):
 
     sh = ShardedMixedSolver(vortex_input(viscous), mesh,
                             devices=jax.devices()[:4], dtype=jnp.float64)
+    assert sh.run_path.startswith("sharded mixed SoA")
     assert sh.n_halo > 0
     sh.run(15, dt=5e-4)
     for a, b in zip(sh.gather_u(), s1.u):
@@ -58,6 +59,7 @@ def test_sharded_mixed_indivisible_counts():
     s1.run(10, dt=5e-4)
     sh = ShardedMixedSolver(vortex_input(1), mesh,
                             devices=jax.devices()[:4], dtype=jnp.float64)
+    assert sh.run_path.startswith("sharded mixed SoA")
     assert any((sh.sizes_ct[ct].max() != sh.sizes_ct[ct].min())
                for ct in sh.cts)
     sh.run(10, dt=5e-4)
@@ -87,6 +89,7 @@ def test_sharded_mixed_wall_model_matches_single():
     mesh2, p2 = _wall_mesh_and_input(wall_model=1)
     sh = ShardedMixedSolver(p2, mesh2, devices=jax.devices()[:4],
                             dtype=jnp.float64)
+    assert sh.run_path.startswith("sharded mixed SoA")
     assert sh.has_wm
     sh.run(10, dt=p2.dt)
     for a, b in zip(sh.gather_u(), s1.u):
@@ -100,6 +103,7 @@ def test_sharded_mixed_rans_matches_single():
     mesh2, p2 = _wall_mesh_and_input(rans=1)
     sh = ShardedMixedSolver(p2, mesh2, devices=jax.devices()[:4],
                             dtype=jnp.float64)
+    assert sh.run_path.startswith("sharded mixed SoA")
     sh.run(10, dt=p2.dt)
     for a, b in zip(sh.gather_u(), s1.u):
         np.testing.assert_allclose(a, np.asarray(b), rtol=0, atol=1e-11)
@@ -119,6 +123,7 @@ def test_sharded_mixed_similarity_matches_single():
     s1.run(10, dt=5e-4)
     sh = ShardedMixedSolver(cfg(), mesh, devices=jax.devices()[:4],
                             dtype=jnp.float64)
+    assert sh.run_path.startswith("sharded mixed SoA")
     assert sh.n_halo > 0
     sh.run(10, dt=5e-4)
     for a, b in zip(sh.gather_u(), s1.u):
@@ -144,6 +149,7 @@ def test_sharded_mixed_les_shock_overint_match_single():
     s1.run(10, dt=5e-4)
     sh = ShardedMixedSolver(cfg(), mesh, devices=jax.devices()[:4],
                             dtype=jnp.float64)
+    assert sh.run_path.startswith("sharded mixed SoA")
     sh.run(10, dt=5e-4)
     for a, b in zip(sh.gather_u(), s1.u):
         np.testing.assert_allclose(a, np.asarray(b), rtol=0, atol=1e-11)
