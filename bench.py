@@ -40,7 +40,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # scripts/gen_bench_goldens.py).  rho/energy entries are
 # cancellation-sensitive in f32 (the plain f64 row is
 # [6.7475e-4, 4.96598e-2, 4.96598e-2, 6.38773e-2, 1.12159e-1], ~4% off in
-# those fields); platform-to-platform f32 spread is ~1e-3, gate at 5e-3.
+# those fields); platform-to-platform f32 spread is ~1e-3, so runs on a
+# platform with no same-platform golden gate at 5e-3 (GATE_RTOL below);
+# same-platform runs gate at SAME_PLATFORM_RTOL = 5e-4.  The monitor
+# norm accumulates in f64 (solver.residual_norm), so the row is exact
+# for the device residual.
 GOLDENS = {
     "plain": [6.943961489014e-04, 4.966602101922e-02, 4.966460168362e-02,
               6.387749314308e-02, 1.171515956521e-01],
@@ -62,13 +66,38 @@ GOLDENS = {
               3.969965502620e-02],
 }
 
-# Per-config gate tolerance.  overint's extra large HIGHEST contractions
-# (solution->over-int cubature, L2 project back) amplify the TPU-vs-CPU
-# f32 spread on the cancellation-sensitive rho/energy rows to 1.37e-2
-# (measured 2026-08-17; the CPU f32 golden regenerates bit-stable with
-# current code, so this is platform spread, not drift).  Real corruption
-# moves these rows by >>10% (BENCH_PRECISION=high: 3.8x).
+# TPU-measured goldens (v5e, HIGHEST precision, 2026-08-18): the same
+# warmup+10-step protocol recorded on the real chip.  Gating each
+# platform against its own golden removes the TPU-vs-CPU f32 spread
+# (up to 1.37e-2 on overint's cancellation-sensitive rows) from the
+# tolerance budget, so the gate can sit at 5e-4 instead of 5e-3/2e-2
+# and still only trips on real drift.  Regenerate by running
+# BENCH_RECORD=1 python bench.py on the target platform.
+GOLDENS_TPU = {
+    "plain": [6.949775207196e-04, 4.966156203283e-02, 4.966160146554e-02,
+              6.388078165354e-02, 1.172988777123e-01],
+    "overint": [6.980139594153e-04, 4.966111006194e-02, 4.966112965711e-02,
+                6.388162274691e-02, 1.180696272765e-01],
+    "smag": [6.925535247227e-04, 4.965797042063e-02, 4.965763527943e-02,
+             6.388136160205e-02, 1.166868669928e-01],
+    "shock": [1.088646171142e+00, 7.201013248294e+00, 7.201011655116e+00,
+              2.066031238992e-01, 2.723700493699e+02],
+    "rans": [6.945762338302e-04, 4.965687968980e-02, 4.965692375572e-02,
+             6.387889905350e-02, 1.170036220614e-01, 3.304062398159e-04],
+    "mixed": [6.739170206285e-03, 2.244026407189e-02, 2.263960864066e-02,
+              3.970298254422e-02],
+}
+
+# Per-config gate tolerance for rows checked against the OTHER
+# platform's golden (CPU golden, TPU run or vice versa): overint's extra
+# large HIGHEST contractions (solution->over-int cubature, L2 project
+# back) amplify the cross-platform f32 spread on the
+# cancellation-sensitive rho/energy rows to 1.37e-2 (measured
+# 2026-08-17).  Real corruption moves these rows by >>10%
+# (BENCH_PRECISION=high: 3.8x).  Same-platform goldens gate at
+# SAME_PLATFORM_RTOL instead.
 GATE_RTOL = {"overint": 2e-2}
+SAME_PLATFORM_RTOL = 5e-4
 
 ALL_CONFIGS = ["plain", "overint", "smag", "shock", "rans", "mixed"]
 
@@ -150,14 +179,20 @@ def _time_and_gate(s, run, dof, n_stages, n_steps, dt, residual_row,
         assert np.isfinite(np.asarray(a)).all(), \
             "NaN/Inf in benchmark solution"
 
-    gold = GOLDENS.get(cfg_name)
+    on_cpu = jax.devices()[0].platform == "cpu"
+    same_plat = (not on_cpu) and cfg_name in GOLDENS_TPU
+    gold = (GOLDENS_TPU if same_plat else GOLDENS).get(cfg_name)
     gated = gated_sizes and gold is not None
     if gated:
         gold = np.array(gold)
         res = np.asarray(residual_row())[:len(gold)]
+        if os.environ.get("BENCH_RECORD"):
+            row = ", ".join(f"{v:.12e}" for v in res)
+            print(f"bench RECORD {cfg_name}: [{row}]", file=sys.stderr)
         rel = np.abs(res - gold) / gold
-        rtol = GATE_RTOL.get(cfg_name, 5e-3)
-        assert rel.max() < rtol, (
+        rtol = (SAME_PLATFORM_RTOL if same_plat or on_cpu
+                else GATE_RTOL.get(cfg_name, 5e-3))
+        assert rel.max() < rtol or os.environ.get("BENCH_RECORD"), (
             f"benchmark accuracy drift vs f32 golden ({cfg_name}): "
             f"{list(res)} vs {list(gold)} (rel {rel.max():.2e})")
     else:

@@ -563,7 +563,8 @@ class MixedSolver:
         return self.u
 
     def residual_norm(self, norm_type: int = 2) -> np.ndarray:
-        rs = [np.asarray(r) for r in self.residual_fn(self.u)]
+        rs = [np.asarray(r, dtype=np.float64)
+              for r in self.residual_fn(self.u)]
         n_pts = sum(r.shape[0] * r.shape[1] for r in rs)
         if norm_type == 1:
             return sum(np.abs(r).sum(axis=(0, 1)) for r in rs) / n_pts

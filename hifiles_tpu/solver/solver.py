@@ -690,9 +690,12 @@ class Solver:
                       r: np.ndarray | None = None) -> np.ndarray:
         """Residual norm with the reference's normalization
         (ref:src/output.cpp:2166-2247): L1 = sum|r|/n_pts,
-        L2 = sqrt(sum r^2)/n_pts, inf = max|r|."""
+        L2 = sqrt(sum r^2)/n_pts, inf = max|r|.  Accumulates in f64 on
+        the host like the reference's double accumulators, so the
+        monitor row is exact for the device residual it is given."""
         if r is None:
             r = np.asarray(self.residual_fn(self.u))
+        r = np.asarray(r, dtype=np.float64)
         n_pts = r.shape[0] * r.shape[1]
         if norm_type == 1:
             return np.abs(r).sum(axis=(0, 1)) / n_pts
