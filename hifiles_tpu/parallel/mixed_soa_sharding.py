@@ -176,12 +176,17 @@ def build_mixed_soa_shard_tables(cts, ops_by_ct, blocks, owner_ct, sizes_ct,
                 cnt[ct] += 1
                 fbp = np.zeros(nfp_max, dtype=np.int64)
                 fbp[:nfp] = fl
-                bdy_rows[ct][s, j] = (fbp[:, None] * nF
-                                      + np.arange(nF)[None, :]).reshape(-1)
+                # field-major rows into the (F*Pf, El) d2 view and the
+                # (d*F*Pf, El) tgf3 view (free bitcasts of the F-major
+                # GEMM outputs), (fpt, field) result order
+                bdy_rows[ct][s, j] = (fbp[:, None]
+                                      + np.arange(nF)[None, :] * Pf[ct]
+                                      ).reshape(-1)
                 for m in range(d):
                     bdy_rows3[ct][s, m, j] = (
-                        fbp[:, None] * (d * nF) + m * nF
-                        + np.arange(nF)[None, :]).reshape(-1)
+                        fbp[:, None]
+                        + (m * nF + np.arange(nF))[None, :] * Pf[ct]
+                        ).reshape(-1)
                 bdy_ele[ct][s, j] = e
                 bdy_perm[s, k_slot] = sec_off[ct] + j
                 pi = shape_of[nfp]
@@ -533,8 +538,10 @@ def make_mixed_shard_residual_soa(solver, meta):
                     for m in range(d)] for l in range(d)]
 
         disu_f = {ct: dg(OPP[ct]["opp_0"], us[ct]) for ct in cts}
-        d2 = {ct: disu_f[ct].reshape(Pf[ct] * nF, us[ct].shape[2])
-              for ct in cts}
+        # FIELD-major 2-D views: free bitcasts under the GEMMs' natural
+        # F-major layout (the single-type twin measured +3%)
+        d2 = {ct: jnp.transpose(disu_f[ct], (1, 0, 2))
+              .reshape(nF * Pf[ct], us[ct].shape[2]) for ct in cts}
 
         def gather_fm(srcs, p, pi, which, tab="rows_fm_"):
             nfp = p["nfp"]
@@ -546,9 +553,11 @@ def make_mixed_shard_residual_soa(solver, meta):
             cat = jnp.concatenate(parts, axis=1)
             return split_planes(cat, nfp)
 
-        u_l = [gather_fm(d2, p, pi, "l") if p["int_groups"] else None
+        u_l = [gather_fm(d2, p, pi, "l", tab="rows_fq_")
+               if p["int_groups"] else None
                for pi, p in enumerate(PJ)]
-        u_r = [gather_fm(d2, p, pi, "r") if p["int_groups"] else None
+        u_r = [gather_fm(d2, p, pi, "r", tab="rows_fq_")
+               if p["int_groups"] else None
                for pi, p in enumerate(PJ)]
         norm_i = [[jnp.concatenate(
             [gS[f"p{pi}i{gi}_norm"][:, m]
@@ -579,7 +588,7 @@ def make_mixed_shard_residual_soa(solver, meta):
             return recv
 
         any_halo = any(p["halo_groups"] for p in PJ)
-        recv = exchange(d2, send_rows) if any_halo else {}
+        recv = exchange(d2, send_rows_q) if any_halo else {}
         u_hl, u_hr, norm_h, hcol = [], [], [], []
         for pi, p in enumerate(PJ):
             if not p["halo_groups"]:
@@ -588,7 +597,7 @@ def make_mixed_shard_residual_soa(solver, meta):
                 continue
             nfp = p["nfp"]
             u_hl.append(split_planes(jnp.concatenate(
-                [d2[g["ct_l"]][g["rows_fm_l"]][:, tS[f"p{pi}h{gi}_l"]]
+                [d2[g["ct_l"]][g["rows_fq_l"]][:, tS[f"p{pi}h{gi}_l"]]
                  for gi, g in enumerate(p["halo_groups"])], axis=1), nfp))
             hc = jnp.concatenate(
                 [tS[f"p{pi}h{gi}_c"]
@@ -806,8 +815,8 @@ def make_mixed_shard_residual_soa(solver, meta):
             if cfg.viscous:
                 tb_parts = [[] for _ in range(d)]
                 for ct in bdy_cts:
-                    t2b = tgf3[ct].reshape(Pf[ct] * d * nF,
-                                           us[ct].shape[2])
+                    t2b = jnp.transpose(tgf3[ct], (1, 0, 2)).reshape(
+                        d * nF * Pf[ct], us[ct].shape[2])
                     ele = tS[f"bdy_ele_{ct}"]
                     rows3 = tS[f"bdy_rows3_{ct}"]
                     for m in range(d):

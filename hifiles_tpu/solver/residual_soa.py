@@ -372,6 +372,9 @@ class BlockArraysSoa:
         if T.Fb:
             self.ele_b = i32(T.ele_b)
             self.rows_b = i32(T.rows_b)
+            # same boundary rows into the FIELD-major (F*Pf, E) d2 view
+            self.rows_b_fq = i32((T.rows_b % nFq) * T.Pf
+                                 + T.rows_b // nFq)
             self.rows_b3 = i32(T.rows_b3)
             self.norm_bdy = B.norm_bdy          # AoS (Fb, nfp, d)
             self.jginv_bdy = getattr(B, "jginv_bdy", None)
@@ -893,14 +896,17 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
     def residual_soa(u, fluc=None, ramp=None):
         # 1. extrapolate to flux points: one GEMM (ref:src/eles.cpp:1360)
         disu_f = dg(S.opp_0, u)                       # (Pf, F, E)
-        d2 = disu_f.reshape(Pf * nF, E)
+        # FIELD-major 2-D view: XLA lays the GEMM output out F-major
+        # ({2,0,1}), so this transpose+reshape is a free bitcast where the
+        # old fpt-major reshape forced a 36 us/stage transpose copy
+        d2 = jnp.transpose(disu_f, (1, 0, 2)).reshape(nF * Pf, E)
 
         # 2. all interior faces at once (concatenated in group order)
-        u_l = gather_fm(d2, "l")                      # F planes (nfp, Fi)
-        u_r = gather_fm(d2, "r")
+        u_l = gather_fm(d2, "l", tab="rows_fq_")      # F planes (nfp, Fi)
+        u_r = gather_fm(d2, "r", tab="rows_fq_")
         if has_bdy:
             # small 2-axis fancy gather on the boundary set only
-            u_bl = d2[S.rows_b, S.ele_b[:, None]].reshape(Fb, nfp, nF)
+            u_bl = d2[S.rows_b_fq, S.ele_b[:, None]].reshape(Fb, nfp, nF)
 
         # 3. viscous gradient path
         if cfg.viscous:
