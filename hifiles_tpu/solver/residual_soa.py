@@ -76,6 +76,22 @@ class SoaTables:
 
         slot_l = block.int_slot_l            # (Fi, nfp) slot = e*Pf + fpt
         slot_r = block.int_slot_r
+        # orient pairings by local face id: L = the side with the SMALLER
+        # lf.  Periodic wrap faces otherwise flip orientation for the
+        # wrap-layer minority, making every lf mixed-side and disabling
+        # the direct scatter path below.  L/R is arbitrary physics-wise
+        # (Riemann/LDG common fluxes are antisymmetric under
+        # (l<->r, n->-n) and all face geometry is slot-derived), so pick
+        # the orientation that makes each lf single-side.  Ties
+        # (lf_l == lf_r, e.g. simplex pairings) keep the original side.
+        lf_a = (slot_l % Pf)[:, 0] // nfp
+        lf_b = (slot_r % Pf)[:, 0] // nfp
+        swap = lf_a > lf_b
+        if swap.any():
+            slot_l, slot_r = slot_l.copy(), slot_r.copy()
+            for i in np.where(swap)[0]:
+                o = np.argsort(slot_r[i] % Pf)
+                slot_l[i], slot_r[i] = slot_r[i][o], slot_l[i][o]
         ele_l = slot_l[:, 0] // Pf
         ele_r = slot_r[:, 0] // Pf
         fpt_l = slot_l % Pf                  # (Fi, nfp)
