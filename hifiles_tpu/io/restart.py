@@ -57,7 +57,11 @@ def write_restart(path: str, solver, step: int | None = None) -> str:
             for ct, u in zip(solver.cts, solver.u):
                 ub = np.asarray(u, dtype=np.float64)
                 gids = icg[solver.mt.sels[ct]]
-                dset[:, gids, :ub.shape[1]] = ub.transpose(2, 0, 1)
+                # h5py hyperslab selections must be increasing; sels is
+                # signature-ordered (mixed_type_selections), so sort the
+                # ids and permute the data to match
+                o = np.argsort(gids)
+                dset[:, gids[o], :ub.shape[1]] = ub.transpose(2, 0, 1)[:, o]
                 f.create_dataset(
                     TYPE_DSET[ct],
                     data=np.asarray(_type_info(solver.blocks[ct].ops,

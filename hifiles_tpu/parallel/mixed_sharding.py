@@ -77,8 +77,10 @@ class ShardedMixedSolver:
         sels, E_loc, loc_idx = {}, {}, np.zeros(mesh.n_cells, dtype=np.int64)
         sizes_ct, owner_ct, pad_ct = {}, {}, {}
         shard_of_tl, eloc_of_tl = {}, {}
+        from ..solver.elements import mixed_type_selections
+        sig_sels = mixed_type_selections(mesh, conn)
         for ct in cts:
-            sel = np.where(mesh.ctype == ct)[0]
+            sel = sig_sels[ct]
             if sel.size == 0:
                 raise ValueError(f"type {ct}: empty selection")
             sels[ct] = sel

@@ -471,6 +471,52 @@ class MixedMeshTables:
     slot_sign: np.ndarray
 
 
+def mixed_type_selections(mesh: MeshData, conn: FaceConnectivity) -> dict:
+    """Per-type global element ids, ordered so STRUCTURALLY IDENTICAL
+    elements (same multiset of face-pairing patterns) are contiguous.
+
+    The SoA face groups key on those patterns; with global-cell ordering
+    the types interleave (e.g. upper/lower split tris alternate) and
+    every group's element gather is strided.  Sorting each type by a
+    face-pattern signature (side, own locf, partner locf, partner type /
+    bc id — stable, so ties keep mesh order) turns the group gathers
+    into contiguous slices.  Pure renumbering: sels stays the single
+    source of truth for state/IO order, physics unchanged."""
+    nfmax = max(int(n) for n in
+                np.concatenate([conn.int_locf_l, conn.int_locf_r,
+                                conn.bdy_locf, [0]])) + 1
+    C = mesh.n_cells
+    codes = np.full((C, nfmax), -1, dtype=np.int64)
+    cnt = np.zeros(C, dtype=np.int64)
+
+    def add(ele, code):
+        ele = np.asarray(ele)
+        for e, c in zip(ele, np.asarray(code)):
+            codes[e, cnt[e]] = c
+            cnt[e] += 1
+
+    ct_of = mesh.ctype
+    enc = lambda side, lf_s, lf_o, rot, other: (
+        (((side * 64 + lf_s) * 64 + lf_o) * 64
+         + np.minimum(rot, 63)) * 4096 + other)
+    add(conn.int_ele_l, enc(0, conn.int_locf_l, conn.int_locf_r,
+                            conn.int_rot, ct_of[conn.int_ele_r]))
+    add(conn.int_ele_r, enc(1, conn.int_locf_r, conn.int_locf_l,
+                            conn.int_rot, ct_of[conn.int_ele_l]))
+    if conn.bdy_ele.size:
+        add(conn.bdy_ele, enc(2, conn.bdy_locf, 0, 0,
+                              np.minimum(conn.bdy_bcid, 4095)))
+    codes = -np.sort(-codes, axis=1)            # canonical per-element order
+    sels = {}
+    for ct in sorted(int(c) for c in np.unique(mesh.ctype)):
+        sel = np.where(mesh.ctype == ct)[0]
+        # lexsort: LAST key is primary -> signature first, mesh order ties
+        order = np.lexsort((sel,) + tuple(codes[sel, k]
+                                          for k in reversed(range(nfmax))))
+        sels[ct] = sel[order]
+    return sels
+
+
 def build_mixed_blocks(mesh: MeshData, conn: FaceConnectivity,
                        ops_by_ct: dict, check_geometry: bool = True,
                        over_int_order: int | None = None) -> MixedMeshTables:
@@ -479,8 +525,9 @@ def build_mixed_blocks(mesh: MeshData, conn: FaceConnectivity,
     blocks, sels, slot_off = {}, {}, {}
     off = 0
     loc_idx = np.zeros(mesh.n_cells, dtype=np.int64)
+    sig_sels = mixed_type_selections(mesh, conn)
     for ct in cts:
-        sel = np.where(mesh.ctype == ct)[0]
+        sel = sig_sels[ct]
         sels[ct] = sel
         loc_idx[sel] = np.arange(sel.size)
         blocks[ct] = build_element_block(

@@ -143,6 +143,11 @@ class MixedSoaTables:
         for k, gi in zip(keys, order):
             nfp, ct_l, fl_t, ct_r, fr_t = k
             gi = np.asarray(gi)
+            # sort the group's faces by the l element id: with the
+            # signature ordering of mixed_type_selections the group's
+            # element gathers then become contiguous slices
+            gi = gi[np.argsort([face_info[i][1] for i in gi],
+                               kind="stable")]
             Ng = gi.size
             fl = np.asarray(fl_t)
             fr = np.asarray(fr_t)
@@ -345,6 +350,21 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
             # per-type inverse tables: the shape (pool) of each local face
             # is static; sel columns index that pool
             self.sel = i32(T.sel[ct])
+            # per-lf consecutive-run decomposition of the pool columns:
+            # few runs -> slices + concat beat one lane gather (the group
+            # face sort by l element keeps runs long)
+            self.sel_segs = []
+            for lf in range(T.sel[ct].shape[0]):
+                row = T.sel[ct][lf]
+                cuts = np.where(np.diff(row) != 1)[0] + 1
+                if cuts.size + 1 > 16 or row.size == 0:
+                    self.sel_segs.append(None)
+                    continue
+                st = np.concatenate([[0], cuts])
+                en = np.concatenate([cuts, [row.size]])
+                self.sel_segs.append(
+                    [(int(row[a]), int(row[a]) + int(b - a))
+                     for a, b in zip(st, en)])
             self.lf_shape = T.lf_shape[ct]
             self.nfp_lf = np.asarray(ops.n_fpts_per_face, dtype=np.int64)
 
@@ -355,10 +375,28 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
     for sh_i, sh in enumerate(T.shapes):
         P = T.pools[sh_i]
         groups = []
+
+        def _rng(idx):
+            # decompose the element gather into consecutive runs: each
+            # run is a free slice, and a handful of slices + concat beats
+            # one lane gather (mixed_type_selections orders elements to
+            # maximize run length).  None -> keep the general gather.
+            idx = np.asarray(idx)
+            if not idx.size:
+                return None
+            cuts = np.where(np.diff(idx) != 1)[0] + 1
+            if cuts.size + 1 > 8:
+                return None
+            starts = np.concatenate([[0], cuts])
+            ends = np.concatenate([cuts, [idx.size]])
+            return [(int(idx[a]), int(idx[a]) + int(b - a))
+                    for a, b in zip(starts, ends)]
+
         for g in P["groups"]:
             groups.append(dict(
                 ct_l=g["ct_l"], ct_r=g["ct_r"],
                 idx_l=i32(g["idx_l"]), idx_r=i32(g["idx_r"]),
+                idx_l_rng=_rng(g["idx_l"]), idx_r_rng=_rng(g["idx_r"]),
                 rows_fm_l=i32(g["rows_fm_l"]), rows_fm_r=i32(g["rows_fm_r"]),
                 rows_fq_l=i32(g["rows_fq_l"]), rows_fq_r=i32(g["rows_fq_r"]),
                 rows_rq_local=i32(g["rows_rq_local"]), sl=g["sl"]))
@@ -416,7 +454,13 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
         for g in pool["groups"]:
             ct = g["ct_l"] if which == "l" else g["ct_r"]
             rows = srcs[ct][g[tab + which]]
-            parts.append(rows[:, g["idx_" + which]])
+            r = g["idx_" + which + "_rng"]
+            if r is None:
+                parts.append(rows[:, g["idx_" + which]])
+            elif len(r) == 1:
+                parts.append(rows[:, r[0][0]:r[0][1]])
+            else:
+                parts.extend(rows[:, a:b] for a, b in r)
         cat = jnp.concatenate(parts, axis=1)
         return [cat[i * nfp:(i + 1) * nfp] for i in range(nF)]
 
@@ -442,7 +486,15 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
         for lf in range(ta.nf):
             sh_i = int(ta.lf_shape[lf])
             nfp = int(ta.nfp_lf[lf])
-            blk = pool_rows[sh_i][:, ta.sel[lf]]       # (F*nfp, E)
+            segs = ta.sel_segs[lf]
+            src = pool_rows[sh_i]
+            if segs is None:
+                blk = src[:, ta.sel[lf]]               # (F*nfp, E)
+            elif len(segs) == 1:
+                blk = src[:, segs[0][0]:segs[0][1]]
+            else:
+                blk = jnp.concatenate(
+                    [src[:, a:b] for a, b in segs], axis=1)
             for i in range(nF):
                 per_field[i].append(blk[i * nfp:(i + 1) * nfp])
         return jnp.stack([jnp.concatenate(pf, axis=0)
