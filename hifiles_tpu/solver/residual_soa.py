@@ -58,6 +58,31 @@ from .residual import BlockArrays, ResidualConfig
 # host-side tables
 # ----------------------------------------------------------------------
 
+def _segments(idx, min_avg_run=32):
+    """Decompose an index sequence into consecutive-ascending runs; each
+    run is a free lane slice, and a few slices + concat beat one lane
+    gather.  None (keep the general gather) when runs are too short."""
+    idx = np.asarray(idx)
+    if idx.size == 0:
+        return None
+    cuts = np.where(np.diff(idx) != 1)[0] + 1
+    if cuts.size + 1 > max(8, idx.size // min_avg_run):
+        return None
+    st = np.concatenate([[0], cuts])
+    en = np.concatenate([cuts, [idx.size]])
+    return [(int(idx[a]), int(idx[a]) + int(b - a))
+            for a, b in zip(st, en)]
+
+
+def _sliced(arr2, idx_j, segs, axis1=True):
+    """arr2[:, idx] via run slices when segs is available."""
+    if segs is not None:
+        if len(segs) == 1:
+            return arr2[:, segs[0][0]:segs[0][1]]
+        return jnp.concatenate([arr2[:, a:b] for a, b in segs], axis=1)
+    return arr2[:, idx_j]
+
+
 class SoaTables:
     """Static gather tables for the SoA face stage."""
 
@@ -145,6 +170,10 @@ class SoaTables:
         col = 0
         for k, gi in zip(keys, order):
             gi = np.asarray(gi)
+            # sort the group's faces by the l element id: the l-side
+            # element gather becomes the identity (or long consecutive
+            # runs), and structured partners keep long runs on the r side
+            gi = gi[np.argsort(ele_l[gi], kind="stable")]
             Ng = gi.size
             fl, fr = np.asarray(k[0]), np.asarray(k[1])
             # the pool's r-side copy must be in the R element's local
@@ -330,6 +359,8 @@ class BlockArraysSoa:
                      + (g["rows_r_local"].reshape(T.nfp, nFq)[:, 0] // nFq)
                      [None, :]).reshape(-1)),
                 "idx_l_id": g["idx_l_id"], "idx_r_id": g["idx_r_id"],
+                "idx_l_segs": _segments(g["idx_l"]),
+                "idx_r_segs": _segments(g["idx_r"]),
                 "r_local_id": g["r_local_id"],
                 "sl": slice(off, off + ng),
             })
@@ -338,7 +369,8 @@ class BlockArraysSoa:
         self.lf_direct = None
         if T.lf_direct is not None:
             self.lf_direct = [(side, g,
-                               None if perm is None else i32(perm))
+                               None if perm is None else i32(perm),
+                               None if perm is None else _segments(perm))
                               for side, g, perm in T.lf_direct]
         # concatenated face geometry (one plane set across all groups, in
         # group order = pool l-section order)
@@ -840,7 +872,8 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         def one(g):
             rows = src2[g[tab + which]]
             return rows if g["idx_" + which + "_id"] \
-                else rows[:, g["idx_" + which]]
+                else _sliced(rows, g["idx_" + which],
+                             g["idx_" + which + "_segs"])
         cat = jnp.concatenate([one(g) for g in S.groups], axis=1)
         return [cat[i * nfp:(i + 1) * nfp] for i in range(nF)]
 
@@ -903,10 +936,11 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         batched inverse).  rcop = r_copies(rows_l); neg_r flips the r-side
         sign (normal fluxes; the LDG common solution keeps +)."""
         blocks = []
-        for side, g, perm in S.lf_direct:
+        for side, g, perm, segs in S.lf_direct:
             src = rows_l[:, S.groups[g]["sl"]] if side == 0 else \
                 (-rcop[g] if neg_r else rcop[g])
-            blocks.append(src if perm is None else src[:, perm])
+            blocks.append(src if perm is None
+                          else _sliced(src, perm, segs))
         return jnp.concatenate(blocks, axis=0)
 
     def residual_soa(u, fluc=None, ramp=None):
