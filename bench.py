@@ -64,6 +64,11 @@ GOLDENS = {
     # CPU f32, 2026-08-18)
     "mixed": [6.738833151758e-03, 2.243594080210e-02, 2.263562195003e-02,
               3.969965502620e-02],
+    # 3-D prism/tet wall-modeled LES channel (gen_bench_goldens.py mixed3d,
+    # CPU f32, 2026-08-18; TGV ic_form 7 so the row is physics-scale, not
+    # platform rounding noise)
+    "mixed3d": [3.131947522841e+00, 1.117830345283e+01, 1.913928926341e+01,
+                8.074529703647e-01, 1.966135758789e+02],
 }
 
 # TPU-measured goldens (v5e, HIGHEST precision, 2026-08-18): the same
@@ -99,7 +104,8 @@ GOLDENS_TPU = {
 GATE_RTOL = {"overint": 2e-2}
 SAME_PLATFORM_RTOL = 5e-4
 
-ALL_CONFIGS = ["plain", "overint", "smag", "shock", "rans", "mixed"]
+ALL_CONFIGS = ["plain", "overint", "smag", "shock", "rans", "mixed",
+               "mixed3d"]
 
 
 def configure(p, cfg_name):
@@ -282,6 +288,38 @@ def run_mixed():
                 value=rate, gated=gated)
 
 
+def run_mixed3d():
+    """3-D prism/tet wall-modeled LES channel — the reduced twin of
+    BASELINE config #4 (SD7003 prism-near-wall/tet-above ILES,
+    ref:testcases/navier-stokes/readme.txt:42-77): Smagorinsky SGS +
+    Werner-Wengle wall model on the per-type mixed SoA path, cross-type
+    tri faces at the prism/tet interface, run from the shipped
+    reference-format deck."""
+    import jax.numpy as jnp
+
+    from hifiles_tpu.config.params import RunInput
+    from hifiles_tpu.mesh.generate import channel_prism_tet_mesh
+    from hifiles_tpu.solver.multiblock import MixedSolver
+
+    # the bench deck is the reference-golden wm deck with the TGV IC
+    # (ic_form 7) so the gate row is physics-scale, not rounding noise
+    deck = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "decks", "input_prism_tet_wm_bench")
+    p = RunInput.from_deck(deck)
+    mesh = channel_prism_tet_mesh(32, 32, 4, 4, x1=2.0, y1=1.0, z1=1.0)
+    s = MixedSolver(p, mesh, dtype=jnp.float32)
+    assert s.residual_soa is not None, \
+        "mixed SoA fast path did not engage on the mixed3d config"
+    assert s._wm_tables is not None
+    dof = sum(b.n_eles * b.ops.n_upts for b in s.blocks.values())
+    rate, gated = _time_and_gate(
+        s, lambda n, dt: s.run(n, dt=dt), dof, 5, 10, p.dt,
+        lambda: s.residual_norm(norm_type=1), "mixed3d", True)
+    return dict(metric="mixed prism/tet 8192p+24576t p=2 wall-modeled "
+                       "LES DOF*RK-stage/s",
+                value=rate, gated=gated)
+
+
 def main():
     from hifiles_tpu.utils import enable_persistent_cache
     enable_persistent_cache()
@@ -294,7 +332,8 @@ def main():
     results = {}
     for name in names:
         t0 = time.perf_counter()
-        r = run_mixed() if name == "mixed" else run_tgv(name)
+        r = (run_mixed() if name == "mixed" else
+             run_mixed3d() if name == "mixed3d" else run_tgv(name))
         results[name] = r
         print(f"bench[{name}]: {r['value']:.4e} DOF*stage/s "
               f"(gated={r['gated']}, {time.perf_counter() - t0:.0f}s)",

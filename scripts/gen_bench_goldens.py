@@ -88,8 +88,30 @@ def golden_row_mixed():
     return [float(x) for x in np.asarray(s.residual_norm(norm_type=1))]
 
 
+def golden_row_mixed3d():
+    """3-D prism/tet wall-modeled channel (bench.run_mixed3d protocol):
+    f32, 10+10 steps, combined L1 residual row."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hifiles_tpu.config.params import RunInput
+    from hifiles_tpu.mesh.generate import channel_prism_tet_mesh
+    from hifiles_tpu.solver.multiblock import MixedSolver
+
+    deck = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "decks",
+        "input_prism_tet_wm_bench")
+    p = RunInput.from_deck(deck)
+    mesh = channel_prism_tet_mesh(32, 32, 4, 4, x1=2.0, y1=1.0, z1=1.0)
+    s = MixedSolver(p, mesh, dtype=jnp.float32)
+    s.run(10, dt=p.dt)
+    s.run(10, dt=p.dt)
+    return [float(x) for x in np.asarray(s.residual_norm(norm_type=1))]
+
+
 if __name__ == "__main__":
     cfgs = sys.argv[1:] or ["overint", "smag", "shock"]
     for c in cfgs:
-        row = golden_row_mixed() if c == "mixed" else golden_row(c)
+        row = (golden_row_mixed() if c == "mixed" else
+               golden_row_mixed3d() if c == "mixed3d" else golden_row(c))
         print(json.dumps({c: row}))

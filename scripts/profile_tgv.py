@@ -27,6 +27,23 @@ def main():
     n1 = int(os.environ.get("BENCH_MESH", 16))
     cfg_name = os.environ.get("BENCH_CONFIG", "plain")
 
+    if cfg_name in ("mixed", "mixed3d"):
+        from hifiles_tpu.mesh.generate import (channel_prism_tet_mesh,
+                                               periodic_mixed_mesh_2d)
+        from hifiles_tpu.solver.multiblock import MixedSolver
+        if cfg_name == "mixed":
+            p = bench_mod.mixed_input()
+            mesh = periodic_mixed_mesh_2d(96, 96, -10, 10, -10, 10)
+        else:
+            p = RunInput.from_deck(os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "tests", "decks", "input_prism_tet_wm_bench"))
+            mesh = channel_prism_tet_mesh(32, 32, 4, 4,
+                                          x1=2.0, y1=1.0, z1=1.0)
+        s = MixedSolver(p, mesh, dtype=jnp.float32)
+        profile_solver(s, p.dt, cfg_name)
+        return
+
     p = RunInput()
     p.equation = 0
     p.viscous = 1
@@ -50,13 +67,19 @@ def main():
     p.setup_params()
 
     s = Solver(p, periodic_hex_mesh(n1, n1, n1), dtype=jnp.float32)
-    s.run(10, dt=p.dt)          # compile + warm
+    profile_solver(s, p.dt, cfg_name)
+
+
+def profile_solver(s, dt, cfg_name):
+    import jax
+
+    s.run(10, dt=dt)            # compile + warm
     jax.block_until_ready(s.u)
 
     tdir = "/tmp/tgv_trace"
     os.system(f"rm -rf {tdir}")
     with jax.profiler.trace(tdir):
-        s.run(10, dt=p.dt)
+        s.run(10, dt=dt)
         jax.block_until_ready(s.u)
 
     # parse the trace
