@@ -356,6 +356,13 @@ def main():
     if len(results) > 1:
         out["configs"] = {k: {"value": v["value"], "gated": v["gated"]}
                           for k, v in results.items()}
+        # per-config vs_baseline where the reference was measured on the
+        # same case (REFERENCE_BASELINE.json mixed3d row)
+        if os.path.exists(ref_path):
+            base3 = ref.get("mixed3d_prism_tet_wm_dof_stage_per_s", 0.0)
+            if base3 and "mixed3d" in out["configs"]:
+                out["configs"]["mixed3d"]["vs_baseline"] = (
+                    results["mixed3d"]["value"] / base3)
     print(json.dumps(out))
 
 
