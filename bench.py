@@ -356,13 +356,15 @@ def main():
     if len(results) > 1:
         out["configs"] = {k: {"value": v["value"], "gated": v["gated"]}
                           for k, v in results.items()}
-        # per-config vs_baseline where the reference was measured on the
-        # same case (REFERENCE_BASELINE.json mixed3d row)
+        # per-config vs_baseline: the reference binary measured with the
+        # same feature flags / same case (REFERENCE_BASELINE.json
+        # per_config_dof_stage_per_s, 12-minus-2-step differencing)
         if os.path.exists(ref_path):
-            base3 = ref.get("mixed3d_prism_tet_wm_dof_stage_per_s", 0.0)
-            if base3 and "mixed3d" in out["configs"]:
-                out["configs"]["mixed3d"]["vs_baseline"] = (
-                    results["mixed3d"]["value"] / base3)
+            for k, base_k in ref.get("per_config_dof_stage_per_s",
+                                     {}).items():
+                if base_k and k in out["configs"]:
+                    out["configs"][k]["vs_baseline"] = (
+                        results[k]["value"] / base_k)
     print(json.dumps(out))
 
 
