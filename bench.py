@@ -101,7 +101,12 @@ GOLDENS_TPU = {
 # 2026-08-17).  Real corruption moves these rows by >>10%
 # (BENCH_PRECISION=high: 3.8x).  Same-platform goldens gate at
 # SAME_PLATFORM_RTOL instead.
-GATE_RTOL = {"overint": 2e-2}
+GATE_RTOL = {"overint": 2e-2,
+             # provisional until a same-platform TPU golden is recorded
+             # (tunnel outage 2026-08-18): wm+LES rho/energy rows carry
+             # some f32 cancellation; same-platform gating takes over at
+             # 5e-4 once GOLDENS_TPU has a mixed3d row
+             "mixed3d": 1e-2}
 SAME_PLATFORM_RTOL = 5e-4
 
 ALL_CONFIGS = ["plain", "overint", "smag", "shock", "rans", "mixed",
