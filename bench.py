@@ -197,7 +197,10 @@ def _time_and_gate(s, run, dof, n_stages, n_steps, dt, residual_row,
     if gated:
         gold = np.array(gold)
         res = np.asarray(residual_row())[:len(gold)]
-        if os.environ.get("BENCH_RECORD"):
+        if os.environ.get("BENCH_RECORD") or not (same_plat or on_cpu):
+            # always surface the measured row when gating against the
+            # OTHER platform's golden, so the per-round driver log carries
+            # the row needed to pin a same-platform golden later
             row = ", ".join(f"{v:.12e}" for v in res)
             print(f"bench RECORD {cfg_name}: [{row}]", file=sys.stderr)
         rel = np.abs(res - gold) / gold
