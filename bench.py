@@ -21,6 +21,8 @@ BENCH_CONFIG selects a single configuration instead of the full suite:
   shock   Persson shock capture + exp filter + RoeM
   rans    SA-RANS 6-field pipeline + source (Rusanov)
   mixed   2-D tri+quad 13824-cell vortex p=4 (per-type SoA blocks)
+  mixed3d 3-D prism/tet wall-modeled LES channel (BASELINE #4 twin)
+  channel body-forced plane-channel LES + time averages (featured chunk)
 Non-default BENCH_ORDER/MESH/STEPS runs are UNGATED (plain config only):
 the JSON reports "gated": false and a notice goes to stderr.
 
@@ -69,6 +71,12 @@ GOLDENS = {
     # platform rounding noise)
     "mixed3d": [3.131947522841e+00, 1.117830345283e+01, 1.913928926341e+01,
                 8.074529703647e-01, 1.966135758789e+02],
+    # body-forced plane-channel LES + time averages (gen_bench_goldens.py
+    # channel, CPU f32, 2026-08-19; uniform IC on no-slip walls, so the
+    # rows are wall-layer physics scale — the wall-damped Smagorinsky
+    # stress dominates)
+    "channel": [1.626782142972e-02, 7.708453882657e-01, 1.981234295278e-01,
+                2.305190508950e-04, 1.132828343569e+00],
 }
 
 # TPU-measured goldens (v5e, HIGHEST precision, 2026-08-18): the same
@@ -110,7 +118,7 @@ GATE_RTOL = {"overint": 2e-2,
 SAME_PLATFORM_RTOL = 5e-4
 
 ALL_CONFIGS = ["plain", "overint", "smag", "shock", "rans", "mixed",
-               "mixed3d"]
+               "mixed3d", "channel"]
 
 
 def configure(p, cfg_name):
@@ -150,6 +158,34 @@ def mixed_input():
     return p
 
 
+# featured-chunk carry (Solver "non-simple" runs: SEM inlet / ramp /
+# forcing / time averages) — snapshot these along with (u, reg, time) so
+# the timed repeats and the gate rerun start from identical state
+_FEATURED_ATTRS = ("_iter_k", "_ti_state", "_mdot_old", "_t_sim", "u_avg")
+
+
+def _snapshot(s):
+    import jax
+    import jax.numpy as jnp
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+    extra = {a: copy(getattr(s, a)) for a in _FEATURED_ATTRS
+             if getattr(s, a, None) is not None}
+    return copy(s.u), copy(s.reg), s.time, extra
+
+
+def _restore(s, snap):
+    """Write device COPIES back (the run chunk donates its inputs, so the
+    snapshot itself must survive for the next restore)."""
+    import jax
+    import jax.numpy as jnp
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+    u_w, reg_w, t_w, extra = snap
+    s.u, s.reg, s.time = copy(u_w), copy(reg_w), t_w
+    for a, v in extra.items():
+        setattr(s, a, copy(v))
+    jax.block_until_ready((s.u, s.reg))
+
+
 def _time_and_gate(s, run, dof, n_stages, n_steps, dt, residual_row,
                    cfg_name, gated_sizes):
     """Shared protocol: warmup n_steps, timed chunk min-of-3, then reset
@@ -160,8 +196,7 @@ def _time_and_gate(s, run, dof, n_stages, n_steps, dt, residual_row,
 
     run(n_steps, dt)             # warmup: compiles the gate-path chunk
     jax.block_until_ready(s.u)
-    copy = lambda t: jax.tree.map(jnp.copy, t)
-    u_w, reg_w, t_w = copy(s.u), copy(s.reg), s.time
+    snap = _snapshot(s)
 
     # timed chunk: BENCH_TIMED_STEPS (default 100) steps in ONE dispatch,
     # min of 3 repeats.  Measured on this axon tunnel: waiting for a
@@ -173,10 +208,7 @@ def _time_and_gate(s, run, dof, n_stages, n_steps, dt, residual_row,
     jax.block_until_ready(s.u)
     wall = float("inf")
     for _ in range(3):
-        # run_chunk donates its inputs: hand it device COPIES so the saved
-        # post-warmup state survives for the accuracy gate below
-        s.u, s.reg, s.time = copy(u_w), copy(reg_w), t_w
-        jax.block_until_ready((s.u, s.reg))
+        _restore(s, snap)
         t0 = time.perf_counter()
         run(t_steps, dt)
         jax.block_until_ready(s.u)
@@ -184,7 +216,7 @@ def _time_and_gate(s, run, dof, n_stages, n_steps, dt, residual_row,
     rate = dof * n_stages * t_steps / wall
 
     # gate state: exactly warmup + n_steps (the golden's 2 x 10 steps)
-    s.u, s.reg, s.time = copy(u_w), copy(reg_w), t_w
+    _restore(s, snap)
     run(n_steps, dt)
     for a in jax.tree.leaves(s.u):
         assert np.isfinite(np.asarray(a)).all(), \
@@ -328,6 +360,36 @@ def run_mixed3d():
                 value=rate, gated=gated)
 
 
+def run_channel():
+    """Body-forced plane-channel LES with running time averages — the
+    reference's bread-and-butter LES production configuration
+    (ref:src/eles.cpp:5281-5484 evaluate_body_force, :5630-5700
+    CalcTimeAverageQuantities): Smagorinsky SGS + bulk-momentum forcing +
+    5-field time averaging on resolved no-slip walls, cyclic x/z, run
+    from the shipped reference-format deck through the "SoA featured
+    (fast)" chunk (solver/solver.py)."""
+    import jax.numpy as jnp
+
+    from hifiles_tpu.config.params import RunInput
+    from hifiles_tpu.mesh.generate import channel_hex_mesh
+    from hifiles_tpu.solver.solver import Solver
+
+    deck = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "decks", "input_channel_les_bench")
+    p = RunInput.from_deck(deck)
+    mesh = channel_hex_mesh(16, 16, 16)
+    s = Solver(p, mesh, dtype=jnp.float32)
+    assert s.run_path == "SoA featured (fast)", s.run_path
+    assert s._forcing and s._avg
+    dof = mesh.n_cells * (p.order + 1) ** 3
+    rate, gated = _time_and_gate(
+        s, lambda n, dt: s.run(n, dt=dt), dof, 5, 10, p.dt,
+        lambda: s.residual_norm(norm_type=1), "channel", True)
+    return dict(metric="forced-channel LES 16^3 p=4 +averaging "
+                       "DOF*RK-stage/s",
+                value=rate, gated=gated)
+
+
 def main():
     from hifiles_tpu.utils import enable_persistent_cache
     enable_persistent_cache()
@@ -341,7 +403,8 @@ def main():
     for name in names:
         t0 = time.perf_counter()
         r = (run_mixed() if name == "mixed" else
-             run_mixed3d() if name == "mixed3d" else run_tgv(name))
+             run_mixed3d() if name == "mixed3d" else
+             run_channel() if name == "channel" else run_tgv(name))
         results[name] = r
         print(f"bench[{name}]: {r['value']:.4e} DOF*stage/s "
               f"(gated={r['gated']}, {time.perf_counter() - t0:.0f}s)",

@@ -398,3 +398,47 @@ def channel_prism_tet_mesh(nx: int, nz: int, ny_prism: int, ny_tet: int,
     return MeshData(n_dims=3, xv=xv, c2v=c2v, c2n_v=c2n_v, ctype=ctype,
                     bc_id=bc_id, bc_names=bc_names,
                     ic2icg=np.arange(C, dtype=np.int64))
+
+
+def channel_hex_mesh(nx: int, ny: int, nz: int,
+                     x0: float = 0.0, x1: float = 2 * np.pi,
+                     y0: float = 0.0, y1: float = 2.0,
+                     z0: float = 0.0, z1: float = np.pi,
+                     bc_wall: str = "Wall",
+                     y_stretch: float = 1.0) -> MeshData:
+    """Hex channel: cyclic in x and z, no-slip walls at y=y0 and y=y1 —
+    the plane-channel LES production topology (the reference's
+    body-forced channel configuration, ref:src/eles.cpp:5281-5484
+    evaluate_body_force; periodic-hill/channel cases in
+    ref:testcases/navier-stokes/readme.txt).
+
+    x/z boundary faces tag group 0 ("Cyclic"); both y faces tag
+    ``bc_wall`` (group 1).  ``y_stretch`` > 1 geometrically refines the
+    y spacing toward BOTH walls (symmetric two-sided stretch; ny must be
+    even in that case)."""
+    if y_stretch == 1.0:
+        ys = np.linspace(y0, y1, ny + 1)
+    else:
+        assert ny % 2 == 0, "two-sided y_stretch needs even ny"
+        w = y_stretch ** np.arange(ny // 2)    # spacing grows off the wall
+        half = np.concatenate([[0.0], np.cumsum(w)]) / w.sum()
+        ym = 0.5 * (y0 + y1)
+        ys = np.concatenate([y0 + (ym - y0) * half,
+                             (y1 - (y1 - ym) * half[::-1])[1:]])
+    mesh = periodic_hex_mesh(nx, ny, nz, x0, x1, y0, y1, z0, z1)
+    # remap y coordinates to the stretched grid (periodic_hex_mesh used
+    # uniform spacing; vertex j index recovers from the uniform value)
+    yu = np.linspace(y0, y1, ny + 1)
+    j_of = np.rint((mesh.xv[:, 1] - y0) / (yu[1] - yu[0])).astype(int)
+    mesh.xv[:, 1] = ys[j_of]
+    # local hex face order (ref:src/mesh.cpp:752-793): 1 = y-, 3 = y+
+    bc_id = mesh.bc_id
+    C = mesh.n_cells
+    for c in range(C):
+        j = (c // nx) % ny
+        if j == 0:
+            bc_id[c, 1] = 1
+        if j == ny - 1:
+            bc_id[c, 3] = 1
+    mesh.bc_names = ["Cyclic", bc_wall]
+    return mesh

@@ -109,9 +109,31 @@ def golden_row_mixed3d():
     return [float(x) for x in np.asarray(s.residual_norm(norm_type=1))]
 
 
+def golden_row_channel():
+    """Body-forced plane-channel LES (bench.run_channel protocol): f32,
+    10+10 steps, L1 residual row."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hifiles_tpu.config.params import RunInput
+    from hifiles_tpu.mesh.generate import channel_hex_mesh
+    from hifiles_tpu.solver.solver import Solver
+
+    deck = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "decks",
+        "input_channel_les_bench")
+    p = RunInput.from_deck(deck)
+    s = Solver(p, channel_hex_mesh(16, 16, 16), dtype=jnp.float32)
+    assert s.run_path == "SoA featured (fast)", s.run_path
+    s.run(10, dt=p.dt)
+    s.run(10, dt=p.dt)
+    return [float(x) for x in np.asarray(s.residual_norm(norm_type=1))[:5]]
+
+
 if __name__ == "__main__":
     cfgs = sys.argv[1:] or ["overint", "smag", "shock"]
     for c in cfgs:
         row = (golden_row_mixed() if c == "mixed" else
-               golden_row_mixed3d() if c == "mixed3d" else golden_row(c))
+               golden_row_mixed3d() if c == "mixed3d" else
+               golden_row_channel() if c == "channel" else golden_row(c))
         print(json.dumps({c: row}))
