@@ -110,6 +110,13 @@ def main(argv=None):
             else:
                 io_solver.u = jnp.asarray(u, io_solver.dtype)
             io_solver.time = solver.time
+            ua = getattr(solver, "gather_u_avg", lambda: None)()
+            if ua is not None:
+                # time-averaged fields for the vtu writer
+                # (ref:src/eles.cpp:5648-5664)
+                io_solver.u_avg = (
+                    tuple(jnp.asarray(a, io_solver.dtype) for a in ua)
+                    if mixed else jnp.asarray(ua, io_solver.dtype))
         return io_solver
 
     if p.restart_flag:

@@ -180,7 +180,8 @@ class _MixedBlockView:
         self.block = mixed.blocks[ct]
         self.ops = self.block.ops
         self.u = mixed.u[idx]
-        self.u_avg = None
+        ua = getattr(mixed, "u_avg", None)
+        self.u_avg = ua[idx] if ua is not None else None
         self.sensor_fn = None
         sel = mixed.mt.sels[ct]
         m = mixed.mesh

@@ -451,6 +451,81 @@ class ShardedMixedSolver:
         self.reg = jax.tree.map(jnp.zeros_like, self.u)
         self.time = 0.0
 
+        # featured runs: body forcing + running time averages — the
+        # sharded twins of MixedSolver's (ref:src/eles.cpp:5281-5484 with
+        # MPI-reduced inflow integrals, :5630-5700).  SEM inlets / BC
+        # ramping are unimplemented on mixed meshes: fail loudly.
+        if run_input.bc_list:
+            if run_input.LES and any(getattr(b, "inlet_type", 0)
+                                     for b in run_input.bc_list):
+                raise NotImplementedError(
+                    "turbulent inlets (SEM/white noise) are not "
+                    "implemented on mixed-type meshes")
+            if any(getattr(b, "pressure_ramp", 0)
+                   for b in run_input.bc_list):
+                raise NotImplementedError(
+                    "BC ramping is not implemented on mixed-type meshes")
+        self._forcing = bool(run_input.forcing) and run_input.equation == 0
+        self._mdot_old = jnp.asarray(run_input.body_force_mdot0
+                                     if self._forcing else 0.0, dtype)
+        self._force_cts = []
+        if self._forcing:
+            # inflow plane = cyclic faces with normal -x; rows in each
+            # shard's BLOCK-LOCAL fpt space, padded with weight 0
+            from ..config.params import CYCLIC as _CYC
+            from ..mesh.core import NUM_F_PER_C
+            per = {ct: [[] for _ in range(n)] for ct in cts}
+            for c in range(mesh.n_cells):
+                ct = int(mesh.ctype[c])
+                o = ops_by_ct[ct]
+                for k2 in range(NUM_F_PER_C[ct]):
+                    bid = int(mesh.bc_id[c, k2])
+                    if bid < 0 or bc_flags.get(bid, -1) != _CYC:
+                        continue
+                    tl = int(loc_idx[c])
+                    nfp = int(o.n_fpts_per_face[k2])
+                    sl_g = (tl * o.n_fpts + fpt_off[ct][k2]
+                            + np.arange(nfp))
+                    if blocks[ct].norm_fpts[sl_g[0], 0] >= -0.99:
+                        continue
+                    s_ = int(shard_of_tl[ct][tl])
+                    e_loc = int(eloc_of_tl[ct][tl])
+                    w_ = (o.fpt_weights[sl_g % o.n_fpts]
+                          * blocks[ct].tdA_fpts[sl_g])
+                    sl_loc = (e_loc * o.n_fpts + fpt_off[ct][k2]
+                              + np.arange(nfp))
+                    per[ct][s_].append((sl_loc, w_))
+            if not any(any(sh) for sh in per.values()):
+                raise ValueError("body forcing: no -x cyclic inflow plane")
+            for ct in cts:
+                if not any(per[ct]):
+                    continue
+                self._force_cts.append(ct)
+                Ns = max([sum(x[0].size for x in sh) for sh in per[ct]]
+                         + [1])
+                frow = np.zeros((n, Ns), dtype=np.int64)
+                fw = np.zeros((n, Ns))
+                for s_ in range(n):
+                    j = 0
+                    for sl_loc, w_ in per[ct][s_]:
+                        frow[s_, j:j + sl_loc.size] = sl_loc
+                        fw[s_, j:j + sl_loc.size] = w_
+                        j += sl_loc.size
+                self.tabs["force_row_%d" % ct] = i32(frow)
+                self.geo["force_w_%d" % ct] = f(fw)
+        self._avg = bool(run_input.average_fields)
+        self.u_avg = None
+        if self._avg:
+            for f_ in run_input.average_fields:
+                if f_ not in ("rho_average", "u_average", "v_average",
+                              "w_average", "e_average"):
+                    raise ValueError(f"unknown average field '{f_}'")
+            K = len(run_input.average_fields)
+            self.u_avg = tuple(jax.device_put(
+                jnp.zeros((n, E_loc[ct], ops_by_ct[ct].n_upts, K), dtype),
+                sharding) for ct in cts)
+        self._t_sim = jnp.asarray(0.0, dtype)
+
         # mixed SoA fast path inside shard_map (mixed_soa_sharding.py):
         # per-type (U_t, F, E_t) blocks, per-face-shape pools, ppermute
         # halos — the sharded twin of solver/residual_mixed_soa.py.
@@ -795,11 +870,57 @@ class ShardedMixedSolver:
         def sq(tree):
             return jax.tree.map(lambda v: v[0], tree)
 
-        def shard_body(us, regs, dt, geo, tabs, sends, bcP):
+        forcing = self._forcing
+        axis = self.axis
+        dtype = self.dtype
+        nF = self.n_fields
+        d = self.n_dims
+        cts = self.cts
+        if forcing:
+            bf_area = self.p.body_force_area
+            bf_mdot0 = self.p.body_force_mdot0
+            bf_type = self.p.body_force_type
+            force_cts = list(self._force_cts)
+            opp0 = {ct: jnp.asarray(self.ops_by_ct[ct].opp_0, dtype)
+                    for ct in force_cts}
+            Pf_ct = {ct: self.ops_by_ct[ct].n_fpts for ct in force_cts}
+            prec = jax.lax.Precision[
+                getattr(self.rcfg, "precision", "highest").upper()]
+
+        def shard_body(us, regs, dt, mdot_old, geo, tabs, sends, bcP):
             us = tuple(u[0] for u in us)
             regs = tuple(r[0] for r in regs)
             dt = dt[0] if dt.ndim else dt
             geo, tabs, sends, bcP = sq(geo), sq(tabs), sq(sends), sq(bcP)
+
+            bf = None
+            if forcing:
+                # bulk-momentum body force from the lax.psum-reduced
+                # inflow-plane integrals, once per step from the
+                # pre-step state (ref:src/eles.cpp:5281-5484)
+                z = jnp.zeros((), us[0].dtype)
+                mflux, rho_int = z, z
+                for ct in force_cts:
+                    i = cts.index(ct)
+                    d2 = jnp.einsum(
+                        "pu,euf->epf", opp0[ct], us[i], precision=prec,
+                        preferred_element_type=us[i].dtype).reshape(
+                            -1, nF)
+                    uf = d2[tabs["force_row_%d" % ct]]
+                    w = geo["force_w_%d" % ct]
+                    mflux = mflux + jnp.sum(w * uf[:, 1])
+                    rho_int = rho_int + jnp.sum(w * uf[:, 0])
+                mflux = jax.lax.psum(mflux, axis)
+                rho_int = jax.lax.psum(rho_int, axis)
+                ubulk = jnp.where(rho_int == 0, 0.0, mflux / rho_int)
+                if bf_type == 1:
+                    bf1 = (bf_mdot0 - mflux) / (bf_area * dt)
+                else:
+                    bf1 = (bf_mdot0 - 2.0 * mflux + mdot_old) \
+                        / (bf_area * dt)
+                bf = jnp.zeros((nF,), us[0].dtype).at[1].set(bf1)
+                bf = bf.at[d + 1].set(bf1 * ubulk)
+                mdot_old = mflux
 
             if soa_res is not None:
                 # whole step in the per-type (U_t, F, E_t) layout — one
@@ -813,6 +934,11 @@ class ShardedMixedSolver:
             else:
                 def rhs(x):
                     return residual(x, geo, tabs, sends, bcP)
+
+            if bf is not None:
+                rhs_core = rhs
+                bf_add = bf[:, None] if soa_res is not None else bf
+                rhs = lambda x: tuple(r + bf_add for r in rhs_core(x))
 
             tmap = jax.tree.map
             if pre is not None:
@@ -850,7 +976,7 @@ class ShardedMixedSolver:
                 us = tuple(jnp.transpose(u, (2, 0, 1)) for u in us)
                 regs = tuple(jnp.transpose(r, (2, 0, 1)) for r in regs)
             return (tuple(u[None] for u in us),
-                    tuple(r[None] for r in regs))
+                    tuple(r[None] for r in regs), mdot_old)
 
         from jax import shard_map
 
@@ -860,19 +986,53 @@ class ShardedMixedSolver:
 
         specs = (tuple(P(self.axis) for _ in range(n_types)),
                  tuple(P(self.axis) for _ in range(n_types)),
-                 P(), sharded_spec(self.geo), sharded_spec(self.tabs),
+                 P(), P(), sharded_spec(self.geo), sharded_spec(self.tabs),
                  sharded_spec(self.send_idx), sharded_spec(self.bcP))
         out_specs = (tuple(P(self.axis) for _ in range(n_types)),
-                     tuple(P(self.axis) for _ in range(n_types)))
+                     tuple(P(self.axis) for _ in range(n_types)), P())
+
+        avg = self._avg
+        if avg:
+            avg_fields = list(self.p.average_fields)
+            spinup = self.p.spinup_time
 
         def run_chunk(state, dt, n_steps, geo, tabs, sends, bcP):
             def body(carry, _):
-                u, r = carry
-                u, r = shard_map(shard_body, mesh=self.jmesh,
-                                 in_specs=specs, out_specs=out_specs,
-                                 check_vma=False)(u, r, dt, geo, tabs,
-                                                  sends, bcP)
-                return (u, r), None
+                u, r, mdot, t_sim, ua = carry
+                u, r, mdot = shard_map(shard_body, mesh=self.jmesh,
+                                       in_specs=specs,
+                                       out_specs=out_specs,
+                                       check_vma=False)(u, r, dt, mdot,
+                                                        geo, tabs, sends,
+                                                        bcP)
+                t_sim = t_sim + dt
+                if avg:
+                    # per-type running average on the sharded (S, El, U,
+                    # F) blocks (elementwise: GSPMD keeps it
+                    # collective-free; ref:src/eles.cpp:5676-5698)
+                    new_ua = []
+                    for ub, uab in zip(u, ua):
+                        rho = ub[..., 0]
+                        cols = []
+                        for f_ in avg_fields:
+                            if f_ == "rho_average":
+                                cols.append(rho)
+                            elif f_ == "u_average":
+                                cols.append(ub[..., 1] / rho)
+                            elif f_ == "v_average":
+                                cols.append(ub[..., 2] / rho)
+                            elif f_ == "w_average":
+                                cols.append(ub[..., 3] / rho)
+                            else:  # e_average
+                                cols.append(ub[..., d + 1] / rho)
+                        cur = jnp.stack(cols, axis=-1)
+                        t_rel = t_sim - spinup
+                        a = (t_rel - dt) / t_rel
+                        b = dt / t_rel
+                        new_ua.append(jnp.where(t_rel <= dt, cur,
+                                                a * uab + b * cur))
+                    ua = tuple(new_ua)
+                return (u, r, mdot, t_sim, ua), None
             state, _ = jax.lax.scan(body, state, None, length=n_steps)
             return state
 
@@ -880,13 +1040,29 @@ class ShardedMixedSolver:
 
     # ------------------------------------------------------------------
     def run(self, n_steps: int, dt: float):
-        state = self._step_jit((self.u, self.reg),
-                               jnp.asarray(dt, self.dtype), n_steps,
-                               self.geo, self.tabs, self.send_idx,
-                               self.bcP)
-        self.u, self.reg = state
+        ua = self.u_avg if self.u_avg is not None \
+            else jnp.zeros((), self.dtype)
+        state = self._step_jit(
+            (self.u, self.reg, self._mdot_old, self._t_sim, ua),
+            jnp.asarray(dt, self.dtype), n_steps,
+            self.geo, self.tabs, self.send_idx, self.bcP)
+        (self.u, self.reg, self._mdot_old, self._t_sim, ua) = state
+        if self._avg:
+            self.u_avg = ua
         self.time += dt * n_steps
         return self.u
+
+    def gather_u_avg(self):
+        """Per-type time-averaged fields in the MixedSolver's (E_ct, U, K)
+        layout (None unless the deck sets average_fields)."""
+        if self.u_avg is None:
+            return None
+        out = []
+        for ct, ua in zip(self.cts, self.u_avg):
+            a = np.asarray(ua)
+            a = a.reshape(-1, a.shape[2], a.shape[3])
+            out.append(a[self.pad_ct[ct].reshape(-1) > 0])
+        return tuple(out)
 
     def gather_u(self):
         """Per-type solutions in the MixedSolver's (E_ct, U, F) layout

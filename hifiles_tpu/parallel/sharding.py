@@ -665,6 +665,50 @@ class ShardedSolver:
         self.time = 0.0
         self.n_fields = base.n_fields
 
+        # body forcing (channel/hill bulk-momentum source): per-shard
+        # inflow-plane fpt rows + lax.psum plane integrals — the
+        # reference's globally reduced inflow mass flux
+        # (ref:src/eles.cpp:5281-5484 evaluate_body_force)
+        self._forcing = bool(getattr(base, "_forcing", False))
+        if self._forcing:
+            Pf_ = ops.n_fpts
+            pm_flat = pad_mask.reshape(-1)
+            inv = {}
+            for i, g in enumerate(owner_flat):
+                if pm_flat[i] > 0:
+                    inv[int(g)] = i
+            per = [[] for _ in range(self.n_shards)]
+            for fs, w in zip(base._force_slots, base._force_wdA):
+                i = inv[int(fs // Pf_)]
+                per[i // El].append(((i % El) * Pf_ + int(fs % Pf_),
+                                     float(w)))
+            Ns = max(1, max(len(x) for x in per))
+            # padded rows gather element 0 with weight 0 (excluded sums)
+            frow = np.zeros((self.n_shards, Ns), dtype=np.int64)
+            fw = np.zeros((self.n_shards, Ns))
+            for s in range(self.n_shards):
+                for j, (r_, w_) in enumerate(per[s]):
+                    frow[s, j] = r_
+                    fw[s, j] = w_
+            self.tabs["force_row"] = i32(frow)
+            self.geo["force_wdA"] = f(fw)
+        self._mdot_old = jnp.asarray(
+            run_input.body_force_mdot0 if self._forcing else 0.0, dtype)
+
+        # running time averages (ref:src/eles.cpp:5630-5700), sharded
+        # like the state; padding clones carry junk that gather drops
+        self._avg = bool(run_input.average_fields)
+        self.u_avg = None
+        if self._avg:
+            for f_ in run_input.average_fields:
+                if f_ not in ("rho_average", "u_average", "v_average",
+                              "w_average", "e_average"):
+                    raise ValueError(f"unknown average field '{f_}'")
+            self.u_avg = jax.device_put(
+                jnp.zeros((self.n_shards, El, ops.n_upts,
+                           len(run_input.average_fields)), dtype), sharding)
+        self._t_sim = jnp.asarray(0.0, dtype)
+
         self._residual_shard = self._make_shard_residual()
 
         # SoA (U, F, El) fast path inside shard_map (soa_sharding.py):
@@ -975,8 +1019,14 @@ class ShardedSolver:
         nF = self.n_fields
         Pf = self.base.ops.n_fpts
         El = self.El
+        forcing = self._forcing
+        if forcing:
+            bf_area = self.p.body_force_area
+            bf_mdot0 = self.p.body_force_mdot0
+            bf_type = self.p.body_force_type
 
-        def shard_body(u, reg, dt, k, ti, geo, tabs, sends, bcP, tiP):
+        def shard_body(u, reg, dt, k, ti, mdot_old, geo, tabs, sends, bcP,
+                       tiP):
             u = u[0]        # (1, El, ...) -> (El, ...)
             reg = reg[0]
             dt = dt[0] if dt.ndim else dt
@@ -987,7 +1037,9 @@ class ShardedSolver:
             tiP = sq(tiP)
             ramp = k.astype(u.dtype) if has_ramp else None
 
+            mdot_old = mdot_old if forcing else jnp.zeros((), dtype)
             fluc = None
+            disu_f = None
             if ti_core is not None:
                 # inlet update once per step at stage 0, like the
                 # single-device loop (ref:src/solver.cpp:111-118); eddies
@@ -1008,6 +1060,35 @@ class ShardedSolver:
                     gidx=tabs["ti_gidx"])
                 fluc = jnp.zeros(u_bl.shape[:2] + (d,), dtype).at[rows].set(
                     fl, mode="drop")
+
+            bf = None
+            if forcing:
+                # bulk-momentum body force from the globally reduced
+                # inflow-plane mass flux, once per step like the
+                # single-device featured chunk (solver/solver.py;
+                # ref:src/eles.cpp:5281-5484 evaluate_body_force + the
+                # reference's MPI_Allreduce of the plane integrals)
+                dt_s = dt if getattr(dt, "ndim", 0) == 0 else \
+                    jax.lax.pmin(jnp.where(dt > 0.0, dt, jnp.inf).min(),
+                                 axis)
+                if disu_f is None:
+                    disu_f = jnp.einsum(
+                        "pu,euf->epf", opp_0, u,
+                        preferred_element_type=dtype,
+                        precision=prec).reshape(El * Pf, nF)
+                uf = disu_f[tabs["force_row"]]        # (Ns, F), 0-padded
+                w = geo["force_wdA"]
+                mflux = jax.lax.psum(jnp.sum(w * uf[:, 1]), axis)
+                rho_int = jax.lax.psum(jnp.sum(w * uf[:, 0]), axis)
+                ubulk = jnp.where(rho_int == 0, 0.0, mflux / rho_int)
+                if bf_type == 1:
+                    bf1 = (bf_mdot0 - mflux) / (bf_area * dt_s)
+                else:
+                    bf1 = (bf_mdot0 - 2.0 * mflux + mdot_old) \
+                        / (bf_area * dt_s)
+                bf = jnp.zeros((nF,), dtype).at[1].set(bf1)
+                bf = bf.at[d + 1].set(bf1 * ubulk)
+                mdot_old = mflux
 
             if soa_res is not None:
                 # run the whole step in the SoA (U, F, El) layout — one
@@ -1031,6 +1112,11 @@ class ShardedSolver:
                     return residual(x, geo, tabs, sends, bcP, ramp, fluc)
 
                 dt_use = dt
+
+            if bf is not None:
+                rhs_core = rhs
+                bf_add = bf[:, None] if soa_res is not None else bf
+                rhs = lambda x: rhs_core(x) + bf_add
 
             if pre is not None:
                 u = pre(u)
@@ -1059,7 +1145,7 @@ class ShardedSolver:
             if soa_res is not None:
                 u = jnp.transpose(u, (2, 0, 1))
                 reg = jnp.transpose(reg, (2, 0, 1))
-            return u[None], reg[None], ti
+            return u[None], reg[None], ti, mdot_old
 
         from jax import shard_map
 
@@ -1072,24 +1158,56 @@ class ShardedSolver:
         dt_spec = (P(self.axis, None, None, None)
                    if self.p.dt_type == 2 else P())
         ti_spec = jax.tree.map(lambda v: P(), self._ti_state)
-        specs = (P(self.axis), P(self.axis), dt_spec, P(), ti_spec,
+        specs = (P(self.axis), P(self.axis), dt_spec, P(), ti_spec, P(),
                  sharded_spec(self.geo), sharded_spec(self.tabs),
                  sharded_spec(self.send_idx), sharded_spec(self.bcP),
                  sharded_spec(self.tiP))
 
-        def step_shard(u, reg, dt, k, ti, geo, tabs, sends, bcP, tiP):
+        def step_shard(u, reg, dt, k, ti, mdot, geo, tabs, sends, bcP,
+                       tiP):
             return shard_map(
                 shard_body, mesh=self.mesh, in_specs=specs,
-                out_specs=(P(self.axis), P(self.axis), ti_spec),
-                check_vma=False)(u, reg, dt, k, ti, geo, tabs, sends, bcP,
-                                 tiP)
+                out_specs=(P(self.axis), P(self.axis), ti_spec, P()),
+                check_vma=False)(u, reg, dt, k, ti, mdot, geo, tabs,
+                                 sends, bcP, tiP)
+
+        avg = self._avg
+        if avg:
+            avg_fields = list(self.p.average_fields)
+            spinup = self.p.spinup_time
 
         def run_chunk(state, dt, n_steps, geo, tabs, sends, bcP, tiP):
             def body(carry, _):
-                u, r, k, ti = carry
-                u, r, ti = step_shard(u, r, dt, k, ti, geo, tabs, sends,
-                                      bcP, tiP)
-                return (u, r, k + 1, ti), None
+                u, r, k, ti, mdot, t_sim, ua = carry
+                u, r, ti, mdot = step_shard(u, r, dt, k, ti, mdot, geo,
+                                            tabs, sends, bcP, tiP)
+                dt_s = (dt if getattr(dt, "ndim", 0) == 0
+                        else jnp.where(dt > 0.0, dt, jnp.inf).min())
+                t_sim = t_sim + dt_s
+                if avg:
+                    # running average on the sharded (S, El, U, F) state —
+                    # elementwise, so GSPMD keeps it collective-free;
+                    # padding clones carry junk that gather_u_avg drops
+                    # (ref:src/eles.cpp:5676-5698)
+                    rho = u[..., 0]
+                    cols = []
+                    for f_ in avg_fields:
+                        if f_ == "rho_average":
+                            cols.append(rho)
+                        elif f_ == "u_average":
+                            cols.append(u[..., 1] / rho)
+                        elif f_ == "v_average":
+                            cols.append(u[..., 2] / rho)
+                        elif f_ == "w_average":
+                            cols.append(u[..., 3] / rho)
+                        else:  # e_average
+                            cols.append(u[..., d + 1] / rho)
+                    cur = jnp.stack(cols, axis=-1)
+                    t_rel = t_sim - spinup
+                    a = (t_rel - dt_s) / t_rel
+                    b = dt_s / t_rel
+                    ua = jnp.where(t_rel <= dt_s, cur, a * ua + b * cur)
+                return (u, r, k + 1, ti, mdot, t_sim, ua), None
             state, _ = jax.lax.scan(body, state, None, length=n_steps)
             return state
 
@@ -1203,11 +1321,17 @@ class ShardedSolver:
             dt_j = jnp.asarray(dt, self.dtype)
             dt_min = float(jnp.where(dt_j > 0, dt_j, jnp.inf).min()) \
                 if dt_j.ndim else float(dt_j)
+        ua = self.u_avg if self.u_avg is not None \
+            else jnp.zeros((), self.dtype)
         state = self._step_jit(
-            (self.u, self.reg, self._iter_k, self._ti_state), dt_j,
+            (self.u, self.reg, self._iter_k, self._ti_state,
+             self._mdot_old, self._t_sim, ua), dt_j,
             n_steps, self.geo, self.tabs, self.send_idx, self.bcP,
             self.tiP)
-        self.u, self.reg, self._iter_k, self._ti_state = state
+        (self.u, self.reg, self._iter_k, self._ti_state,
+         self._mdot_old, self._t_sim, ua) = state
+        if self._avg:
+            self.u_avg = ua
         self.time += dt_min * n_steps
         return self.u
 
@@ -1219,6 +1343,18 @@ class ShardedSolver:
         real = self.pad_mask.reshape(-1) > 0
         out = np.empty((self.n_eles,) + u.shape[1:], dtype=u.dtype)
         out[self.owner.reshape(-1)[real]] = u[real]
+        return out
+
+    def gather_u_avg(self) -> np.ndarray | None:
+        """Time-averaged fields (E, U, K) in original element order
+        (None unless the deck sets average_fields)."""
+        if self.u_avg is None:
+            return None
+        ua = np.asarray(self.u_avg).reshape(
+            self.n_shards * self.El, *self.u_avg.shape[2:])
+        real = self.pad_mask.reshape(-1) > 0
+        out = np.empty((self.n_eles,) + ua.shape[1:], dtype=ua.dtype)
+        out[self.owner.reshape(-1)[real]] = ua[real]
         return out
 
     def scatter_u(self, u_global) -> None:

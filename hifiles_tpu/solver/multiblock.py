@@ -369,6 +369,19 @@ class MixedSolver:
         else:
             from ..config.params import CYCLIC
             bc_flags = {0: CYCLIC}
+        # SEM inlets / BC ramping are NOT wired into the mixed residual:
+        # fail loudly (before any table building) instead of silently
+        # dropping them (ref:src/bdy_inters.cpp:1478, :482-509)
+        if run_input.bc_list:
+            if run_input.LES and any(getattr(b, "inlet_type", 0)
+                                     for b in run_input.bc_list):
+                raise NotImplementedError(
+                    "turbulent inlets (SEM/white noise) are not "
+                    "implemented on mixed-type meshes")
+            if any(getattr(b, "pressure_ramp", 0)
+                   for b in run_input.bc_list):
+                raise NotImplementedError(
+                    "BC ramping is not implemented on mixed-type meshes")
         delta_cyclic = np.array([run_input.dx_cyclic, run_input.dy_cyclic,
                                  run_input.dz_cyclic])[:self.n_dims]
         self.conn = build_faces(mesh, bc_flags, delta_cyclic)
@@ -503,10 +516,154 @@ class MixedSolver:
         self.reg = jax.tree.map(jnp.zeros_like, self.u)
         self.time = 0.0
 
+        # ---- featured runs on mixed meshes: body forcing + running time
+        # averages ride both chunk paths (the reference treats every
+        # element type uniformly, ref:src/eles.cpp:5281-5484, :5630-5700).
+        self._forcing = bool(run_input.forcing) and run_input.equation == 0
+        self._mdot_old = jnp.asarray(run_input.body_force_mdot0
+                                     if self._forcing else 0.0, dtype)
+        self._force_slots = None
+        if self._forcing:
+            # inflow plane = cyclic faces with normal -x, per type block
+            # (ref:src/eles.cpp:5313-5337, the reference's inlet hack)
+            from ..config.params import CYCLIC as _CYC
+            from ..mesh.core import NUM_F_PER_C
+            loc_of = np.zeros(mesh.n_cells, dtype=np.int64)
+            for ct in cts:
+                loc_of[self.mt.sels[ct]] = np.arange(self.mt.sels[ct].size)
+            fslots = {ct: [] for ct in cts}
+            for c in range(mesh.n_cells):
+                ct = int(mesh.ctype[c])
+                o = ops_by_ct[ct]
+                foff = np.concatenate([[0], np.cumsum(o.n_fpts_per_face)])
+                for k in range(NUM_F_PER_C[ct]):
+                    bid = int(mesh.bc_id[c, k])
+                    if bid < 0 or bc_flags.get(bid, -1) != _CYC:
+                        continue
+                    sl = (loc_of[c] * o.n_fpts + foff[k]
+                          + np.arange(int(o.n_fpts_per_face[k])))
+                    if self.blocks[ct].norm_fpts[sl[0], 0] < -0.99:
+                        fslots[ct].append(sl)
+            if not any(fslots[ct] for ct in cts):
+                raise ValueError("body forcing: no -x cyclic inflow plane")
+            self._force_slots = {}
+            self._force_wdA = {}
+            for ct in cts:
+                if fslots[ct]:
+                    fs = np.concatenate(fslots[ct])
+                    self._force_slots[ct] = fs
+                    o = ops_by_ct[ct]
+                    self._force_wdA[ct] = (o.fpt_weights[fs % o.n_fpts]
+                                           * self.blocks[ct].tdA_fpts[fs])
+        self._avg = bool(run_input.average_fields)
+        self.u_avg = None
+        if self._avg:
+            for f_ in run_input.average_fields:
+                if f_ not in ("rho_average", "u_average", "v_average",
+                              "w_average", "e_average"):
+                    raise ValueError(f"unknown average field '{f_}'")
+            self.u_avg = tuple(
+                jnp.zeros((self.blocks[ct].n_eles, ops_by_ct[ct].n_upts,
+                           len(run_input.average_fields)), dtype)
+                for ct in cts)
+        self._t_sim = jnp.asarray(0.0, dtype)
+        self._featured = self._forcing or self._avg
+        self._opp0_by_ct = {ct: jnp.asarray(ops_by_ct[ct].opp_0, dtype)
+                            for ct in cts}
+
+        nF = self.n_fields
+        d = self.n_dims
+        forcing = self._forcing
+        avg = self._avg
+        adv = run_input.adv_type
+        prec = jax.lax.Precision[
+            getattr(self.rcfg, "precision", "highest").upper()]
+        if forcing:
+            bf_area = run_input.body_force_area
+            bf_mdot0 = run_input.body_force_mdot0
+            bf_type = run_input.body_force_type
+            f_tabs = []          # (block idx, slots, rows_rho/mom, cols, w)
+            for i, ct in enumerate(cts):
+                if ct in self._force_slots:
+                    fs = self._force_slots[ct]
+                    Pf_ = ops_by_ct[ct].n_fpts
+                    f_tabs.append((
+                        i,
+                        jnp.asarray(fs, jnp.int32),
+                        jnp.asarray((fs % Pf_) * nF, jnp.int32),
+                        jnp.asarray((fs % Pf_) * nF + 1, jnp.int32),
+                        jnp.asarray(fs // Pf_, jnp.int32),
+                        jnp.asarray(self._force_wdA[ct], dtype), Pf_))
+        if avg:
+            avg_fields = list(run_input.average_fields)
+            spinup = run_input.spinup_time
+        opp0 = self._opp0_by_ct
+
+        def body_force(u, mdot_old, dt_s, soa):
+            """bf (nF,) from the psum-free global inflow integrals; u in
+            the layout the chunk runs ((U,F,E_t) tuples when soa)."""
+            z = jnp.zeros((), u[0].dtype)
+            mflux, rho_int = z, z
+            for (i, sl, r0_, r1_, cc, w_, Pf_) in f_tabs:
+                if soa:
+                    d2 = jax.lax.dot_general(
+                        opp0[cts[i]], u[i], (((1,), (0,)), ((), ())),
+                        precision=prec,
+                        preferred_element_type=u[i].dtype).reshape(
+                            Pf_ * nF, -1)
+                    mflux = mflux + jnp.sum(w_ * d2[r1_, cc])
+                    rho_int = rho_int + jnp.sum(w_ * d2[r0_, cc])
+                else:
+                    d2 = jnp.einsum("pu,euf->epf", opp0[cts[i]], u[i],
+                                    precision=prec,
+                                    preferred_element_type=u[i].dtype
+                                    ).reshape(-1, nF)
+                    uf = d2[sl]
+                    mflux = mflux + jnp.sum(w_ * uf[:, 1])
+                    rho_int = rho_int + jnp.sum(w_ * uf[:, 0])
+            ubulk = jnp.where(rho_int == 0, 0.0, mflux / rho_int)
+            if bf_type == 1:
+                bf1 = (bf_mdot0 - mflux) / (bf_area * dt_s)
+            else:
+                bf1 = (bf_mdot0 - 2.0 * mflux + mdot_old) \
+                    / (bf_area * dt_s)
+            bf = jnp.zeros((nF,), u[0].dtype).at[1].set(bf1)
+            return bf.at[d + 1].set(bf1 * ubulk), mflux
+
+        def avg_update(u, ua, t_sim, dt_s, soa):
+            """Running average per block (ref:src/eles.cpp:5676-5698);
+            field axis is 1 in the (U, F, E) layout, -1 in (E, U, F)."""
+            ax = 1 if soa else -1
+            sel = (lambda a, k: a[:, k] if soa else a[..., k])
+            out = []
+            for ub, uab in zip(u, ua):
+                rho = sel(ub, 0)
+                cols = []
+                for f_ in avg_fields:
+                    if f_ == "rho_average":
+                        cols.append(rho)
+                    elif f_ == "u_average":
+                        cols.append(sel(ub, 1) / rho)
+                    elif f_ == "v_average":
+                        cols.append(sel(ub, 2) / rho)
+                    elif f_ == "w_average":
+                        cols.append(sel(ub, 3) / rho)
+                    else:  # e_average
+                        cols.append(sel(ub, d + 1) / rho)
+                cur = jnp.stack(cols, axis=ax)
+                t_rel = t_sim - spinup
+                a = (t_rel - dt_s) / t_rel
+                b = dt_s / t_rel
+                out.append(jnp.where(t_rel <= dt_s, cur,
+                                     a * uab + b * cur))
+            return tuple(out)
+
         if self.residual_soa is not None:
             step_soa = make_step_fn(self.residual_soa, run_input.adv_type,
                                     post_stage=self._post_stage_soa)
             pre_soa = self._pre_step_soa
+            residual_soa = self.residual_soa
+            post_soa = self._post_stage_soa
 
             def run_chunk(state, dt, n_steps):
                 # transpose each block to elements-minor once per chunk;
@@ -517,23 +674,83 @@ class MixedSolver:
                 bk = lambda t: tuple(jnp.transpose(a, (2, 0, 1)) for a in t)
                 dt_c = (tuple(jnp.reshape(a, (1, 1, -1)) for a in dt)
                         if isinstance(dt, tuple) else dt)
-                us, rs = tr(state[0]), tr(state[1])
+                u0, r0 = state[0], state[1]
+                us, rs = tr(u0), tr(r0)
+                if not self._featured:
+                    def body(carry, _):
+                        u = carry[0]
+                        if pre_soa is not None:
+                            u = pre_soa(u)
+                        return step_soa(u, carry[1], dt_c), None
+                    (us, rs), _ = jax.lax.scan(body, (us, rs), None,
+                                               length=n_steps)
+                    return bk(us), bk(rs)
+
+                mdot0_, tsim0, ua0 = state[2], state[3], state[4]
+                uas = tr(ua0) if avg else ua0
+                dt_s0 = (jnp.min(jnp.stack([jnp.min(a) for a in dt_c]))
+                         if isinstance(dt_c, tuple) else dt_c)
 
                 def body(carry, _):
-                    u = carry[0]
+                    u, r, mdot_old, t_sim, uav = carry
                     if pre_soa is not None:
                         u = pre_soa(u)
-                    return step_soa(u, carry[1], dt_c), None
-                (us, rs), _ = jax.lax.scan(body, (us, rs), None,
-                                           length=n_steps)
-                return bk(us), bk(rs)
+                    source = None
+                    if forcing:
+                        bf, mdot_old = body_force(u, mdot_old, dt_s0,
+                                                  soa=True)
+                        bf2 = bf[:, None]       # broadcasts (U, F, E_t)
+                        source = lambda uu: tuple(bf2 for _ in uu)
+                    inner = make_step_fn(residual_soa, adv,
+                                         source_fn=source,
+                                         post_stage=post_soa)
+                    u, r = inner(u, r, dt_c)
+                    t_sim = t_sim + dt_s0
+                    if avg:
+                        uav = avg_update(u, uav, t_sim, dt_s0, soa=True)
+                    return (u, r, mdot_old, t_sim, uav), None
+
+                carry = (us, rs, mdot0_, tsim0, uas)
+                carry, _ = jax.lax.scan(body, carry, None, length=n_steps)
+                us, rs, mdot0_, tsim0, uas = carry
+                return (bk(us), bk(rs), mdot0_, tsim0,
+                        bk(uas) if avg else uas)
         else:
+            residual_fn = self.residual_fn
+            post_slot = post_stage
+
             def run_chunk(state, dt, n_steps):
+                if not self._featured:
+                    def body(carry, _):
+                        u, r = carry
+                        if self._pre_step is not None:
+                            u = self._pre_step(u)
+                        return self._step(u, r, dt), None
+                    state, _ = jax.lax.scan(body, state, None,
+                                            length=n_steps)
+                    return state
+
+                dt_s0 = (jnp.min(jnp.stack([jnp.min(a) for a in dt]))
+                         if isinstance(dt, tuple) else dt)
+
                 def body(carry, _):
-                    u, r = carry
+                    u, r, mdot_old, t_sim, uav = carry
                     if self._pre_step is not None:
                         u = self._pre_step(u)
-                    return self._step(u, r, dt), None
+                    source = None
+                    if forcing:
+                        bf, mdot_old = body_force(u, mdot_old, dt_s0,
+                                                  soa=False)
+                        source = lambda uu: tuple(bf for _ in uu)
+                    inner = make_step_fn(residual_fn, adv,
+                                         source_fn=source,
+                                         post_stage=post_slot)
+                    u, r = inner(u, r, dt)
+                    t_sim = t_sim + dt_s0
+                    if avg:
+                        uav = avg_update(u, uav, t_sim, dt_s0, soa=False)
+                    return (u, r, mdot_old, t_sim, uav), None
+
                 state, _ = jax.lax.scan(body, state, None, length=n_steps)
                 return state
 
@@ -556,9 +773,19 @@ class MixedSolver:
     def run(self, n_steps: int, dt: float | None = None):
         if dt is None:
             dt = self.compute_dt()
-        state = self._run_chunk((self.u, self.reg),
-                                jnp.asarray(dt, self.dtype), n_steps)
-        self.u, self.reg = state
+        if self._featured:
+            ua = self.u_avg if self.u_avg is not None \
+                else jnp.zeros((), self.dtype)
+            state = self._run_chunk(
+                (self.u, self.reg, self._mdot_old, self._t_sim, ua),
+                jnp.asarray(dt, self.dtype), n_steps)
+            (self.u, self.reg, self._mdot_old, self._t_sim, ua) = state
+            if self._avg:
+                self.u_avg = ua
+        else:
+            state = self._run_chunk((self.u, self.reg),
+                                    jnp.asarray(dt, self.dtype), n_steps)
+            self.u, self.reg = state
         self.time += dt * n_steps
         return self.u
 

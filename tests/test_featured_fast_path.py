@@ -70,6 +70,22 @@ def test_forcing_and_averaging_parity(monkeypatch):
     assert s_fast._forcing and s_fast._avg
 
 
+def test_channel_les_parity(monkeypatch):
+    """The full channel-LES combination (Smagorinsky + body forcing +
+    time averages + no-slip walls, the bench "channel" config) agrees
+    between the SoA featured chunk and the slot chunk."""
+    from hifiles_tpu.config.params import RunInput
+    from hifiles_tpu.mesh.generate import channel_hex_mesh
+    deck = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "decks",
+        "input_channel_les_bench")
+    p = RunInput.from_deck(deck)
+    p.order = 2                      # small twin; the inflow-plane area
+    mesh = channel_hex_mesh(4, 4, 2)  # (2 x pi) is resolution-independent
+    s_fast, _ = _pair(monkeypatch, p, mesh, 10, p.dt)
+    assert s_fast._forcing and s_fast._avg and s_fast.p.LES
+
+
 def test_ramp_parity(monkeypatch):
     from test_solver_features import vortex_input
     p = vortex_input(order=1)
@@ -138,6 +154,26 @@ def test_flagship_configs_engage_soa(cfg):
     assert s.run_path == "SoA (fast)", (cfg, s.run_path)
     s.run(2, dt=p.dt)
     assert np.isfinite(np.asarray(s.u)).all()
+
+
+def test_flagship_channel_engages_featured_soa():
+    """The forced-channel LES flagship (bench.run_channel protocol, shipped
+    deck) runs the SoA FEATURED chunk: body forcing + time averages +
+    no-slip walls on the fast path (ref:src/eles.cpp:5281-5484,
+    :5630-5700)."""
+    from hifiles_tpu.config.params import RunInput
+    from hifiles_tpu.mesh.generate import channel_hex_mesh
+    deck = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "decks",
+        "input_channel_les_bench")
+    p = RunInput.from_deck(deck)
+    p.order = 2                      # small twin of the p=4 bench case
+    s = Solver(p, channel_hex_mesh(4, 4, 4), dtype=jnp.float64)
+    assert s.run_path == "SoA featured (fast)", s.run_path
+    assert s._forcing and s._avg
+    s.run(3, dt=p.dt)
+    assert np.isfinite(np.asarray(s.u)).all()
+    assert np.isfinite(np.asarray(s.u_avg)).all()
 
 
 def test_flagship_mixed_engages_soa():

@@ -148,3 +148,56 @@ def test_soa_shard_opt_out(monkeypatch):
     assert ss._residual_soa_shard is None
     ss.run(2, dt=p.dt)
     assert np.isfinite(np.asarray(ss.gather_u())).all()
+
+
+# ----------------------------------------------------------------------
+# round-4 session 2: featured runs (body forcing + time averages) on the
+# sharded path — the multi-chip forced-channel LES production config
+# (ref:src/eles.cpp:5281-5484 with MPI-reduced inflow integrals,
+#  :5630-5700 CalcTimeAverageQuantities)
+# ----------------------------------------------------------------------
+
+def test_soa_shard_forced_channel_les():
+    """Forced-channel LES + time averaging: 8-dev sharded == 1-dev
+    featured chunk to roundoff, including the psum'd inflow mass flux,
+    the carried mdot memory, and the running averages."""
+    from hifiles_tpu.mesh.generate import channel_hex_mesh
+    deck = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "decks", "input_channel_les_bench")
+    p = RunInput.from_deck(deck)
+    p.order = 2
+    mesh = channel_hex_mesh(4, 4, 2)
+    ss = ShardedSolver(p, mesh, devices=jax.devices()[:8],
+                       dtype=jnp.float64)
+    assert ss._residual_soa_shard is not None, ss.run_path
+    assert ss._forcing and ss._avg
+    ss.run(6, dt=p.dt)
+    s1 = Solver(p, mesh, dtype=jnp.float64)
+    assert s1.run_path == "SoA featured (fast)", s1.run_path
+    s1.run(6, dt=p.dt)
+    diff = np.abs(np.asarray(ss.gather_u()) - np.asarray(s1.u)).max()
+    assert diff < 1e-12, diff
+    da = np.abs(np.asarray(ss.gather_u_avg()) - np.asarray(s1.u_avg)).max()
+    assert da < 1e-12, da
+    dm = abs(float(ss._mdot_old) - float(s1._mdot_old))
+    assert dm < 1e-12, dm
+
+
+def test_soa_shard_forcing_local_dt():
+    """Forcing under local time stepping: the sharded dt_s is the global
+    pmin over real elements, matching the single-device min(dt)."""
+    from hifiles_tpu.mesh.generate import channel_hex_mesh
+    deck = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "decks", "input_channel_les_bench")
+    p = RunInput.from_deck(deck)
+    p.order = 1
+    p.dt_type, p.CFL = 2, 0.1
+    mesh = channel_hex_mesh(4, 4, 2)
+    ss = ShardedSolver(p, mesh, devices=jax.devices()[:5],
+                       dtype=jnp.float64)
+    assert ss._forcing
+    ss.run(4)
+    s1 = Solver(p, mesh, dtype=jnp.float64)
+    s1.run(4, dt=np.asarray(s1.compute_dt()))
+    diff = np.abs(np.asarray(ss.gather_u()) - np.asarray(s1.u)).max()
+    assert diff < 1e-12, diff
