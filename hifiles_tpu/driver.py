@@ -110,6 +110,8 @@ def main(argv=None):
             else:
                 io_solver.u = jnp.asarray(u, io_solver.dtype)
             io_solver.time = solver.time
+            if hasattr(solver, "_mdot_old"):
+                io_solver._mdot_old = solver._mdot_old
             ua = getattr(solver, "gather_u_avg", lambda: None)()
             if ua is not None:
                 # time-averaged fields for the vtu writer
@@ -174,6 +176,15 @@ def main(argv=None):
                     f"(ref CheckStopConditions behavior)")
             res_s = " ".join(f"{r:.6e}" for r in res)
             print(f"iter {i:8d}  t={solver.time:.6e}  res: {res_s}")
+            if p.forcing:
+                # mass-flux history of the body-forced inflow plane
+                # (ref:src/eles.cpp:5430-5453 massflux.dat)
+                mf = io_solver.inflow_massflux()
+                if mf is not None:
+                    with open(os.path.join(outdir, "massflux.dat"),
+                              "a") as fh:
+                        fh.write(f"{i}, {mf[0]:.15g}, {mf[1]:.15g}, "
+                                 f"{mf[2]:.15g}\n")
             if p.calc_force:
                 from .io.forces import write_force_file
                 write_force_file(sync(), outdir, i)

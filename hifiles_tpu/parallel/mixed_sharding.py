@@ -455,16 +455,11 @@ class ShardedMixedSolver:
         # sharded twins of MixedSolver's (ref:src/eles.cpp:5281-5484 with
         # MPI-reduced inflow integrals, :5630-5700).  SEM inlets / BC
         # ramping are unimplemented on mixed meshes: fail loudly.
-        if run_input.bc_list:
-            if run_input.LES and any(getattr(b, "inlet_type", 0)
-                                     for b in run_input.bc_list):
-                raise NotImplementedError(
-                    "turbulent inlets (SEM/white noise) are not "
-                    "implemented on mixed-type meshes")
-            if any(getattr(b, "pressure_ramp", 0)
-                   for b in run_input.bc_list):
-                raise NotImplementedError(
-                    "BC ramping is not implemented on mixed-type meshes")
+        if run_input.bc_list and run_input.LES and any(
+                getattr(b, "inlet_type", 0) for b in run_input.bc_list):
+            raise NotImplementedError(
+                "turbulent inlets (SEM/white noise) are not "
+                "implemented on mixed-type meshes")
         self._forcing = bool(run_input.forcing) and run_input.equation == 0
         self._mdot_old = jnp.asarray(run_input.body_force_mdot0
                                      if self._forcing else 0.0, dtype)
@@ -525,6 +520,11 @@ class ShardedMixedSolver:
                 jnp.zeros((n, E_loc[ct], ops_by_ct[ct].n_upts, K), dtype),
                 sharding) for ct in cts)
         self._t_sim = jnp.asarray(0.0, dtype)
+        # BC ramping (ref:src/bdy_inters.cpp:482-509)
+        self._has_ramp = any(getattr(b, "pressure_ramp", 0)
+                             for b in run_input.bc_list) \
+            if run_input.bc_list else False
+        self._iter_k = jnp.asarray(1, jnp.int32)  # ref:src/input.cpp:377
 
         # mixed SoA fast path inside shard_map (mixed_soa_sharding.py):
         # per-type (U_t, F, E_t) blocks, per-face-shape pools, ppermute
@@ -637,7 +637,7 @@ class ShardedMixedSolver:
                 dtype=dtype) for ct in cts}
         has_wm = self.has_wm
 
-        def residual(us, geo, tab, sends, bcP):
+        def residual(us, geo, tab, sends, bcP, ramp=None):
             flat = jnp.concatenate([
                 jnp.einsum("pu,euf->epf", B[ct].opp_0, us[i],
                            preferred_element_type=dtype,
@@ -674,7 +674,8 @@ class ShardedMixedSolver:
                                                       cfg.ldg_beta)
                 u_c_halo = riemann.ldg_common_solution(u_hl, u_hr, norm_h,
                                                        cfg.ldg_beta)
-                u_c_bdy = (bc_fns.ldg_solution(u_bl, norm_b, P=bcP)
+                u_c_bdy = (bc_fns.ldg_solution(u_bl, norm_b, P=bcP,
+                                               ramp=ramp)
                            .reshape(-1, nF) if n_bdy
                            else jnp.zeros((0, nF), dtype=dtype))
                 u_c_all = jnp.concatenate([
@@ -705,7 +706,8 @@ class ShardedMixedSolver:
             fn_int = common_inv_flux(u_l, u_r, norm_l)
             fn_halo = common_inv_flux(u_hl, u_hr, norm_h)
             if n_bdy:
-                fn_bdy = bc_fns.inv_common_flux(u_bl, norm_b, P=bcP)
+                fn_bdy = bc_fns.inv_common_flux(u_bl, norm_b, P=bcP,
+                                                ramp=ramp)
             if cfg.viscous:
                 sel = (lambda key, idx: geo[key][idx]
                        if key in geo else None)
@@ -760,7 +762,7 @@ class ShardedMixedSolver:
                                      wm_dist=geo["wm_dist"])
                     fn_bdy = fn_bdy + bc_fns.visc_common_flux(
                         u_bl, grad_f[tab["bdy"]], norm_b, None, P=bcP,
-                        **wm_kw)
+                        ramp=ramp, **wm_kw)
             fn_all = jnp.concatenate([
                 fn_int.reshape(-1, nF),
                 fn_bdy.reshape(-1, nF) if n_bdy
@@ -887,11 +889,14 @@ class ShardedMixedSolver:
             prec = jax.lax.Precision[
                 getattr(self.rcfg, "precision", "highest").upper()]
 
-        def shard_body(us, regs, dt, mdot_old, geo, tabs, sends, bcP):
+        has_ramp = self._has_ramp
+
+        def shard_body(us, regs, dt, k, mdot_old, geo, tabs, sends, bcP):
             us = tuple(u[0] for u in us)
             regs = tuple(r[0] for r in regs)
             dt = dt[0] if dt.ndim else dt
             geo, tabs, sends, bcP = sq(geo), sq(tabs), sq(sends), sq(bcP)
+            ramp = k.astype(us[0].dtype) if has_ramp else None
 
             bf = None
             if forcing:
@@ -930,10 +935,10 @@ class ShardedMixedSolver:
                 regs = tuple(jnp.transpose(r, (1, 2, 0)) for r in regs)
 
                 def rhs(x):
-                    return soa_res(x, geo, tabs, bcP)
+                    return soa_res(x, geo, tabs, bcP, ramp=ramp)
             else:
                 def rhs(x):
-                    return residual(x, geo, tabs, sends, bcP)
+                    return residual(x, geo, tabs, sends, bcP, ramp=ramp)
 
             if bf is not None:
                 rhs_core = rhs
@@ -986,7 +991,8 @@ class ShardedMixedSolver:
 
         specs = (tuple(P(self.axis) for _ in range(n_types)),
                  tuple(P(self.axis) for _ in range(n_types)),
-                 P(), P(), sharded_spec(self.geo), sharded_spec(self.tabs),
+                 P(), P(), P(), sharded_spec(self.geo),
+                 sharded_spec(self.tabs),
                  sharded_spec(self.send_idx), sharded_spec(self.bcP))
         out_specs = (tuple(P(self.axis) for _ in range(n_types)),
                      tuple(P(self.axis) for _ in range(n_types)), P())
@@ -998,11 +1004,11 @@ class ShardedMixedSolver:
 
         def run_chunk(state, dt, n_steps, geo, tabs, sends, bcP):
             def body(carry, _):
-                u, r, mdot, t_sim, ua = carry
+                u, r, k, mdot, t_sim, ua = carry
                 u, r, mdot = shard_map(shard_body, mesh=self.jmesh,
                                        in_specs=specs,
                                        out_specs=out_specs,
-                                       check_vma=False)(u, r, dt, mdot,
+                                       check_vma=False)(u, r, dt, k, mdot,
                                                         geo, tabs, sends,
                                                         bcP)
                 t_sim = t_sim + dt
@@ -1032,7 +1038,7 @@ class ShardedMixedSolver:
                         new_ua.append(jnp.where(t_rel <= dt, cur,
                                                 a * uab + b * cur))
                     ua = tuple(new_ua)
-                return (u, r, mdot, t_sim, ua), None
+                return (u, r, k + 1, mdot, t_sim, ua), None
             state, _ = jax.lax.scan(body, state, None, length=n_steps)
             return state
 
@@ -1043,10 +1049,12 @@ class ShardedMixedSolver:
         ua = self.u_avg if self.u_avg is not None \
             else jnp.zeros((), self.dtype)
         state = self._step_jit(
-            (self.u, self.reg, self._mdot_old, self._t_sim, ua),
+            (self.u, self.reg, self._iter_k, self._mdot_old, self._t_sim,
+             ua),
             jnp.asarray(dt, self.dtype), n_steps,
             self.geo, self.tabs, self.send_idx, self.bcP)
-        (self.u, self.reg, self._mdot_old, self._t_sim, ua) = state
+        (self.u, self.reg, self._iter_k, self._mdot_old, self._t_sim,
+         ua) = state
         if self._avg:
             self.u_avg = ua
         self.time += dt * n_steps

@@ -516,7 +516,7 @@ def make_mixed_shard_residual_soa(solver, meta):
         return (jnp.stack(pl, axis=1) if len(pl) > 1
                 else pl[0][:, None, :])
 
-    def residual(us_tuple, geo, tabs, bcP):
+    def residual(us_tuple, geo, tabs, bcP, ramp=None):
         us = dict(zip(cts, us_tuple))
         tS = {k[5:]: v for k, v in tabs.items() if k.startswith("msoa_")}
         gS = {k[5:]: v for k, v in geo.items() if k.startswith("msoa_")}
@@ -661,7 +661,8 @@ def make_mixed_shard_residual_soa(solver, meta):
                         [c - b for c, b in zip(u_c, u_r[pi])], axis=0)
                     parts = [rows_dl] + r_copies(p, rows_dr)
                 if has_bdy and p["Fb_sh"]:
-                    u_c_b = bc_fns.ldg_solution(u_bl, norm_b, P=bcP)
+                    u_c_b = bc_fns.ldg_solution(u_bl, norm_b, P=bcP,
+                                                ramp=ramp)
                     parts.append(bdy_bridge(u_c_b - u_bl, pi))
                 if p["halo_groups"]:
                     bch = cfg.ldg_beta * sgn_h[pi]
@@ -811,7 +812,8 @@ def make_mixed_shard_residual_soa(solver, meta):
                                                         - u_hl[pi][i]))
 
         if has_bdy:
-            fn_b = bc_fns.inv_common_flux(u_bl, norm_b, P=bcP)
+            fn_b = bc_fns.inv_common_flux(u_bl, norm_b, P=bcP,
+                                          ramp=ramp)
             if cfg.viscous:
                 tb_parts = [[] for _ in range(d)]
                 for ct in bdy_cts:
@@ -839,7 +841,7 @@ def make_mixed_shard_residual_soa(solver, meta):
                     wm_kw = dict(wm_state=wm_state,
                                  wm_dist=geo["wm_dist"])
                 fn_b = fn_b + bc_fns.visc_common_flux(
-                    u_bl, g_b, norm_b, None, P=bcP, **wm_kw)
+                    u_bl, g_b, norm_b, None, P=bcP, ramp=ramp, **wm_kw)
 
         pool_fn = []
         for pi, p in enumerate(PJ):

@@ -191,7 +191,7 @@ def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
             build_les_filter(mt.blocks[ct].ops, cfg.filter_type,
                              cfg.filter_ratio), dtype=dtype) for ct in cts}
 
-    def residual(u_tuple):
+    def residual(u_tuple, ramp=None):
         us = dict(zip(cts, u_tuple))
 
         # 1. extrapolate to flux points, per block, concat into global slots
@@ -225,7 +225,8 @@ def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
             u_c_int = riemann.ldg_common_solution(u_l, u_r, g_norm_int_l,
                                                   cfg.ldg_beta)
             if has_bdy:
-                u_c_bdy = bc_fns.ldg_solution(u_bl, g_norm_bdy)
+                u_c_bdy = bc_fns.ldg_solution(u_bl, g_norm_bdy,
+                                              ramp=ramp)
                 u_c_all = jnp.concatenate(
                     [u_c_int.reshape(-1, nF), u_c_bdy.reshape(-1, nF)])
             else:
@@ -271,7 +272,7 @@ def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
                 u_l, u_r, fv_l, fv_r, g_norm_int_l, cfg.ldg_tau,
                 cfg.ldg_beta)
         if has_bdy:
-            fn_bdy = bc_fns.inv_common_flux(u_bl, g_norm_bdy)
+            fn_bdy = bc_fns.inv_common_flux(u_bl, g_norm_bdy, ramp=ramp)
             if cfg.viscous:
                 wm_kw = {}
                 if wm_tables is not None:
@@ -285,7 +286,8 @@ def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
                                 us[ct][ele, upt])
                     wm_kw = dict(wm_state=wm_state, wm_dist=wm_dist_j)
                 fn_bdy = fn_bdy + bc_fns.visc_common_flux(
-                    u_bl, grad_f_flat[g_bdy], g_norm_bdy, None, **wm_kw)
+                    u_bl, grad_f_flat[g_bdy], g_norm_bdy, None, ramp=ramp,
+                    **wm_kw)
             fn_all = jnp.concatenate([fn_int.reshape(-1, nF),
                                       fn_bdy.reshape(-1, nF)])
         else:
@@ -369,19 +371,14 @@ class MixedSolver:
         else:
             from ..config.params import CYCLIC
             bc_flags = {0: CYCLIC}
-        # SEM inlets / BC ramping are NOT wired into the mixed residual:
-        # fail loudly (before any table building) instead of silently
-        # dropping them (ref:src/bdy_inters.cpp:1478, :482-509)
-        if run_input.bc_list:
-            if run_input.LES and any(getattr(b, "inlet_type", 0)
-                                     for b in run_input.bc_list):
-                raise NotImplementedError(
-                    "turbulent inlets (SEM/white noise) are not "
-                    "implemented on mixed-type meshes")
-            if any(getattr(b, "pressure_ramp", 0)
-                   for b in run_input.bc_list):
-                raise NotImplementedError(
-                    "BC ramping is not implemented on mixed-type meshes")
+        # SEM inlets are NOT wired into the mixed residual: fail loudly
+        # (before any table building) instead of silently dropping them
+        # (ref:src/bdy_inters.cpp:1478)
+        if run_input.bc_list and run_input.LES and any(
+                getattr(b, "inlet_type", 0) for b in run_input.bc_list):
+            raise NotImplementedError(
+                "turbulent inlets (SEM/white noise) are not "
+                "implemented on mixed-type meshes")
         delta_cyclic = np.array([run_input.dx_cyclic, run_input.dy_cyclic,
                                  run_input.dz_cyclic])[:self.n_dims]
         self.conn = build_faces(mesh, bc_flags, delta_cyclic)
@@ -567,7 +564,13 @@ class MixedSolver:
                            len(run_input.average_fields)), dtype)
                 for ct in cts)
         self._t_sim = jnp.asarray(0.0, dtype)
-        self._featured = self._forcing or self._avg
+        # BC ramping (ref:src/bdy_inters.cpp:482-509): traced iteration
+        # counter threaded into the bc closures of both mixed residuals
+        self._has_ramp = any(getattr(b, "pressure_ramp", 0)
+                             for b in run_input.bc_list) \
+            if run_input.bc_list else False
+        self._iter_k = jnp.asarray(1, jnp.int32)  # ref:src/input.cpp:377
+        self._featured = self._forcing or self._avg or self._has_ramp
         self._opp0_by_ct = {ct: jnp.asarray(ops_by_ct[ct].opp_0, dtype)
                             for ct in cts}
 
@@ -575,6 +578,7 @@ class MixedSolver:
         d = self.n_dims
         forcing = self._forcing
         avg = self._avg
+        has_ramp = self._has_ramp
         adv = run_input.adv_type
         prec = jax.lax.Precision[
             getattr(self.rcfg, "precision", "highest").upper()]
@@ -686,34 +690,36 @@ class MixedSolver:
                                                length=n_steps)
                     return bk(us), bk(rs)
 
-                mdot0_, tsim0, ua0 = state[2], state[3], state[4]
+                k0, mdot0_, tsim0, ua0 = (state[2], state[3], state[4],
+                                          state[5])
                 uas = tr(ua0) if avg else ua0
                 dt_s0 = (jnp.min(jnp.stack([jnp.min(a) for a in dt_c]))
                          if isinstance(dt_c, tuple) else dt_c)
 
                 def body(carry, _):
-                    u, r, mdot_old, t_sim, uav = carry
+                    u, r, k, mdot_old, t_sim, uav = carry
                     if pre_soa is not None:
                         u = pre_soa(u)
+                    ramp = k.astype(u[0].dtype) if has_ramp else None
                     source = None
                     if forcing:
                         bf, mdot_old = body_force(u, mdot_old, dt_s0,
                                                   soa=True)
                         bf2 = bf[:, None]       # broadcasts (U, F, E_t)
                         source = lambda uu: tuple(bf2 for _ in uu)
-                    inner = make_step_fn(residual_soa, adv,
-                                         source_fn=source,
-                                         post_stage=post_soa)
+                    inner = make_step_fn(
+                        lambda uu: residual_soa(uu, ramp=ramp), adv,
+                        source_fn=source, post_stage=post_soa)
                     u, r = inner(u, r, dt_c)
                     t_sim = t_sim + dt_s0
                     if avg:
                         uav = avg_update(u, uav, t_sim, dt_s0, soa=True)
-                    return (u, r, mdot_old, t_sim, uav), None
+                    return (u, r, k + 1, mdot_old, t_sim, uav), None
 
-                carry = (us, rs, mdot0_, tsim0, uas)
+                carry = (us, rs, k0, mdot0_, tsim0, uas)
                 carry, _ = jax.lax.scan(body, carry, None, length=n_steps)
-                us, rs, mdot0_, tsim0, uas = carry
-                return (bk(us), bk(rs), mdot0_, tsim0,
+                us, rs, k0, mdot0_, tsim0, uas = carry
+                return (bk(us), bk(rs), k0, mdot0_, tsim0,
                         bk(uas) if avg else uas)
         else:
             residual_fn = self.residual_fn
@@ -734,22 +740,23 @@ class MixedSolver:
                          if isinstance(dt, tuple) else dt)
 
                 def body(carry, _):
-                    u, r, mdot_old, t_sim, uav = carry
+                    u, r, k, mdot_old, t_sim, uav = carry
                     if self._pre_step is not None:
                         u = self._pre_step(u)
+                    ramp = k.astype(u[0].dtype) if has_ramp else None
                     source = None
                     if forcing:
                         bf, mdot_old = body_force(u, mdot_old, dt_s0,
                                                   soa=False)
                         source = lambda uu: tuple(bf for _ in uu)
-                    inner = make_step_fn(residual_fn, adv,
-                                         source_fn=source,
-                                         post_stage=post_slot)
+                    inner = make_step_fn(
+                        lambda uu: residual_fn(uu, ramp=ramp), adv,
+                        source_fn=source, post_stage=post_slot)
                     u, r = inner(u, r, dt)
                     t_sim = t_sim + dt_s0
                     if avg:
                         uav = avg_update(u, uav, t_sim, dt_s0, soa=False)
-                    return (u, r, mdot_old, t_sim, uav), None
+                    return (u, r, k + 1, mdot_old, t_sim, uav), None
 
                 state, _ = jax.lax.scan(body, state, None, length=n_steps)
                 return state
@@ -777,9 +784,11 @@ class MixedSolver:
             ua = self.u_avg if self.u_avg is not None \
                 else jnp.zeros((), self.dtype)
             state = self._run_chunk(
-                (self.u, self.reg, self._mdot_old, self._t_sim, ua),
+                (self.u, self.reg, self._iter_k, self._mdot_old,
+                 self._t_sim, ua),
                 jnp.asarray(dt, self.dtype), n_steps)
-            (self.u, self.reg, self._mdot_old, self._t_sim, ua) = state
+            (self.u, self.reg, self._iter_k, self._mdot_old,
+             self._t_sim, ua) = state
             if self._avg:
                 self.u_avg = ua
         else:
@@ -788,6 +797,33 @@ class MixedSolver:
             self.u, self.reg = state
         self.time += dt * n_steps
         return self.u
+
+    def inflow_massflux(self):
+        """(mass_flux, ubulk, next body force) through the -x cyclic
+        inflow plane, summed over type blocks, host-side — the rows of
+        the reference's massflux.dat (ref:src/eles.cpp:5430-5453)."""
+        if not self._forcing:
+            return None
+        tot_m = tot_r = 0.0
+        for i, ct in enumerate(self.cts):
+            if ct not in self._force_slots:
+                continue
+            fs = self._force_slots[ct]
+            w = np.asarray(self._force_wdA[ct], dtype=np.float64)
+            u = np.asarray(self.u[i], dtype=np.float64)
+            d2 = np.einsum("pu,euf->epf", self.blocks[ct].ops.opp_0,
+                           u).reshape(-1, self.n_fields)
+            uf = d2[fs]
+            tot_m += (w * uf[:, 1]).sum()
+            tot_r += (w * uf[:, 0]).sum()
+        ubulk = 0.0 if tot_r == 0 else tot_m / tot_r
+        p = self.p
+        if p.body_force_type == 1:
+            bf1 = (p.body_force_mdot0 - tot_m) / (p.body_force_area * p.dt)
+        else:
+            bf1 = (p.body_force_mdot0 - 2.0 * tot_m
+                   + float(self._mdot_old)) / (p.body_force_area * p.dt)
+        return tot_m, ubulk, bf1
 
     def residual_norm(self, norm_type: int = 2) -> np.ndarray:
         rs = [np.asarray(r, dtype=np.float64)

@@ -686,6 +686,30 @@ class Solver:
             out[1, :row.shape[0]] = row
         return out
 
+    def inflow_massflux(self):
+        """(mass_flux, ubulk, next body force) through the -x cyclic
+        inflow plane, host-side — the rows of the reference's
+        massflux.dat (ref:src/eles.cpp:5430-5453).  The body-force value
+        is the one the NEXT step will apply from this state."""
+        if not self._forcing:
+            return None
+        u = np.asarray(self.u, dtype=np.float64)
+        d2 = np.einsum("pu,euf->epf", self.ops.opp_0, u).reshape(
+            -1, self.n_fields)
+        uf = d2[self._force_slots]
+        w = np.asarray(self._force_wdA, dtype=np.float64)
+        mflux = float((w * uf[:, 1]).sum())
+        rho_int = float((w * uf[:, 0]).sum())
+        ubulk = 0.0 if rho_int == 0 else mflux / rho_int
+        p = self.p
+        dt_s = p.dt
+        if p.body_force_type == 1:
+            bf1 = (p.body_force_mdot0 - mflux) / (p.body_force_area * dt_s)
+        else:
+            bf1 = (p.body_force_mdot0 - 2.0 * mflux
+                   + float(self._mdot_old)) / (p.body_force_area * dt_s)
+        return mflux, ubulk, bf1
+
     def residual_norm(self, norm_type: int = 2,
                       r: np.ndarray | None = None) -> np.ndarray:
         """Residual norm with the reference's normalization

@@ -1,8 +1,9 @@
 """Featured runs (body forcing + running time averages) on mixed-type
-meshes — the reference treats every element type uniformly
-(ref:src/eles.cpp:5281-5484 evaluate_body_force, :5630-5700
-CalcTimeAverageQuantities).  SEM inlets / BC ramping are unimplemented on
-mixed meshes and must raise loudly instead of silently dropping physics.
+meshes plus BC ramping — the reference treats every element type
+uniformly (ref:src/eles.cpp:5281-5484 evaluate_body_force, :5630-5700
+CalcTimeAverageQuantities, ref:src/bdy_inters.cpp:482-509 ramping).  SEM
+inlets are unimplemented on mixed meshes and must raise loudly instead of
+silently dropping physics.
 """
 
 import os
@@ -94,12 +95,12 @@ def test_mixed_sem_inlet_raises():
         MixedSolver(p, mesh, dtype=jnp.float64)
 
 
-def test_mixed_ramp_raises():
-    """BC ramping is unimplemented on mixed meshes: loud failure."""
+def _ramped_channel_input():
+    """Ramped characteristic inflow deck on a quad channel (the
+    test_featured_fast_path.test_ramp_parity configuration)."""
     from hifiles_tpu.config.params import (BCParams, CYCLIC, SUB_IN_CHAR,
                                            SUB_OUT_SIMP)
     from test_solver_features import vortex_input
-    from hifiles_tpu.mesh.generate import periodic_mixed_mesh_2d
     p = vortex_input(order=1)
     p.viscous = 0
     p.bc_list = [
@@ -110,9 +111,48 @@ def test_mixed_ramp_raises():
         BCParams(name="Outflow", flag=SUB_OUT_SIMP, p_static=17.8,
                  T_total=350.0),
         BCParams(name="Cyclic", flag=CYCLIC)]
-    mesh = periodic_mixed_mesh_2d(4, 4, -1, 1, -1, 1)
-    with pytest.raises(NotImplementedError, match="ramping"):
-        MixedSolver(p, mesh, dtype=jnp.float64)
+    p.dy_cyclic = 1.0
+    return p
+
+
+def test_mixed_ramp_matches_single_type():
+    """BC ramping on mixed meshes (round-4 session 2): the degenerate
+    quad-only MixedSolver reproduces the single-type Solver's ramped
+    inflow evolution, iteration counter and all
+    (ref:src/bdy_inters.cpp:482-509)."""
+    from hifiles_tpu.mesh.generate import channel_quad_mesh
+    p = _ramped_channel_input()
+    mesh = channel_quad_mesh(4, 2, 0.0, 2.0, 0.0, 1.0)
+    sm = MixedSolver(p, mesh, dtype=jnp.float64)
+    assert sm._has_ramp and sm._featured
+    sm.run(10, dt=1e-4)
+    s1 = Solver(p, mesh, dtype=jnp.float64)
+    assert s1._has_ramp
+    s1.run(10, dt=1e-4)
+    sel = sm.mt.sels[sm.cts[0]]
+    u1 = np.asarray(s1.u)
+    diff = np.abs(np.asarray(sm.u[0]) - u1[sel]).max()
+    assert diff < 1e-11 * max(np.abs(u1).max(), 1.0), diff
+    assert int(sm._iter_k) == int(s1._iter_k)
+
+
+def test_sharded_mixed_ramp_matches_single():
+    """Ramped mixed run sharded on 6 devices == MixedSolver."""
+    import jax
+    from hifiles_tpu.parallel.mixed_sharding import ShardedMixedSolver
+    from hifiles_tpu.mesh.generate import channel_quad_mesh
+    p = _ramped_channel_input()
+    mesh = channel_quad_mesh(4, 2, 0.0, 2.0, 0.0, 1.0)
+    ss = ShardedMixedSolver(p, mesh, devices=jax.devices()[:6],
+                            dtype=jnp.float64)
+    assert ss._has_ramp
+    ss.run(8, dt=1e-4)
+    s1 = MixedSolver(p, mesh, dtype=jnp.float64)
+    s1.run(8, dt=1e-4)
+    for a, b in zip(ss.gather_u(), s1.u):
+        a, b = np.asarray(a), np.asarray(b)
+        diff = np.abs(a - b).max()
+        assert diff < 1e-11 * max(np.abs(b).max(), 1.0), diff
 
 
 def test_sharded_mixed_forced_channel_matches_single():
