@@ -442,3 +442,30 @@ def channel_hex_mesh(nx: int, ny: int, nz: int,
             bc_id[c, 3] = 1
     mesh.bc_names = ["Cyclic", bc_wall]
     return mesh
+
+
+def channel_mixed_mesh_2d(nx: int, ny: int,
+                          x0: float, x1: float, y0: float, y1: float,
+                          bc_x: str = "Inflow",
+                          bc_X: str = "Outflow") -> MeshData:
+    """Mixed tri+quad channel: named groups on x- (``bc_x``, group 0) and
+    x+ (``bc_X``, group 1); y boundaries cyclic (group 2) — the mixed
+    twin of channel_quad_mesh for inflow/outflow test cases."""
+    from .core import NUM_F_PER_C, corner_vlist_face
+    mesh = periodic_mixed_mesh_2d(nx, ny, x0, x1, y0, y1)
+    tol = 1e-12
+    for c in range(mesh.n_cells):
+        for k in range(NUM_F_PER_C[int(mesh.ctype[c])]):
+            if mesh.bc_id[c, k] < 0:
+                continue
+            vl = corner_vlist_face(int(mesh.ctype[c]),
+                                   int(mesh.c2n_v[c]), k)
+            pts = mesh.xv[mesh.c2v[c, vl]]
+            if (np.abs(pts[:, 0] - x0) < tol).all():
+                mesh.bc_id[c, k] = 0
+            elif (np.abs(pts[:, 0] - x1) < tol).all():
+                mesh.bc_id[c, k] = 1
+            else:
+                mesh.bc_id[c, k] = 2
+    mesh.bc_names = [bc_x, bc_X, "Cyclic"]
+    return mesh

@@ -47,6 +47,36 @@ class _BCBlockFacade:
         self.pos_upts = None
 
 
+class _TIFacade:
+    """Duck-typed block for turb_inlet.inlet_host_setup on the mixed
+    GLOBAL slot space: per-slot quadrature weights and owning-cell size
+    replace the single-type ``slots % Pf`` arithmetic."""
+
+    _REF_VOL = {TRI: 2.0, QUAD: 4.0, TET: 4.0 / 3.0, PRISM: 4.0, HEX: 8.0}
+
+    def __init__(self, mt: MixedMeshTables, run_input: RunInput):
+        self.ops = mt.blocks[mt.cts[0]].ops       # n_dims only
+        self.bdy_slot = mt.bdy_slot
+        self.bdy_bcid = mt.bdy_bcid
+        self.bdy_mask = mt.bdy_mask
+        self.pos_fpts = mt.pos_fpts
+        self.norm_fpts = mt.norm_fpts
+        self.tdA_fpts = mt.tdA_fpts
+        wq, ls = [], []
+        for ct in mt.cts:
+            b = mt.blocks[ct]
+            o = b.ops
+            wq.append(np.tile(o.fpt_weights, b.n_eles))
+            # per-element cell-size metric (ref:src/eles.cpp:6023-6070)
+            cell = (run_input.filter_ratio
+                    * (self._REF_VOL[ct]
+                       * b.detjac_upts.max(axis=1)) ** (1.0 / o.n_dims)
+                    / (run_input.order + 1.0))
+            ls.append(np.repeat(cell, o.n_fpts))
+        self.slot_wq = np.concatenate(wq)
+        self.slot_ls = np.concatenate(ls)
+
+
 def _build_ops(run_input: RunInput, ct: int):
     """Per-type operator factory (same dispatch as solver.Solver)."""
     from ..ops.operators import (build_pri_ops, build_tensor_ops,
@@ -191,7 +221,7 @@ def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
             build_les_filter(mt.blocks[ct].ops, cfg.filter_type,
                              cfg.filter_ratio), dtype=dtype) for ct in cts}
 
-    def residual(u_tuple, ramp=None):
+    def residual(u_tuple, fluc=None, ramp=None):
         us = dict(zip(cts, u_tuple))
 
         # 1. extrapolate to flux points, per block, concat into global slots
@@ -226,7 +256,7 @@ def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
                                                   cfg.ldg_beta)
             if has_bdy:
                 u_c_bdy = bc_fns.ldg_solution(u_bl, g_norm_bdy,
-                                              ramp=ramp)
+                                              fluc=fluc, ramp=ramp)
                 u_c_all = jnp.concatenate(
                     [u_c_int.reshape(-1, nF), u_c_bdy.reshape(-1, nF)])
             else:
@@ -272,7 +302,8 @@ def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
                 u_l, u_r, fv_l, fv_r, g_norm_int_l, cfg.ldg_tau,
                 cfg.ldg_beta)
         if has_bdy:
-            fn_bdy = bc_fns.inv_common_flux(u_bl, g_norm_bdy, ramp=ramp)
+            fn_bdy = bc_fns.inv_common_flux(u_bl, g_norm_bdy, fluc=fluc,
+                                            ramp=ramp)
             if cfg.viscous:
                 wm_kw = {}
                 if wm_tables is not None:
@@ -286,8 +317,8 @@ def make_mixed_residual_fn(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
                                 us[ct][ele, upt])
                     wm_kw = dict(wm_state=wm_state, wm_dist=wm_dist_j)
                 fn_bdy = fn_bdy + bc_fns.visc_common_flux(
-                    u_bl, grad_f_flat[g_bdy], g_norm_bdy, None, ramp=ramp,
-                    **wm_kw)
+                    u_bl, grad_f_flat[g_bdy], g_norm_bdy, None, fluc=fluc,
+                    ramp=ramp, **wm_kw)
             fn_all = jnp.concatenate([fn_int.reshape(-1, nF),
                                       fn_bdy.reshape(-1, nF)])
         else:
@@ -371,14 +402,6 @@ class MixedSolver:
         else:
             from ..config.params import CYCLIC
             bc_flags = {0: CYCLIC}
-        # SEM inlets are NOT wired into the mixed residual: fail loudly
-        # (before any table building) instead of silently dropping them
-        # (ref:src/bdy_inters.cpp:1478)
-        if run_input.bc_list and run_input.LES and any(
-                getattr(b, "inlet_type", 0) for b in run_input.bc_list):
-            raise NotImplementedError(
-                "turbulent inlets (SEM/white noise) are not "
-                "implemented on mixed-type meshes")
         delta_cyclic = np.array([run_input.dx_cyclic, run_input.dy_cyclic,
                                  run_input.dz_cyclic])[:self.n_dims]
         self.conn = build_faces(mesh, bc_flags, delta_cyclic)
@@ -434,6 +457,19 @@ class MixedSolver:
             from .bc import make_bc_functions
             bc_fns = make_bc_functions(run_input, _BCBlockFacade(self.mt),
                                        self.rcfg, dtype)
+
+        # turbulent inlet (white noise / SEM) on the mixed global slot
+        # space (ref:src/bdy_inters.cpp:1478-1920; the reference's inlet
+        # machinery is element-type agnostic, keyed on boundary faces)
+        self.turb_inlet = None
+        self._ti_state = None
+        if run_input.LES and bc_fns is not None:
+            from .turb_inlet import build_turb_inlet
+            ti = build_turb_inlet(run_input, _TIFacade(self.mt, run_input),
+                                  bc_flags, bc_fns, dtype)
+            if ti is not None:
+                self.turb_inlet = ti
+                self._ti_state = ti.init_state
 
         # wall models on mixed meshes (ref:src/bdy_inters.cpp:1095-1131
         # wall-models any boundary face regardless of element type)
@@ -570,7 +606,8 @@ class MixedSolver:
                              for b in run_input.bc_list) \
             if run_input.bc_list else False
         self._iter_k = jnp.asarray(1, jnp.int32)  # ref:src/input.cpp:377
-        self._featured = self._forcing or self._avg or self._has_ramp
+        self._featured = (self._forcing or self._avg or self._has_ramp
+                          or self.turb_inlet is not None)
         self._opp0_by_ct = {ct: jnp.asarray(ops_by_ct[ct].opp_0, dtype)
                             for ct in cts}
 
@@ -579,6 +616,9 @@ class MixedSolver:
         forcing = self._forcing
         avg = self._avg
         has_ramp = self._has_ramp
+        ti = self.turb_inlet
+        bdy_idx = (jnp.asarray(self.mt.bdy_slot, jnp.int32)
+                   if ti is not None else None)
         adv = run_input.adv_type
         prec = jax.lax.Precision[
             getattr(self.rcfg, "precision", "highest").upper()]
@@ -602,6 +642,25 @@ class MixedSolver:
             avg_fields = list(run_input.average_fields)
             spinup = run_input.spinup_time
         opp0 = self._opp0_by_ct
+
+        def bdy_u(u, soa):
+            """Boundary-point solution (Fb, nfp, F) from the per-type
+            state: per-block opp_0 extrapolation concatenated into the
+            global flat slot order, gathered at the bdy table."""
+            parts = []
+            for i, ct in enumerate(cts):
+                if soa:
+                    d2 = jax.lax.dot_general(
+                        opp0[ct], u[i], (((1,), (0,)), ((), ())),
+                        precision=prec,
+                        preferred_element_type=u[i].dtype)   # (Pf, F, E)
+                    parts.append(jnp.transpose(d2, (2, 0, 1)).reshape(
+                        -1, nF))
+                else:
+                    parts.append(jnp.einsum(
+                        "pu,euf->epf", opp0[ct], u[i], precision=prec,
+                        preferred_element_type=u[i].dtype).reshape(-1, nF))
+            return jnp.concatenate(parts)[bdy_idx]
 
         def body_force(u, mdot_old, dt_s, soa):
             """bf (nF,) from the psum-free global inflow integrals; u in
@@ -690,17 +749,23 @@ class MixedSolver:
                                                length=n_steps)
                     return bk(us), bk(rs)
 
-                k0, mdot0_, tsim0, ua0 = (state[2], state[3], state[4],
-                                          state[5])
+                (k0, ti0, mdot0_, tsim0, ua0) = (state[2], state[3],
+                                                 state[4], state[5],
+                                                 state[6])
                 uas = tr(ua0) if avg else ua0
                 dt_s0 = (jnp.min(jnp.stack([jnp.min(a) for a in dt_c]))
                          if isinstance(dt_c, tuple) else dt_c)
 
                 def body(carry, _):
-                    u, r, k, mdot_old, t_sim, uav = carry
+                    u, r, k, ti_state, mdot_old, t_sim, uav = carry
                     if pre_soa is not None:
                         u = pre_soa(u)
                     ramp = k.astype(u[0].dtype) if has_ramp else None
+                    fluc = None
+                    if ti is not None:
+                        ti_state, fluc = ti.update(ti_state,
+                                                   bdy_u(u, soa=True),
+                                                   dt_s0)
                     source = None
                     if forcing:
                         bf, mdot_old = body_force(u, mdot_old, dt_s0,
@@ -708,18 +773,19 @@ class MixedSolver:
                         bf2 = bf[:, None]       # broadcasts (U, F, E_t)
                         source = lambda uu: tuple(bf2 for _ in uu)
                     inner = make_step_fn(
-                        lambda uu: residual_soa(uu, ramp=ramp), adv,
-                        source_fn=source, post_stage=post_soa)
+                        lambda uu: residual_soa(uu, fluc=fluc, ramp=ramp),
+                        adv, source_fn=source, post_stage=post_soa)
                     u, r = inner(u, r, dt_c)
                     t_sim = t_sim + dt_s0
                     if avg:
                         uav = avg_update(u, uav, t_sim, dt_s0, soa=True)
-                    return (u, r, k + 1, mdot_old, t_sim, uav), None
+                    return (u, r, k + 1, ti_state, mdot_old, t_sim,
+                            uav), None
 
-                carry = (us, rs, k0, mdot0_, tsim0, uas)
+                carry = (us, rs, k0, ti0, mdot0_, tsim0, uas)
                 carry, _ = jax.lax.scan(body, carry, None, length=n_steps)
-                us, rs, k0, mdot0_, tsim0, uas = carry
-                return (bk(us), bk(rs), k0, mdot0_, tsim0,
+                us, rs, k0, ti0, mdot0_, tsim0, uas = carry
+                return (bk(us), bk(rs), k0, ti0, mdot0_, tsim0,
                         bk(uas) if avg else uas)
         else:
             residual_fn = self.residual_fn
@@ -740,23 +806,29 @@ class MixedSolver:
                          if isinstance(dt, tuple) else dt)
 
                 def body(carry, _):
-                    u, r, k, mdot_old, t_sim, uav = carry
+                    u, r, k, ti_state, mdot_old, t_sim, uav = carry
                     if self._pre_step is not None:
                         u = self._pre_step(u)
                     ramp = k.astype(u[0].dtype) if has_ramp else None
+                    fluc = None
+                    if ti is not None:
+                        ti_state, fluc = ti.update(ti_state,
+                                                   bdy_u(u, soa=False),
+                                                   dt_s0)
                     source = None
                     if forcing:
                         bf, mdot_old = body_force(u, mdot_old, dt_s0,
                                                   soa=False)
                         source = lambda uu: tuple(bf for _ in uu)
                     inner = make_step_fn(
-                        lambda uu: residual_fn(uu, ramp=ramp), adv,
-                        source_fn=source, post_stage=post_slot)
+                        lambda uu: residual_fn(uu, fluc=fluc, ramp=ramp),
+                        adv, source_fn=source, post_stage=post_slot)
                     u, r = inner(u, r, dt)
                     t_sim = t_sim + dt_s0
                     if avg:
                         uav = avg_update(u, uav, t_sim, dt_s0, soa=False)
-                    return (u, r, k + 1, mdot_old, t_sim, uav), None
+                    return (u, r, k + 1, ti_state, mdot_old, t_sim,
+                            uav), None
 
                 state, _ = jax.lax.scan(body, state, None, length=n_steps)
                 return state
@@ -784,11 +856,11 @@ class MixedSolver:
             ua = self.u_avg if self.u_avg is not None \
                 else jnp.zeros((), self.dtype)
             state = self._run_chunk(
-                (self.u, self.reg, self._iter_k, self._mdot_old,
-                 self._t_sim, ua),
+                (self.u, self.reg, self._iter_k, self._ti_state,
+                 self._mdot_old, self._t_sim, ua),
                 jnp.asarray(dt, self.dtype), n_steps)
-            (self.u, self.reg, self._iter_k, self._mdot_old,
-             self._t_sim, ua) = state
+            (self.u, self.reg, self._iter_k, self._ti_state,
+             self._mdot_old, self._t_sim, ua) = state
             if self._avg:
                 self.u_avg = ua
         else:

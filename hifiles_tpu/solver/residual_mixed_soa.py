@@ -540,7 +540,7 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
         return (jnp.stack(pl, axis=1) if len(pl) > 1
                 else pl[0][:, None, :])
 
-    def residual(u_tuple, ramp=None):
+    def residual(u_tuple, fluc=None, ramp=None):
         us = dict(zip(cts, u_tuple))
         disu_f = {ct: dg(TA[ct].opp_0, us[ct]) for ct in cts}
         # FIELD-major 2-D views: free bitcasts under the GEMMs' natural
@@ -586,7 +586,7 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
                         [c - b for c, b in zip(u_c, u_r[pi])], axis=0)
                     parts = [rows_dl] + r_copies(p, rows_dr)
                 if has_bdy and len(p["bfaces"]):
-                    u_c_b = bc_fns.ldg_solution(u_bl, norm_bdy,
+                    u_c_b = bc_fns.ldg_solution(u_bl, norm_bdy, fluc=fluc,
                                                 ramp=ramp)
                     parts.append(bdy_bridge(u_c_b - u_bl, p))
                 pool_uc.append(jnp.concatenate(parts, axis=1))
@@ -709,7 +709,8 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
                                  - cfg.ldg_tau * (u_r[pi][i] - u_l[pi][i]))
 
         if has_bdy:
-            fn_b = bc_fns.inv_common_flux(u_bl, norm_bdy, ramp=ramp)
+            fn_b = bc_fns.inv_common_flux(u_bl, norm_bdy, fluc=fluc,
+                                          ramp=ramp)
             if cfg.viscous:
                 tb_parts = [[] for _ in range(d)]
                 for ct in cts:
@@ -736,7 +737,8 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
                                 us[ct][upt, :, ele])
                     wm_kw = dict(wm_state=wm_state, wm_dist=wm_dist_j)
                 fn_b = fn_b + bc_fns.visc_common_flux(
-                    u_bl, g_b, norm_bdy, None, ramp=ramp, **wm_kw)
+                    u_bl, g_b, norm_bdy, None, fluc=fluc, ramp=ramp,
+                    **wm_kw)
 
         pool_fn = []
         for pi, p in enumerate(pools):

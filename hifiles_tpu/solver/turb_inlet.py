@@ -99,19 +99,29 @@ def inlet_host_setup(run_input, block, seed: int = 0):
         if block.bdy_mask is not None else np.ones(slots.shape)
     pos = block.pos_fpts[slots]                           # (Fin, nfp, d)
     c.norm = block.norm_fpts[slots]
-    wq = block.ops.fpt_weights[slots % Pf]
+    # mixed meshes pass a facade with PER-SLOT weight / cell-size tables
+    # (the global slot space has no uniform Pf; see multiblock._TIFacade)
+    if getattr(block, "slot_wq", None) is not None:
+        wq = block.slot_wq[slots]
+    else:
+        wq = block.ops.fpt_weights[slots % Pf]
     c.wdA = wq * block.tdA_fpts[slots] * mask             # (Fin, nfp)
     c.total_area = float(c.wdA.sum())                     # ref::2103-2131
 
     # --- eddy length scale (ref:src/eles.cpp:6023-6070): the largest
     # inflow-element cell size, floor for the k-eps scale
-    in_eles = np.unique(slots[mask > 0] // Pf)
-    ref_vol = {1: 4.0, 4: 8.0, 0: 2.0, 2: 4.0 / 3.0, 3: 4.0}[
-        block.ops.ele_type]
-    max_detjac = float(block.detjac_upts[in_eles].max()) if in_eles.size \
-        else 0.0
-    ls_min = (run_input.filter_ratio * (ref_vol * max_detjac) ** (1.0 / d)
-              / (run_input.order + 1.0))
+    if getattr(block, "slot_ls", None) is not None:
+        ls_min = float(block.slot_ls[slots[mask > 0]].max()) \
+            if mask.any() else 0.0
+    else:
+        in_eles = np.unique(slots[mask > 0] // Pf)
+        ref_vol = {1: 4.0, 4: 8.0, 0: 2.0, 2: 4.0 / 3.0, 3: 4.0}[
+            block.ops.ele_type]
+        max_detjac = float(block.detjac_upts[in_eles].max()) \
+            if in_eles.size else 0.0
+        ls_min = (run_input.filter_ratio
+                  * (ref_vol * max_detjac) ** (1.0 / d)
+                  / (run_input.order + 1.0))
     if c.mode == 0 and c.turb_2 > 0:
         ls = max(ls_min, C_MU ** 0.75 * c.turb_1 ** 1.5 / c.turb_2)
     else:

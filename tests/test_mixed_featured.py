@@ -1,8 +1,9 @@
 """Featured runs (body forcing + running time averages) on mixed-type
 meshes plus BC ramping — the reference treats every element type
 uniformly (ref:src/eles.cpp:5281-5484 evaluate_body_force, :5630-5700
-CalcTimeAverageQuantities, ref:src/bdy_inters.cpp:482-509 ramping).  SEM
-inlets are unimplemented on mixed meshes and must raise loudly instead of
+CalcTimeAverageQuantities, ref:src/bdy_inters.cpp:482-509 ramping,
+ref:src/bdy_inters.cpp:1478-1920 SEM inlets).  SEM inlets on SHARDED
+mixed meshes remain unimplemented and must raise loudly instead of
 silently dropping physics.
 """
 
@@ -84,15 +85,65 @@ def test_mixed_forced_wm_channel_soa_slot_parity(monkeypatch):
     assert abs(float(s_fast._mdot_old) - float(s_slot._mdot_old)) < 1e-11
 
 
-def test_mixed_sem_inlet_raises():
-    """SEM inlets are unimplemented on mixed meshes: loud failure."""
+def test_mixed_sem_matches_single_type():
+    """SEM inlet on a quad-only MixedSolver == single-type Solver: the
+    same eddy field (seed 0), length scale, and mass-flux correction
+    (ref:src/bdy_inters.cpp:1478-1920) through the mixed global slot
+    space."""
     from test_turb_inlet import les_channel_input
+    from hifiles_tpu.mesh.generate import channel_quad_mesh
+    p = les_channel_input(inlet_type=2, n_eddy=20)
+    mesh = channel_quad_mesh(8, 4, 0.0, 2.0, 0.0, 1.0)
+    sm = MixedSolver(p, mesh, dtype=jnp.float64)
+    assert sm.turb_inlet is not None and sm._featured
+    sm.run(15, dt=1e-5)
+    s1 = Solver(p, mesh, dtype=jnp.float64)
+    assert s1.turb_inlet is not None
+    s1.run(15, dt=1e-5)
+    sel = sm.mt.sels[sm.cts[0]]
+    u1 = np.asarray(s1.u)
+    diff = np.abs(np.asarray(sm.u[0]) - u1[sel]).max()
+    assert diff < 1e-11 * max(np.abs(u1).max(), 1.0), diff
+    # identical eddy positions after 15 advection steps
+    de = np.abs(np.asarray(sm._ti_state[0])
+                - np.asarray(s1._ti_state[0])).max()
+    assert de < 1e-11, de
+
+
+def test_mixed_sem_soa_slot_parity(monkeypatch):
+    """SEM inlet on a genuinely mixed tri+quad channel: the mixed-SoA
+    chunk matches the slot chunk (fluc rows land on the same global
+    boundary points through the perm_b alignment)."""
+    from test_turb_inlet import les_channel_input
+    from hifiles_tpu.mesh.generate import channel_mixed_mesh_2d
+    p = les_channel_input(inlet_type=2, n_eddy=16)
+    mesh = channel_mixed_mesh_2d(8, 4, 0.0, 2.0, 0.0, 1.0)
+    s_fast = MixedSolver(p, mesh, dtype=jnp.float64)
+    assert s_fast.run_path == "mixed-SoA (fast)", s_fast.run_path
+    assert s_fast.turb_inlet is not None
+    monkeypatch.setenv("HIFILES_NO_SOA", "1")
+    s_slot = MixedSolver(p, mesh, dtype=jnp.float64)
+    monkeypatch.delenv("HIFILES_NO_SOA")
+    s_fast.run(10, dt=1e-5)
+    s_slot.run(10, dt=1e-5)
+    for a, b in zip(s_fast.u, s_slot.u):
+        a, b = np.asarray(a), np.asarray(b)
+        diff = np.abs(a - b).max()
+        assert diff < 1e-11 * max(np.abs(b).max(), 1.0), diff
+
+
+def test_sharded_mixed_sem_inlet_raises():
+    """SEM inlets remain unimplemented on SHARDED mixed meshes: loud
+    failure instead of silently dropping the fluctuations."""
+    import jax
+    from test_turb_inlet import les_channel_input
+    from hifiles_tpu.mesh.generate import channel_mixed_mesh_2d
+    from hifiles_tpu.parallel.mixed_sharding import ShardedMixedSolver
     p = les_channel_input(inlet_type=2, n_eddy=10)
-    from hifiles_tpu.mesh.generate import periodic_mixed_mesh_2d
-    # force a boundary deck onto a mixed mesh: reuse the channel bc list
-    mesh = periodic_mixed_mesh_2d(4, 4, -1, 1, -1, 1)
+    mesh = channel_mixed_mesh_2d(4, 2, 0.0, 2.0, 0.0, 1.0)
     with pytest.raises(NotImplementedError, match="turbulent inlet"):
-        MixedSolver(p, mesh, dtype=jnp.float64)
+        ShardedMixedSolver(p, mesh, devices=jax.devices()[:2],
+                           dtype=jnp.float64)
 
 
 def _ramped_channel_input():
