@@ -99,6 +99,15 @@ GOLDENS_TPU = {
              6.387889905350e-02, 1.170036220614e-01, 3.304062398159e-04],
     "mixed": [6.739170206285e-03, 2.244026407189e-02, 2.263960864066e-02,
               3.970298254422e-02],
+    # recorded 2026-08-19 (BENCH_RECORD, identical across two runs)
+    "mixed3d": [3.131947180015e+00, 1.117830266572e+01, 1.913928835389e+01,
+                8.074533894631e-01, 1.966135611941e+02],
+    # recorded 2026-08-19 (BENCH_RECORD; z-momentum row sits at 2.7e-4 —
+    # near-zero physics in a plane channel — where the CPU row reads
+    # 2.3e-4, an 18% cross-platform f32 spread that the same-platform
+    # golden removes from the tolerance budget)
+    "channel": [1.625666713088e-02, 7.722092308619e-01, 1.984634684063e-01,
+                2.723409180892e-04, 1.132329766967e+00],
 }
 
 # Per-config gate tolerance for rows checked against the OTHER
@@ -110,10 +119,8 @@ GOLDENS_TPU = {
 # (BENCH_PRECISION=high: 3.8x).  Same-platform goldens gate at
 # SAME_PLATFORM_RTOL instead.
 GATE_RTOL = {"overint": 2e-2,
-             # provisional until a same-platform TPU golden is recorded
-             # (tunnel outage 2026-08-18): wm+LES rho/energy rows carry
-             # some f32 cancellation; same-platform gating takes over at
-             # 5e-4 once GOLDENS_TPU has a mixed3d row
+             # cross-platform only (TPU runs gate vs GOLDENS_TPU at 5e-4):
+             # wm+LES rho/energy rows carry some f32 cancellation
              "mixed3d": 1e-2}
 SAME_PLATFORM_RTOL = 5e-4
 

@@ -44,6 +44,15 @@ def main():
         profile_solver(s, p.dt, cfg_name)
         return
 
+    if cfg_name == "channel":
+        from hifiles_tpu.mesh.generate import channel_hex_mesh
+        p = RunInput.from_deck(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tests", "decks", "input_channel_les_bench"))
+        s = Solver(p, channel_hex_mesh(16, 16, 16), dtype=jnp.float32)
+        profile_solver(s, p.dt, cfg_name)
+        return
+
     p = RunInput()
     p.equation = 0
     p.viscous = 1
