@@ -146,51 +146,23 @@ def build_mixed_soa_shard_tables(cts, ops_by_ct, blocks, owner_ct, sizes_ct,
 
     # ---------------- boundary --------------------------------------
     # u_bl is assembled in the SLOT bdy-table order (n, Fb, nfp_max, F) so
-    # bcP / wall-model tables line up; per-ct read tables feed a concat +
-    # per-shard permutation, and each pool bridges its own boundary faces.
+    # bcP / wall-model tables line up.  Read side: per-(ct, lf) groups —
+    # a face's fpt rows are contiguous in Pf (checked below), so each
+    # group reads a free Pf-slice of the (Pf, K, El) GEMM output + one
+    # minor element gather; a per-shard permutation restores slot order.
+    # (The per-face 2-axis fancy gather this replaces lowers to a serial
+    # ~10 ns/element TPU gather — 68% of the mixed3d stage, profiled.)
     bdy_cts = sorted({rec[0] for s in range(n) for rec in bdy_rec[s]})
-    Fbc = {ct: max((sum(1 for r in bdy_rec[s] if r[0] == ct)
-                    for s in range(n)), default=0) for ct in bdy_cts}
-    sec_off = {}
-    off = 0
-    for ct in bdy_cts:
-        sec_off[ct] = off
-        off += Fbc[ct]
+    bdy_read_meta = []
     if bdy_cts:
-        bdy_rows = {ct: np.zeros((n, Fbc[ct], nfp_max * nF), dtype=np.int64)
-                    for ct in bdy_cts}
-        bdy_rows3 = {ct: np.zeros((n, d, Fbc[ct], nfp_max * nF),
-                                  dtype=np.int64) for ct in bdy_cts}
-        bdy_ele = {ct: np.zeros((n, Fbc[ct]), dtype=np.int64)
-                   for ct in bdy_cts}
-        bdy_perm = np.zeros((n, Fb), dtype=np.int64)
         pool_bf = [[[] for _ in range(n)] for _ in shapes]
         for s in range(n):
-            cnt = {ct: 0 for ct in bdy_cts}
             for (ct, e, lf, fl, k_slot, gsl) in bdy_rec[s]:
                 nfp = fl.size
                 if not np.array_equal(fl,
                                       fpt_off[ct][lf] + np.arange(nfp)):
                     return None
-                j = cnt[ct]
-                cnt[ct] += 1
-                fbp = np.zeros(nfp_max, dtype=np.int64)
-                fbp[:nfp] = fl
-                # field-major rows into the (F*Pf, El) d2 view and the
-                # (d*F*Pf, El) tgf3 view (free bitcasts of the F-major
-                # GEMM outputs), (fpt, field) result order
-                bdy_rows[ct][s, j] = (fbp[:, None]
-                                      + np.arange(nF)[None, :] * Pf[ct]
-                                      ).reshape(-1)
-                for m in range(d):
-                    bdy_rows3[ct][s, m, j] = (
-                        fbp[:, None]
-                        + (m * nF + np.arange(nF))[None, :] * Pf[ct]
-                        ).reshape(-1)
-                bdy_ele[ct][s, j] = e
-                bdy_perm[s, k_slot] = sec_off[ct] + j
                 pi = shape_of[nfp]
-                P = pools[pi]
                 sel[ct][s, lf, e] = -len(pool_bf[pi][s]) - 2 - 10 ** 9
                 covered[ct][s, lf, e] = True
                 pool_bf[pi][s].append(k_slot)
@@ -201,10 +173,26 @@ def build_mixed_soa_shard_tables(cts, ops_by_ct, blocks, owner_ct, sizes_ct,
             for s in range(n):
                 bf[s, :len(pool_bf[pi][s])] = pool_bf[pi][s]
             tabS[f"p{pi}_bfaces"] = bf
-        for ct in bdy_cts:
-            tabS[f"bdy_rows_{ct}"] = bdy_rows[ct]
-            tabS[f"bdy_rows3_{ct}"] = bdy_rows3[ct]
-            tabS[f"bdy_ele_{ct}"] = bdy_ele[ct]
+        keys_rg = sorted({(rec[0], rec[2]) for s in range(n)
+                          for rec in bdy_rec[s]})
+        bdy_perm = np.zeros((n, Fb), dtype=np.int64)
+        base = 0
+        for gi, (ct, lf) in enumerate(keys_rg):
+            per_shard = []
+            for s in range(n):
+                ek = sorted((rec[1], rec[4]) for rec in bdy_rec[s]
+                            if rec[0] == ct and rec[2] == lf)
+                per_shard.append(ek)
+            Ng = max(len(x) for x in per_shard)
+            earr = np.zeros((n, Ng), dtype=np.int64)
+            for s, lst in enumerate(per_shard):
+                for j, (e, k_slot) in enumerate(lst):
+                    earr[s, j] = e
+                    bdy_perm[s, k_slot] = base + j
+            tabS[f"brg{gi}_e"] = earr
+            bdy_read_meta.append((ct, int(fpt_off[ct][lf]),
+                                  int(nfp_of[ct][lf]), Ng))
+            base += Ng
         tabS["bdy_perm"] = bdy_perm
 
     # ---------------- halo ------------------------------------------
@@ -364,7 +352,7 @@ def build_mixed_soa_shard_tables(cts, ops_by_ct, blocks, owner_ct, sizes_ct,
                 n, El, Pfc).transpose(0, 2, 1)
 
     meta = dict(shapes=shapes, offsets=list(offsets),
-                pools=pools, bdy_cts=bdy_cts, Fbc=Fbc,
+                pools=pools, bdy_cts=bdy_cts, bdy_read=bdy_read_meta,
                 send_pats=send_pats, Fb=Fb, nfp_max=nfp_max)
     return meta, tabS, geoS
 
@@ -609,13 +597,27 @@ def make_mixed_shard_residual_soa(solver, meta):
                  for gi in range(len(p["halo_groups"]))], axis=1)
                 for m in range(d)])
 
-        if has_bdy:
+        def bdy_read3(srcs, K):
+            """Per-type (Pf_t, K, E_t) -> (Fb, nfp_max, K): per-(ct, lf)
+            free Pf-slices + minor element gathers (the single-device
+            bdy_read3 discipline, solver/residual_mixed_soa.py); padded
+            fpt entries replicate the face's fpt 0 (don't-care)."""
             parts = []
-            for ct in bdy_cts:
-                parts.append(d2[ct][tS[f"bdy_rows_{ct}"],
-                                    tS[f"bdy_ele_{ct}"][:, None]].reshape(
-                    -1, nfp_max, nF))
-            u_bl = jnp.concatenate(parts)[tS["bdy_perm"]]
+            for gi, (ct, f0, nfp, _) in enumerate(meta["bdy_read"]):
+                sub = srcs[ct][f0:f0 + nfp][:, :, tS[f"brg{gi}_e"]]
+                a3 = jnp.transpose(sub, (2, 0, 1))    # (Ng, nfp, K)
+                if nfp < nfp_max:
+                    a3 = jnp.concatenate(
+                        [a3, jnp.broadcast_to(
+                            a3[:, :1],
+                            (a3.shape[0], nfp_max - nfp, K))], axis=1)
+                parts.append(a3)
+            out = (jnp.concatenate(parts, axis=0) if len(parts) > 1
+                   else parts[0])
+            return out[tS["bdy_perm"]]
+
+        if has_bdy:
+            u_bl = bdy_read3(disu_f, nF)               # (Fb, nfp_max, F)
             norm_b = geo["norm"][tabs["bdy"]]
 
         def bdy_bridge(fn_aos, pi):
@@ -815,19 +817,9 @@ def make_mixed_shard_residual_soa(solver, meta):
             fn_b = bc_fns.inv_common_flux(u_bl, norm_b, P=bcP,
                                           ramp=ramp)
             if cfg.viscous:
-                tb_parts = [[] for _ in range(d)]
-                for ct in bdy_cts:
-                    t2b = jnp.transpose(tgf3[ct], (1, 0, 2)).reshape(
-                        d * nF * Pf[ct], us[ct].shape[2])
-                    ele = tS[f"bdy_ele_{ct}"]
-                    rows3 = tS[f"bdy_rows3_{ct}"]
-                    for m in range(d):
-                        tb_parts[m].append(
-                            t2b[rows3[m], ele[:, None]].reshape(
-                                -1, nfp_max, nF))
-                tgb = jnp.stack(
-                    [jnp.concatenate(tp)[tS["bdy_perm"]]
-                     for tp in tb_parts], axis=-1)
+                tgb = jnp.transpose(
+                    bdy_read3(tgf3, d * nF).reshape(Fb, nfp_max, d, nF),
+                    (0, 1, 3, 2))                     # (Fb, nfp, F, d)
                 g_b = adjT_apply(geo["jginv_f"][tabs["bdy"]], tgb,
                                  geo["inv_detjac_f"][tabs["bdy"]])
                 wm_kw = {}

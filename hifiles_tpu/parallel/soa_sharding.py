@@ -127,6 +127,8 @@ def build_soa_shard_tables(block, tables, owner_flat, n_shards, El, nF,
 
     # ---------------- boundary --------------------------------------
     Fb = tables.n_bdy
+    bdy_read_meta = None
+    bdy_read_tabs = {}
     if Fb:
         fpt_b = tables.bdy_slot % Pf              # (n, Fb, nfp)
         ele_b = tables.bdy_slot[:, :, 0] // Pf
@@ -146,6 +148,41 @@ def build_soa_shard_tables(block, tables, owner_flat, n_shards, El, nF,
                 lf = int(fpt_b[s, k, 0] // nfp)
                 sel[s, lf, ele_b[s, k]] = 2 * Fi_tot + k
                 covered[s, lf, ele_b[s, k]] = True
+        # per-lf boundary READ groups (the single-device bdy_read3
+        # discipline, solver/residual_soa.py): a face's fpt rows are
+        # contiguous in Pf, so the read is a free Pf-slice + one minor
+        # element gather per lf instead of the per-face 2-axis fancy
+        # gather (a serial ~10 ns/element TPU gather).  Groups are
+        # uniform across shards (padded with element 0); the perm table
+        # restores each shard's global boundary order.
+        lf_b = fpt_b[:, :, 0] // nfp
+        contig = all(
+            np.array_equal(fpt_b[s, k],
+                           lf_b[s, k] * nfp + np.arange(nfp))
+            for s in range(n) for k in range(int(tables.n_bdy_s[s])))
+        if contig:
+            lfs_present = sorted({int(lf_b[s, k]) for s in range(n)
+                                  for k in range(int(tables.n_bdy_s[s]))})
+            perm = np.zeros((n, Fb), dtype=np.int64)
+            bdy_read_meta = []
+            base = 0
+            for gi, lf in enumerate(lfs_present):
+                per_shard = []
+                for s in range(n):
+                    ks = [k for k in range(int(tables.n_bdy_s[s]))
+                          if int(lf_b[s, k]) == lf]
+                    ks.sort(key=lambda k: ele_b[s, k])
+                    per_shard.append(ks)
+                Ng = max(len(x) for x in per_shard)
+                earr = np.zeros((n, Ng), dtype=np.int64)
+                for s, lst in enumerate(per_shard):
+                    for j, k in enumerate(lst):
+                        earr[s, j] = ele_b[s, k]
+                        perm[s, k] = base + j
+                bdy_read_tabs[f"b{gi}_e"] = earr
+                bdy_read_meta.append((lf * nfp, Ng))
+                base += Ng
+            bdy_read_tabs["b_perm"] = perm
     else:
         ele_b = np.zeros((n, 0), dtype=np.int64)
         rows_b = np.zeros((n, 0, nfp * nF), dtype=np.int64)
@@ -299,6 +336,8 @@ def build_soa_shard_tables(block, tables, owner_flat, n_shards, El, nF,
     if Fb:
         tabS["rows_b"] = rows_b
         tabS["ele_b"] = ele_b
+        tabS.update(bdy_read_tabs)
+        meta["bdy_read"] = bdy_read_meta
         geoS["norm_b"] = norm_b
         geoS["jginv_b"] = jginv_b
         geoS["invdet_b"] = invdet_b
@@ -490,9 +529,23 @@ def make_shard_residual_soa(solver, meta):
             norm_h = [jnp.concatenate(
                 [geoS[f"h{gi}_norm"][:, m] for gi in range(nH)], axis=1)
                 for m in range(d)]
+        def bdy_read3(src3, tabS):
+            """(Pf, K, El) -> (Fb, nfp, K): per-lf free Pf-slices + minor
+            element gathers (the single-device bdy_read3 discipline)."""
+            parts = []
+            for gi, (f0, _) in enumerate(meta["bdy_read"]):
+                sub = src3[f0:f0 + nfp][:, :, tabS[f"b{gi}_e"]]
+                parts.append(jnp.transpose(sub, (2, 0, 1)))
+            out = (jnp.concatenate(parts, axis=0) if len(parts) > 1
+                   else parts[0])
+            return out[tabS["b_perm"]]
+
         if Fb:
-            u_bl = d2[tabS["rows_b"], tabS["ele_b"][:, None]].reshape(
-                Fb, nfp, nF)
+            if meta.get("bdy_read") is not None:
+                u_bl = bdy_read3(disu_f, tabS)        # (Fb, nfp, F)
+            else:  # non-contiguous fpt rows: per-face fancy gather
+                u_bl = d2[tabS["rows_b"], tabS["ele_b"][:, None]].reshape(
+                    Fb, nfp, nF)
 
         # viscous gradient path: per-side LDG deltas scattered
         # field-major, lifted with the (lf, fpt) contraction (the
@@ -668,9 +721,14 @@ def make_shard_residual_soa(solver, meta):
             fn_b = bc_fns.inv_common_flux(u_bl, geoS["norm_b"], P=bcP,
                                           ramp=ramp, fluc=fluc)
             if cfg.viscous:
-                tb = [tgf2[m][tabS["rows_b"], tabS["ele_b"][:, None]]
-                      .reshape(Fb, nfp, nF) for m in range(d)]
-                tgb = jnp.stack(tb, axis=-1)
+                if meta.get("bdy_read") is not None:
+                    tgb = jnp.transpose(
+                        bdy_read3(tgf3, tabS).reshape(Fb, nfp, d, nF),
+                        (0, 1, 3, 2))                 # (Fb, nfp, F, d)
+                else:
+                    tb = [tgf2[m][tabS["rows_b"], tabS["ele_b"][:, None]]
+                          .reshape(Fb, nfp, nF) for m in range(d)]
+                    tgb = jnp.stack(tb, axis=-1)
                 from ..solver.kernels import adjT_apply
                 g_b = adjT_apply(geoS["jginv_b"], tgb, geoS["invdet_b"])
                 wm_kw = {}

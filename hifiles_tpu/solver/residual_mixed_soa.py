@@ -45,9 +45,10 @@ from ..ops import riemann
 from .elements import MixedMeshTables
 from .kernels import adjT_apply
 from .residual import ResidualConfig
-from .residual_soa import (hllc_p, ldg_sign_p, lf_p, roem_p, rusanov_p,
-                           sa_source_p, sgs_flux_p, similarity_flux_p,
-                           similarity_terms_p, visc_flux_p)
+from .residual_soa import (_segments, hllc_p, ldg_sign_p, lf_p, roem_p,
+                           rusanov_p, sa_source_p, sgs_flux_p,
+                           similarity_flux_p, similarity_terms_p,
+                           visc_flux_p)
 
 _REF_VOL = {0: 2.0, 1: 4.0, 2: 4.0 / 3.0, 3: 4.0, 4: 8.0}
 
@@ -193,13 +194,7 @@ class MixedSoaTables:
         nfp_max = mt.bdy_slot.shape[1] if Fb else 1
         bdy_ct = np.zeros(Fb, dtype=np.int64)
         bdy_ele = np.zeros(Fb, dtype=np.int64)
-        bdy_rows = np.zeros((Fb, nfp_max * F), dtype=np.int64)
-        bdy_rows3 = np.zeros((d, Fb, nfp_max * F), dtype=np.int64)
-        # field-major variants: rows into the (F*Pf, E) d2 view and the
-        # (d*F*Pf, E) tgf3 view (free bitcasts of the F-major GEMM
-        # outputs), same (fpt, field) result order
-        bdy_rows_fq = np.zeros((Fb, nfp_max * F), dtype=np.int64)
-        bdy_rows3_fq = np.zeros((d, Fb, nfp_max * F), dtype=np.int64)
+        bdy_lf = np.zeros(Fb, dtype=np.int64)
         for i in range(Fb):
             msk = mt.bdy_mask[i] > 0
             sl = mt.bdy_slot[i][msk]
@@ -212,26 +207,38 @@ class MixedSoaTables:
                 return
             bdy_ct[i] = ct_b
             bdy_ele[i] = e_b
-            fbp = np.zeros(nfp_max, dtype=np.int64)
-            fbp[:nfp] = fb                      # padded entries read fpt 0
-            bdy_rows[i] = (fbp[:, None] * F
-                           + np.arange(F)[None, :]).reshape(-1)
-            bdy_rows_fq[i] = (fbp[:, None]
-                              + np.arange(F)[None, :] * Pf[ct_b]
-                              ).reshape(-1)
-            for m in range(d):
-                bdy_rows3[m, i] = (fbp[:, None] * (d * F) + m * F
-                                   + np.arange(F)[None, :]).reshape(-1)
-                bdy_rows3_fq[m, i] = (fbp[:, None]
-                                      + (m * F + np.arange(F))[None, :]
-                                      * Pf[ct_b]).reshape(-1)
+            bdy_lf[i] = lf_b
             P = pool_of(nfp)
             sel[ct_b][lf_b, e_b] = _enc(nfp, len(P["bfaces"]), 2)
             P["bfaces"].append(i)
         self.bdy_ct, self.bdy_ele = bdy_ct, bdy_ele
-        self.bdy_rows, self.bdy_rows3 = bdy_rows, bdy_rows3
-        self.bdy_rows_fq, self.bdy_rows3_fq = bdy_rows_fq, bdy_rows3_fq
         self.nfp_max = nfp_max
+        # per-(ct, lf) boundary READ groups: a face's fpt rows are
+        # contiguous in Pf (asserted above), so the read side is a free
+        # Pf-slice of the (Pf, K, E) GEMM output + one minor element
+        # gather.  The per-face 2-axis fancy gather it replaces lowers to
+        # a ~10 ns/element serial TPU gather (u_bl + gradient reads were
+        # 68% of the mixed3d wall-model-channel stage time, profiled).
+        self.bdy_read_groups = []
+        cat_order = []
+        for ct in cts:
+            for lf in range(blocks[ct].ops.n_faces):
+                idx = np.where((bdy_ct == ct) & (bdy_lf == lf))[0]
+                if not idx.size:
+                    continue
+                idx = idx[np.argsort(bdy_ele[idx], kind="stable")]
+                cat_order.append(idx)
+                self.bdy_read_groups.append(dict(
+                    ct=ct, f0=int(fpt_off[ct][lf]),
+                    nfp=int(nfp_of[ct][lf]), ele=bdy_ele[idx]))
+        if Fb:
+            catf = np.concatenate(cat_order)
+            if np.array_equal(catf, np.arange(Fb)):
+                self.bdy_perm = None
+            else:
+                pos = np.empty(Fb, dtype=np.int64)
+                pos[catf] = np.arange(Fb)
+                self.bdy_perm = pos
 
         shapes = sorted(pools.keys())
         self.shapes = shapes
@@ -414,15 +421,11 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
             wdist_r=f(cat("wdist_r")) if P["groups"] else None))
 
     if has_bdy:
-        # per-ct boundary read tables + inverse permutation to global order
-        bdy_by_ct = {ct: np.where(T.bdy_ct == ct)[0] for ct in cts}
-        cat_faces = np.concatenate([bdy_by_ct[ct] for ct in cts])
-        perm_b = np.empty(Fb, dtype=np.int64)
-        perm_b[cat_faces] = np.arange(Fb)
-        perm_b_j = i32(perm_b)
-        bdy_tabs = {ct: (i32(T.bdy_rows_fq[idx]), i32(T.bdy_ele[idx]),
-                         i32(T.bdy_rows3_fq[:, idx]))
-                    for ct, idx in bdy_by_ct.items() if idx.size}
+        # per-(ct, lf) boundary read groups (slice + minor element gather)
+        bdy_read_groups = [dict(ct=g["ct"], f0=g["f0"], nfp=g["nfp"],
+                                ele=i32(g["ele"]), segs=_segments(g["ele"]))
+                           for g in T.bdy_read_groups]
+        bdy_perm_j = None if T.bdy_perm is None else i32(T.bdy_perm)
         norm_bdy = f(mt.norm_fpts[mt.bdy_slot])
         jginv_bdy = f(mt.jginv_fpts[mt.bdy_slot])
         inv_detjac_bdy = f(1.0 / mt.detjac_fpts[mt.bdy_slot])
@@ -476,6 +479,34 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
         sel_f = fn_aos[i32(faces)][:, :nfp]
         return jnp.transpose(sel_f, (2, 1, 0)).reshape(nF * nfp,
                                                        faces.size)
+
+    def bdy_read3(srcs, K):
+        """Per-type (Pf_t, K, E_t) -> global (Fb, nfp_max, K): per-(ct,lf)
+        free Pf-slices + minor element gathers + small transposes; padded
+        fpt entries (tri faces in a tri+quad pool) replicate the face's
+        fpt 0 — don't-care values, the write side reads only [:nfp]."""
+        parts = []
+        for g in bdy_read_groups:
+            sub = srcs[g["ct"]][g["f0"]:g["f0"] + g["nfp"]]
+            if g["segs"] is not None:
+                if len(g["segs"]) == 1:
+                    a, b = g["segs"][0]
+                    sub = sub[:, :, a:b]
+                else:
+                    sub = jnp.concatenate(
+                        [sub[:, :, a:b] for a, b in g["segs"]], axis=2)
+            else:
+                sub = sub[:, :, g["ele"]]
+            a3 = jnp.transpose(sub, (2, 0, 1))        # (Ng, nfp, K)
+            if g["nfp"] < nfp_max:
+                a3 = jnp.concatenate(
+                    [a3, jnp.broadcast_to(
+                        a3[:, :1], (a3.shape[0], nfp_max - g["nfp"], K))],
+                    axis=1)
+            parts.append(a3)
+        out = (jnp.concatenate(parts, axis=0) if len(parts) > 1
+               else parts[0])
+        return out if bdy_perm_j is None else out[bdy_perm_j]
 
     def assemble(ct, pool_rows):
         """Per-type inverse gather: pool columns -> (F, Pf_t, E_t) rows in
@@ -555,14 +586,7 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
         u_r = [gather_fm(d2, p, "r", tab="rows_fq_") if p["groups"]
                else None for p in pools]
         if has_bdy:
-            parts = []
-            for ct in cts:
-                if ct not in bdy_tabs:
-                    continue
-                rows, ele, _ = bdy_tabs[ct]
-                parts.append(d2[ct][rows, ele[:, None]].reshape(
-                    -1, nfp_max, nF))
-            u_bl = jnp.concatenate(parts)[perm_b_j]    # (Fb, nfp_max, F)
+            u_bl = bdy_read3(disu_f, nF)               # (Fb, nfp_max, F)
 
         # ---- viscous gradient path --------------------------------------
         if cfg.viscous:
@@ -712,20 +736,9 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
             fn_b = bc_fns.inv_common_flux(u_bl, norm_bdy, fluc=fluc,
                                           ramp=ramp)
             if cfg.viscous:
-                tb_parts = [[] for _ in range(d)]
-                for ct in cts:
-                    if ct not in bdy_tabs:
-                        continue
-                    _, ele, rows3 = bdy_tabs[ct]
-                    t2b = jnp.transpose(tgf3[ct], (1, 0, 2)).reshape(
-                        d * nF * TA[ct].Pf, TA[ct].E)
-                    for m in range(d):
-                        tb_parts[m].append(
-                            t2b[rows3[m], ele[:, None]].reshape(
-                                -1, nfp_max, nF))
-                tgb = jnp.stack(
-                    [jnp.concatenate(tp)[perm_b_j] for tp in tb_parts],
-                    axis=-1)                           # (Fb, nfp, F, d)
+                tgb = jnp.transpose(
+                    bdy_read3(tgf3, d * nF).reshape(Fb, nfp_max, d, nF),
+                    (0, 1, 3, 2))                      # (Fb, nfp, F, d)
                 g_b = adjT_apply(jginv_bdy, tgb, inv_detjac_bdy)
                 wm_kw = {}
                 if has_wm:

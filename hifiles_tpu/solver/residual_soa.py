@@ -226,6 +226,32 @@ class SoaTables:
             # gather over (Fb, nfp*F) is fine on the small boundary set)
             pool_pos_b = 2 * Fi + np.arange(Fb)
             self.bdy_lf = fpt_b[:, 0] // nfp
+            # per-lf READ groups: a face's fpt rows are contiguous in Pf,
+            # so the boundary read is a free [lf*nfp, lf*nfp+nfp) slice of
+            # the (Pf, K, E) GEMM output + one minor element gather.  The
+            # per-face 2-axis fancy gather it replaces lowers to a serial
+            # ~10 ns/element TPU gather (936 us for 92k elements, profiled
+            # on the mixed3d wall-model channel).
+            self.bdy_groups = []
+            cat_order = []
+            contig = np.array_equal(
+                fpt_b, self.bdy_lf[:, None] * nfp + np.arange(nfp))
+            if contig:
+                for lf in np.unique(self.bdy_lf):
+                    idx = np.where(self.bdy_lf == lf)[0]
+                    idx = idx[np.argsort(self.ele_b[idx], kind="stable")]
+                    cat_order.append(idx)
+                    self.bdy_groups.append(
+                        dict(f0=int(lf) * nfp, ele=self.ele_b[idx]))
+                catf = np.concatenate(cat_order)
+                if np.array_equal(catf, np.arange(Fb)):
+                    self.bdy_perm = None
+                else:
+                    pos = np.empty(Fb, dtype=np.int64)
+                    pos[catf] = np.arange(Fb)
+                    self.bdy_perm = pos
+            else:                       # non-contiguous rows: keep the
+                self.bdy_groups = None  # general per-face gather
         else:
             self.ele_b = np.empty(0, dtype=np.int64)
             self.rows_b = np.empty((0, nfp * F), dtype=np.int64)
@@ -427,6 +453,15 @@ class BlockArraysSoa:
             self.norm_bdy = B.norm_bdy          # AoS (Fb, nfp, d)
             self.jginv_bdy = getattr(B, "jginv_bdy", None)
             self.inv_detjac_bdy = getattr(B, "inv_detjac_bdy", None)
+            # per-lf boundary read groups (slice + minor element gather)
+            self.bdy_groups = None
+            if T.bdy_groups is not None:
+                self.bdy_groups = [
+                    dict(f0=g["f0"], ele=i32(g["ele"]),
+                         segs=_segments(g["ele"]))
+                    for g in T.bdy_groups]
+                self.bdy_perm = (None if T.bdy_perm is None
+                                 else i32(T.bdy_perm))
 
 
 # ----------------------------------------------------------------------
@@ -920,6 +955,28 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         """(Fb, nfp, F) AoS -> (F*nfp, Fb) FIELD-major rows."""
         return jnp.transpose(fn_aos, (2, 1, 0)).reshape(nF * nfp, Fb)
 
+    def bdy_read3(src3):
+        """(Pf, K, E) -> (Fb, nfp, K): per-lf free Pf-slices + minor
+        element gathers + one small transpose.  Replaces the per-face
+        2-axis fancy gather, which lowers to a ~10 ns/element serial TPU
+        gather (u_bl + gradient reads were 68% of the mixed3d stage)."""
+        parts = []
+        for g in S.bdy_groups:
+            sub = src3[g["f0"]:g["f0"] + nfp]
+            if g["segs"] is not None:
+                if len(g["segs"]) == 1:
+                    a, b = g["segs"][0]
+                    sub = sub[:, :, a:b]
+                else:
+                    sub = jnp.concatenate(
+                        [sub[:, :, a:b] for a, b in g["segs"]], axis=2)
+            else:
+                sub = sub[:, :, g["ele"]]
+            parts.append(jnp.transpose(sub, (2, 0, 1)))
+        out = (jnp.concatenate(parts, axis=0) if len(parts) > 1
+               else parts[0])
+        return out if S.bdy_perm is None else out[S.bdy_perm]
+
     def r_copies(rows):
         """Pool r-section: per group, static column slice + static
         field-major row gather into the R element's local fpt order
@@ -955,8 +1012,11 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
         u_l = gather_fm(d2, "l", tab="rows_fq_")      # F planes (nfp, Fi)
         u_r = gather_fm(d2, "r", tab="rows_fq_")
         if has_bdy:
-            # small 2-axis fancy gather on the boundary set only
-            u_bl = d2[S.rows_b_fq, S.ele_b[:, None]].reshape(Fb, nfp, nF)
+            if S.bdy_groups is not None:
+                u_bl = bdy_read3(disu_f)              # (Fb, nfp, F)
+            else:  # non-contiguous fpt rows: per-face fancy gather
+                u_bl = d2[S.rows_b_fq, S.ele_b[:, None]].reshape(
+                    Fb, nfp, nF)
 
         # 3. viscous gradient path
         if cfg.viscous:
@@ -1110,10 +1170,15 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
             fn_b = bc_fns.inv_common_flux(u_bl, S.norm_bdy, fluc=fluc,
                                           ramp=ramp)
             if cfg.viscous:
-                t2b = tgf3.reshape(Pf * d * nF, E)
-                tb = [t2b[S.rows_b3[m], S.ele_b[:, None]]
-                      .reshape(Fb, nfp, nF) for m in range(d)]
-                tgb = jnp.stack(tb, axis=-1)          # (Fb, nfp, F, d)
+                if S.bdy_groups is not None:
+                    tgb = jnp.transpose(
+                        bdy_read3(tgf3).reshape(Fb, nfp, d, nF),
+                        (0, 1, 3, 2))                 # (Fb, nfp, F, d)
+                else:
+                    t2b = tgf3.reshape(Pf * d * nF, E)
+                    tb = [t2b[S.rows_b3[m], S.ele_b[:, None]]
+                          .reshape(Fb, nfp, nF) for m in range(d)]
+                    tgb = jnp.stack(tb, axis=-1)      # (Fb, nfp, F, d)
                 g_b = adjT_apply(S.jginv_bdy, tgb, S.inv_detjac_bdy)
                 wm_kw = {}
                 if has_wm:
