@@ -427,6 +427,10 @@ def main():
         base = ref.get("tgv_p4_hex_dof_stage_per_s", 0.0)
         if base and "plain" in results:
             vs_baseline = results["plain"]["value"] / base
+        elif len(names) == 1:
+            base_k = ref.get("per_config_dof_stage_per_s", {}).get(names[0])
+            if base_k:
+                vs_baseline = results[names[0]]["value"] / base_k
 
     out = {"metric": head["metric"], "value": head["value"],
            "unit": "DOF*RK-stage/s", "vs_baseline": vs_baseline,

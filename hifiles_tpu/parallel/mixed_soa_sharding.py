@@ -631,16 +631,18 @@ def make_mixed_shard_residual_soa(solver, meta):
                     for g in p["int_groups"]]
 
         def assemble(ct, pool_rows):
-            per_field = [[] for _ in range(nF)]
+            # each lf block (F*nfp, E) splits its major axis for free; one
+            # concat along the fpt axis replaces the old nf*F slices +
+            # F concats + stack (the single-device assemble discipline)
+            blks = []
             sel_ct = tS[f"sel_{ct}"]
             for lf in range(nf_ct[ct]):
                 pi = lf_shape[ct][lf]
                 nfp = int(nfp_of[ct][lf])
                 blk = pool_rows[pi][:, sel_ct[lf]]
-                for i in range(nF):
-                    per_field[i].append(blk[i * nfp:(i + 1) * nfp])
-            return jnp.stack([jnp.concatenate(pf, axis=0)
-                              for pf in per_field])
+                blks.append(blk.reshape(nF, nfp, -1))
+            return (jnp.concatenate(blks, axis=1) if len(blks) > 1
+                    else blks[0])
 
         # ---- viscous gradient path --------------------------------------
         if cfg.viscous:

@@ -364,7 +364,7 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
             for lf in range(T.sel[ct].shape[0]):
                 row = T.sel[ct][lf]
                 cuts = np.where(np.diff(row) != 1)[0] + 1
-                if cuts.size + 1 > 16 or row.size == 0:
+                if cuts.size + 1 > max(16, row.size // 32) or row.size == 0:
                     self.sel_segs.append(None)
                     continue
                 st = np.concatenate([[0], cuts])
@@ -392,7 +392,7 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
             if not idx.size:
                 return None
             cuts = np.where(np.diff(idx) != 1)[0] + 1
-            if cuts.size + 1 > 8:
+            if cuts.size + 1 > max(8, idx.size // 32):
                 return None
             starts = np.concatenate([[0], cuts])
             ends = np.concatenate([cuts, [idx.size]])
@@ -511,9 +511,12 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
     def assemble(ct, pool_rows):
         """Per-type inverse gather: pool columns -> (F, Pf_t, E_t) rows in
         ascending fpt order (the batched inverse of the reference's
-        point-by-point writes, ref:src/int_inters.cpp:217-220)."""
+        point-by-point writes, ref:src/int_inters.cpp:217-220).  Each lf
+        block (F*nfp, E) splits its major axis for free; one concat along
+        the fpt axis replaces the old nf*F slices + F concats + stack
+        (measured 450 us/stage of reshuffle on mixed3d)."""
         ta = TA[ct]
-        per_field = [[] for _ in range(nF)]
+        blks = []
         for lf in range(ta.nf):
             sh_i = int(ta.lf_shape[lf])
             nfp = int(ta.nfp_lf[lf])
@@ -526,10 +529,9 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
             else:
                 blk = jnp.concatenate(
                     [src[:, a:b] for a, b in segs], axis=1)
-            for i in range(nF):
-                per_field[i].append(blk[i * nfp:(i + 1) * nfp])
-        return jnp.stack([jnp.concatenate(pf, axis=0)
-                          for pf in per_field])        # (F, Pf, E)
+            blks.append(blk.reshape(nF, nfp, -1))
+        return (jnp.concatenate(blks, axis=1) if len(blks) > 1
+                else blks[0])                          # (F, Pf, E)
 
     def common_inv_flux_p(u_l, u_r, norm):
         if cfg.equation == 0:

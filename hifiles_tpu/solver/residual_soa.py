@@ -443,6 +443,12 @@ class BlockArraysSoa:
             self.jg_o = [[f(block.jginv_over[:, :, l, m].T)[:, None, :]
                           for m in range(d)] for l in range(d)]
         self.sel = i32(T.sel)
+        # per-lf run decomposition of the inverse tables: on wall-bounded
+        # meshes lf_direct is None and the (nf x E) pool gathers run here;
+        # consecutive runs turn them into slices (loosened threshold — a
+        # few dozen runs still beat one lane gather)
+        self.sel_segs = [_segments(T.sel[lf], min_avg_run=32)
+                         for lf in range(T.nf)]
         if T.Fb:
             self.ele_b = i32(T.ele_b)
             self.rows_b = i32(T.rows_b)
@@ -1043,7 +1049,8 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
                     parts.append(bdy_bridge(u_c_b - u_bl))
                 pool_uc = jnp.concatenate(parts, axis=1)
                 delta_rows = jnp.concatenate(
-                    [pool_uc[:, S.sel[lf]] for lf in range(nf)], axis=0)
+                    [_sliced(pool_uc, S.sel[lf], S.sel_segs[lf])
+                     for lf in range(nf)], axis=0)
             delta = delta_rows.reshape(nf, nF, nfp, E)
             tg = [tg[m] + dgq(S.opp_5q[m], delta) for m in range(d)]
             # physical gradient planes at upts: (1/det) JGinv^T . tg
@@ -1194,7 +1201,8 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
 
         # 6. inverse gather + tdA scaling (ref:src/int_inters.cpp:217-220)
         ntc = (jnp.concatenate(
-            [pool_fn[:, S.sel[lf]] for lf in range(nf)], axis=0)
+            [_sliced(pool_fn, S.sel[lf], S.sel_segs[lf])
+             for lf in range(nf)], axis=0)
             .reshape(nf, nF, nfp, E) * tdA_q)
         return _finish(u, ntc, tdisf, grp if cfg.rans else None)
 
