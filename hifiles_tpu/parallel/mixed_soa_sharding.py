@@ -828,8 +828,13 @@ def make_mixed_shard_residual_soa(solver, meta):
                 if has_wm:
                     wm_state = jnp.zeros((Fb, nF), dtype)
                     for i, ct in enumerate(cts):
-                        cand = us[ct][tabs[f"wm_upt_{i}"], :,
-                                      tabs[f"wm_ele_{i}"]]
+                        # E-axis lane gather + take_along_axis on the small
+                        # spt axis keeps the carry E-minor (see
+                        # residual_mixed_soa.py)
+                        sub = us[ct][:, :, tabs[f"wm_ele_{i}"]]
+                        cand = jnp.take_along_axis(
+                            sub, tabs[f"wm_upt_{i}"][None, None, :],
+                            axis=0)[0].T
                         wm_state = jnp.where(
                             (tabs["wm_ct"] == i)[:, None], cand, wm_state)
                     wm_kw = dict(wm_state=wm_state,

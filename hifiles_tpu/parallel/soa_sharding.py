@@ -734,10 +734,14 @@ def make_shard_residual_soa(solver, meta):
                 wm_kw = {}
                 if has_wm:
                     # wall-model input state gathered from the SoA volume
-                    # solution (ref:src/eles.cpp:4873-4903)
-                    wm_kw = dict(
-                        wm_state=u[tabS["wm_upt"], :, tabS["wm_ele"]],
-                        wm_dist=geoS["wm_dist"])
+                    # solution (ref:src/eles.cpp:4873-4903).  E-axis lane
+                    # gather + take_along_axis on the small spt axis keeps
+                    # the carry E-minor (see residual_soa.py)
+                    sub = u[:, :, tabS["wm_ele"]]              # (U, F, n)
+                    wm_val = jnp.take_along_axis(
+                        sub, tabS["wm_upt"][None, None, :], axis=0)[0]
+                    wm_kw = dict(wm_state=wm_val.T,
+                                 wm_dist=geoS["wm_dist"])
                 fn_b = fn_b + bc_fns.visc_common_flux(
                     u_bl, g_b, geoS["norm_b"], None, P=bcP, ramp=ramp,
                     fluc=fluc, **wm_kw)

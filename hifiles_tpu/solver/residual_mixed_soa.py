@@ -748,8 +748,16 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
                     for ct in cts:
                         fidx, ele, upt = wm_idx[ct]
                         if fidx.size:
-                            wm_state = wm_state.at[fidx].set(
-                                us[ct][upt, :, ele])
+                            # gather E (lane axis) first, then pick the
+                            # per-face upt via take_along_axis on the small
+                            # spt axis: the scattered us[upt, :, ele] form
+                            # made XLA lay the whole scan carry out F-minor
+                            # (25x lane padding on the wall-adjacent type,
+                            # a measured 85 us/stage of relayout copies)
+                            sub = us[ct][:, :, ele]            # (U, F, n)
+                            val = jnp.take_along_axis(
+                                sub, upt[None, None, :], axis=0)[0]
+                            wm_state = wm_state.at[fidx].set(val.T)
                     wm_kw = dict(wm_state=wm_state, wm_dist=wm_dist_j)
                 fn_b = fn_b + bc_fns.visc_common_flux(
                     u_bl, g_b, norm_bdy, None, fluc=fluc, ramp=ramp,

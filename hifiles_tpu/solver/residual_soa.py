@@ -1190,9 +1190,14 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
                 wm_kw = {}
                 if has_wm:
                     # wall-model input state gathered from the SoA volume
-                    # solution (ref:src/eles.cpp:4873-4903)
-                    wm_kw = dict(wm_state=u[wm_upt_j, :, wm_ele_j],
-                                 wm_dist=wm_dist_j)
+                    # solution (ref:src/eles.cpp:4873-4903).  E-axis lane
+                    # gather + take_along_axis on the small spt axis: the
+                    # scattered u[upt, :, ele] form pushes XLA toward an
+                    # F-minor (lane-padded) carry layout
+                    sub = u[:, :, wm_ele_j]                    # (U, F, n)
+                    wm_val = jnp.take_along_axis(
+                        sub, wm_upt_j[None, None, :], axis=0)[0]
+                    wm_kw = dict(wm_state=wm_val.T, wm_dist=wm_dist_j)
                 fn_b = fn_b + bc_fns.visc_common_flux(
                     u_bl, g_b, S.norm_bdy, None, fluc=fluc, ramp=ramp,
                     **wm_kw)
