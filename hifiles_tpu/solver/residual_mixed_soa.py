@@ -364,7 +364,9 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
             for lf in range(T.sel[ct].shape[0]):
                 row = T.sel[ct][lf]
                 cuts = np.where(np.diff(row) != 1)[0] + 1
-                if cuts.size + 1 > max(16, row.size // 32) or row.size == 0:
+                # flat cap: past ~16 runs the per-piece concat DUS writes
+                # cost more than riding the pool's shared permutation
+                if cuts.size + 1 > 16 or row.size == 0:
                     self.sel_segs.append(None)
                     continue
                 st = np.concatenate([[0], cuts])
@@ -406,6 +408,15 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
                 idx_l_rng=_rng(g["idx_l"]), idx_r_rng=_rng(g["idx_r"]),
                 rows_fm_l=i32(g["rows_fm_l"]), rows_fm_r=i32(g["rows_fm_r"]),
                 rows_fq_l=i32(g["rows_fq_l"]), rows_fq_r=i32(g["rows_fq_r"]),
+                # dedupe keys: groups sharing (ct, fpt rows) — e.g. the
+                # same l local face paired against different r faces —
+                # reuse ONE full-width row gather (measured 157 MB/stage
+                # of duplicate row-gather traffic on the prism/tet wm
+                # channel before deduplication)
+                k_fm_l=g["rows_fm_l"].tobytes(),
+                k_fm_r=g["rows_fm_r"].tobytes(),
+                k_fq_l=g["rows_fq_l"].tobytes(),
+                k_fq_r=g["rows_fq_r"].tobytes(),
                 rows_rq_local=i32(g["rows_rq_local"]), sl=g["sl"]))
         cat = lambda key: np.concatenate(
             [g[key] for g in P["groups"]], -1) if P["groups"] else None
@@ -451,12 +462,18 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
 
     def gather_fm(srcs, pool, which, tab="rows_fm_"):
         """Pool read side: per group, static row gather from the owning
-        type's 2-D view + minor element gather -> F planes (nfp, Fi_sh)."""
+        type's 2-D view + minor element gather -> F planes (nfp, Fi_sh).
+        Row gathers are deduplicated across groups sharing (ct, rows)."""
         nfp = pool["nfp"]
         parts = []
+        cache = {}
         for g in pool["groups"]:
             ct = g["ct_l"] if which == "l" else g["ct_r"]
-            rows = srcs[ct][g[tab + which]]
+            key = (ct, g["k_" + tab[5:7] + "_" + which])
+            rows = cache.get(key)
+            if rows is None:
+                rows = srcs[ct][g[tab + which]]
+                cache[key] = rows
             r = g["idx_" + which + "_rng"]
             if r is None:
                 parts.append(rows[:, g["idx_" + which]])
@@ -508,30 +525,59 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
                else parts[0])
         return out if bdy_perm_j is None else out[bdy_perm_j]
 
-    def assemble(ct, pool_rows):
-        """Per-type inverse gather: pool columns -> (F, Pf_t, E_t) rows in
-        ascending fpt order (the batched inverse of the reference's
-        point-by-point writes, ref:src/int_inters.cpp:217-220).  Each lf
-        block (F*nfp, E) splits its major axis for free; one concat along
-        the fpt axis replaces the old nf*F slices + F concats + stack
-        (measured 450 us/stage of reshuffle on mixed3d)."""
-        ta = TA[ct]
-        blks = []
-        for lf in range(ta.nf):
-            sh_i = int(ta.lf_shape[lf])
-            nfp = int(ta.nfp_lf[lf])
-            segs = ta.sel_segs[lf]
-            src = pool_rows[sh_i]
-            if segs is None:
-                blk = src[:, ta.sel[lf]]               # (F*nfp, E)
-            elif len(segs) == 1:
-                blk = src[:, segs[0][0]:segs[0][1]]
-            else:
-                blk = jnp.concatenate(
-                    [src[:, a:b] for a, b in segs], axis=1)
-            blks.append(blk.reshape(nF, nfp, -1))
-        return (jnp.concatenate(blks, axis=1) if len(blks) > 1
-                else blks[0])                          # (F, Pf, E)
+    # Inverse-gather plan: the union of every type's sel rows is an exact
+    # PERMUTATION of each pool's columns (every face-side instance appears
+    # in exactly one pool column).  Local faces whose sel row decomposes
+    # into few consecutive runs read the pool through free slices; the
+    # fragmented rest (typically r-side-heavy faces, measured 2k-16k runs
+    # on the prism/tet wm channel) merge into ONE lane permutation per
+    # pool instead of one full gather per local face.
+    asm_plan = []
+    for sh_i in range(len(T.shapes)):
+        perm_parts, items, off = [], [], 0
+        for ct in cts:
+            ta = TA[ct]
+            for lf in range(ta.nf):
+                if int(ta.lf_shape[lf]) != sh_i:
+                    continue
+                segs = ta.sel_segs[lf]
+                if segs is not None:
+                    items.append((ct, lf, "slices", segs))
+                else:
+                    items.append((ct, lf, "perm", off))
+                    perm_parts.append(np.asarray(T.sel[ct][lf]))
+                    off += ta.E
+        asm_plan.append(dict(
+            perm=(i32(np.concatenate(perm_parts)) if perm_parts else None),
+            items=items))
+
+    def assemble_all(pool_rows):
+        """Pool columns -> per-type (F, Pf_t, E_t) rows in ascending fpt
+        order (the batched inverse of the reference's point-by-point
+        writes, ref:src/int_inters.cpp:217-220).  Each lf block
+        (F*nfp, E) splits its major axis for free; one concat along the
+        fpt axis per type assembles the mixed tri/quad face rows."""
+        blks = {ct: [None] * TA[ct].nf for ct in cts}
+        for sh_i, plan in enumerate(asm_plan):
+            pr = pool_rows[sh_i]
+            if pr is None or not plan["items"]:
+                continue
+            rem = (pr[:, plan["perm"]] if plan["perm"] is not None
+                   else None)
+            nfp = T.shapes[sh_i]
+            for ct, lf, kind, arg in plan["items"]:
+                E = TA[ct].E
+                if kind == "perm":
+                    blk = rem[:, arg:arg + E]
+                elif len(arg) == 1:
+                    blk = pr[:, arg[0][0]:arg[0][1]]
+                else:
+                    blk = jnp.concatenate(
+                        [pr[:, a:b] for a, b in arg], axis=1)
+                blks[ct][lf] = blk.reshape(nF, nfp, E)
+        return {ct: (jnp.concatenate(blks[ct], axis=1)
+                     if len(blks[ct]) > 1 else blks[ct][0])
+                for ct in cts}                          # (F, Pf, E)
 
     def common_inv_flux_p(u_l, u_r, norm):
         if cfg.equation == 0:
@@ -616,10 +662,10 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
                                                 ramp=ramp)
                     parts.append(bdy_bridge(u_c_b - u_bl, p))
                 pool_uc.append(jnp.concatenate(parts, axis=1))
+            delta3_all = assemble_all(pool_uc)          # (F, Pf, E)
             for ct in cts:
                 ta = TA[ct]
-                delta3 = assemble(ct, pool_uc)          # (F, Pf, E)
-                tg[ct] = [tg[ct][m] + dgp(ta.opp_5[m], delta3)
+                tg[ct] = [tg[ct][m] + dgp(ta.opp_5[m], delta3_all[ct])
                           for m in range(d)]
             gr = {}
             tgf3 = {}
@@ -775,10 +821,11 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
                            if parts else None)
 
         # ---- per-type inverse gather + divergence ------------------------
+        ntc_all = assemble_all(pool_fn)
         out = []
         for ct in cts:
             ta = TA[ct]
-            ntc = assemble(ct, pool_fn) * ta.tdA3       # (F, Pf, E)
+            ntc = ntc_all[ct] * ta.tdA3                 # (F, Pf, E)
             div = dgp(ta.opp_3, ntc)
             if cfg.over_int:
                 div = div + dg(ta.opp_div_cat,
