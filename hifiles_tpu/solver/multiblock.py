@@ -897,9 +897,24 @@ class MixedSolver:
                    + float(self._mdot_old)) / (p.body_force_area * p.dt)
         return tot_m, ubulk, bf1
 
+    def _monitor_residual(self):
+        """Per-block device residual for the monitor row; SoA fast path
+        when engaged (same rationale as Solver._monitor_residual)."""
+        if self.residual_soa is None:
+            return self.residual_fn(self.u)
+        if getattr(self, "_res_soa_jit", None) is None:
+            rsoa = self.residual_soa
+
+            def f(u):
+                tr = lambda t: tuple(jnp.transpose(a, (1, 2, 0)) for a in t)
+                bk = lambda t: tuple(jnp.transpose(a, (2, 0, 1)) for a in t)
+                return bk(rsoa(tr(u)))
+            self._res_soa_jit = jax.jit(f)
+        return self._res_soa_jit(self.u)
+
     def residual_norm(self, norm_type: int = 2) -> np.ndarray:
         rs = [np.asarray(r, dtype=np.float64)
-              for r in self.residual_fn(self.u)]
+              for r in self._monitor_residual()]
         n_pts = sum(r.shape[0] * r.shape[1] for r in rs)
         if norm_type == 1:
             return sum(np.abs(r).sum(axis=(0, 1)) for r in rs) / n_pts

@@ -710,6 +710,23 @@ class Solver:
                    + float(self._mdot_old)) / (p.body_force_area * dt_s)
         return mflux, ubulk, bf1
 
+    def _monitor_residual(self):
+        """Device residual of the current state for the monitor row.
+        Uses the SoA fast path when engaged — identical physics (parity
+        asserted in tests/test_residual_soa.py); the slot-path parity
+        residual costs ~35 s of tracing (and minutes of XLA compile when
+        cold) per bench config just to produce a 5-number row."""
+        if self.residual_soa is None:
+            return self.residual_fn(self.u)
+        if getattr(self, "_res_soa_jit", None) is None:
+            rsoa = self.residual_soa
+
+            def f(u):
+                r = rsoa(jnp.transpose(u, (1, 2, 0)))
+                return jnp.transpose(r, (2, 0, 1))
+            self._res_soa_jit = jax.jit(f)
+        return self._res_soa_jit(self.u)
+
     def residual_norm(self, norm_type: int = 2,
                       r: np.ndarray | None = None) -> np.ndarray:
         """Residual norm with the reference's normalization
@@ -718,7 +735,7 @@ class Solver:
         the host like the reference's double accumulators, so the
         monitor row is exact for the device residual it is given."""
         if r is None:
-            r = np.asarray(self.residual_fn(self.u))
+            r = np.asarray(self._monitor_residual())
         r = np.asarray(r, dtype=np.float64)
         n_pts = r.shape[0] * r.shape[1]
         if norm_type == 1:
