@@ -105,6 +105,7 @@ class RunInput:
     probe_fields: list[str] = field(default_factory=list)
     probe_freq: int = 0
     probe_source_file: str = ""
+    probe_ascii: int = 0
     restart_ascii: int = 0   # restart_flag file format (ref reads both)
     integral_quantities: list[str] = field(default_factory=list)
     diagnostic_fields: list[str] = field(default_factory=list)
@@ -297,6 +298,10 @@ class RunInput:
                               for x in d.get_vector("probe_fields")]
             p.probe_freq = g("probe_freq", int)
             p.probe_source_file = g("probe_source_file", str)
+            # ASCII per-point probe files instead of HDF5 (the reference
+            # selects this at build time via #ifdef _HDF5,
+            # ref:src/output.cpp:1403 write_probe_ascii)
+            p.probe_ascii = g("probe_ascii", int, 0)
         p.restart_ascii = g("restart_ascii", int, 0)
         p.integral_quantities = [s.lower() for s in
                                  d.get_vector("integral_quantities")]

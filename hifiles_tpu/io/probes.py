@@ -64,54 +64,62 @@ def probe_cube(origin, lengths, n_per_dim) -> np.ndarray:
     return origin + np.stack([g.ravel() for g in grids], axis=1)
 
 
+def _inside_ref(ct, r, tol_r: float = 1e-6):
+    """Is reference coordinate r inside element type ct's domain?"""
+    if ct in (1, 4):     # quad / hex
+        return np.all(np.abs(r) <= 1 + tol_r)
+    if ct == 0:          # tri: r,s >= -1, r+s <= 0
+        return (r >= -1 - tol_r).all() and r.sum() <= tol_r
+    if ct == 2:          # tet: r,s,t >= -1, r+s+t <= -1
+        return (r >= -1 - tol_r).all() and r.sum() <= -1 + tol_r
+    if ct == 3:          # prism: tri in (r,s), |z| <= 1
+        return ((r[:2] >= -1 - tol_r).all()
+                and r[0] + r[1] <= tol_r and abs(r[2]) <= 1 + tol_r)
+    raise NotImplementedError
+
+
 def locate_points(mesh, pts: np.ndarray, tol: float = 1e-8):
     """Find the owning element and reference coordinates of each point by
-    Newton-inverting the shape mapping over bounding-box candidates.
+    Newton-inverting the shape mapping over bounding-box candidates,
+    per element type — mixed meshes run one pass per type with that
+    type's shape basis, like the reference's per-type calc_p2c
+    (ref:src/probe_input.cpp:1190-1204 set_loc_probepts).
 
     Returns (ele (n,), ref (n, d)); ele = -1 when a point is outside the
-    local mesh (ref:src/probe_input.cpp:1190-1204 set_loc_probepts)."""
+    local mesh; ele indexes the mesh's GLOBAL cell numbering."""
     from ..solver.elements import mesh_shape_points
-    ct = int(mesh.ctype[0])
-    spts, n_spts = mesh_shape_points(mesh)           # (E, n_spts, d)
-    lo = spts.min(axis=1) - tol
-    hi = spts.max(axis=1) + tol
     d = mesh.n_dims
     ele_out = -np.ones(pts.shape[0], dtype=np.int64)
     ref_out = np.zeros((pts.shape[0], d))
-
-    def inside_ref(r):
-        tol_r = 1e-6
-        if ct in (1, 4):     # quad / hex
-            return np.all(np.abs(r) <= 1 + tol_r)
-        if ct == 0:          # tri: r,s >= -1, r+s <= 0
-            return (r >= -1 - tol_r).all() and r.sum() <= tol_r
-        if ct == 2:          # tet: r,s,t >= -1, r+s+t <= -1
-            return (r >= -1 - tol_r).all() and r.sum() <= -1 + tol_r
-        if ct == 3:          # prism: tri in (r,s), |z| <= 1
-            return ((r[:2] >= -1 - tol_r).all()
-                    and r[0] + r[1] <= tol_r and abs(r[2]) <= 1 + tol_r)
-        raise NotImplementedError
-
-    for ip, x in enumerate(pts):
-        cands = np.where(np.all((x >= lo) & (x <= hi), axis=1))[0]
-        for e in cands:
-            r = np.zeros(d) if ct != 0 else np.full(d, -1.0 / 3.0)
-            ok = False
-            for _ in range(30):
-                sb = shape_basis(ct, r[None], n_spts)[0]
-                pos = sb @ spts[e]
-                res = pos - x
-                if np.abs(res).max() < tol:
-                    ok = True
+    ctype = np.asarray(mesh.ctype)
+    for ct in sorted(int(c) for c in np.unique(ctype)):
+        sel = np.flatnonzero(ctype == ct)
+        spts, n_spts = mesh_shape_points(mesh, sel)  # (E_ct, n_spts, d)
+        lo = spts.min(axis=1) - tol
+        hi = spts.max(axis=1) + tol
+        for ip, x in enumerate(pts):
+            if ele_out[ip] >= 0:
+                continue
+            cands = np.where(np.all((x >= lo) & (x <= hi), axis=1))[0]
+            for e in cands:
+                r = np.zeros(d) if ct != 0 else np.full(d, -1.0 / 3.0)
+                ok = False
+                for _ in range(30):
+                    sb = shape_basis(ct, r[None], n_spts)[0]
+                    pos = sb @ spts[e]
+                    res = pos - x
+                    if np.abs(res).max() < tol:
+                        ok = True
+                        break
+                    J = np.einsum("sj,si->ij",
+                                  shape_dbasis(ct, r[None], n_spts)[0],
+                                  spts[e])
+                    r = r - np.linalg.solve(J, res)
+                    r = np.clip(r, -1.5, 1.5)
+                if ok and _inside_ref(ct, r):
+                    ele_out[ip] = sel[e]
+                    ref_out[ip] = r
                     break
-                J = np.einsum("sj,si->ij", shape_dbasis(ct, r[None],
-                                                        n_spts)[0], spts[e])
-                r = r - np.linalg.solve(J, res)
-                r = np.clip(r, -1.5, 1.5)
-            if ok and inside_ref(r):
-                ele_out[ip] = e
-                ref_out[ip] = r
-                break
     return ele_out, ref_out
 
 
@@ -128,16 +136,40 @@ class ProbeSet:
         host = getattr(solver, "base", solver)
         self.ele, ref = locate_points(host.mesh, self.pts)
         self.owned = np.where(self.ele >= 0)[0]
-        # opp_probe: one interpolation row per owned probe
-        # (ref:src/eles.cpp:3625-3633)
-        self.opp = host.ops.interp_to(ref[self.owned]) \
-            if self.owned.size else np.zeros((0, host.ops.n_upts))
         self.solver = solver
+        # mixed-type solvers (MixedSolver / ShardedMixedSolver) carry a
+        # per-type blocks dict; group the owned probes by owning element
+        # type and build one interpolation operator per type, like the
+        # reference's per-type set_opp_probe
+        # (ref:src/probe_input.cpp:1190-1204, ref:src/eles.cpp:3625-3633)
+        blocks = getattr(host, "blocks", None)
+        self._per_ct = None
+        self.opp = None
+        if isinstance(blocks, dict):
+            sels = host.mt.sels if hasattr(host, "mt") else host.sels
+            mesh = host.mesh
+            loc_of = np.zeros(mesh.n_cells, dtype=np.int64)
+            for ct in host.cts:
+                loc_of[sels[ct]] = np.arange(sels[ct].size)
+            ctype = np.asarray(mesh.ctype)
+            self._per_ct = []
+            for ti, ct in enumerate(host.cts):
+                rows = np.flatnonzero(ctype[self.ele[self.owned]] == ct)
+                if rows.size == 0:
+                    continue
+                eles = loc_of[self.ele[self.owned[rows]]]
+                opp = blocks[ct].ops.interp_to(ref[self.owned[rows]])
+                self._per_ct.append((ti, rows, eles, opp))
+        else:
+            # opp_probe: one interpolation row per owned probe
+            self.opp = host.ops.interp_to(ref[self.owned]) \
+                if self.owned.size else np.zeros((0, host.ops.n_upts))
         # ShardedSolver: precompute owner slots of the probe elements so
         # each sample pulls ONLY those elements off the device mesh
         # instead of gathering the full global state per probe write
         self._owner_slots = None
-        if hasattr(solver, "owner") and self.owned.size:
+        if (self._per_ct is None and hasattr(solver, "owner")
+                and self.owned.size):
             flat = np.asarray(solver.owner).reshape(-1)
             real = np.asarray(solver.pad_mask).reshape(-1) > 0
             pos = np.full(solver.n_eles, -1, dtype=np.int64)
@@ -147,7 +179,15 @@ class ProbeSet:
     def sample(self) -> np.ndarray:
         """(n_owned, n_out_fields) current probe values."""
         s = getattr(self.solver, "base", self.solver)
-        if self._owner_slots is not None:
+        if self._per_ct is not None:
+            u = (self.solver.gather_u() if hasattr(self.solver, "gather_u")
+                 else self.solver.u)
+            nf = s.n_fields
+            vals = np.zeros((self.owned.size, nf))
+            for ti, rows, eles, opp in self._per_ct:
+                ub = np.asarray(u[ti], dtype=np.float64)
+                vals[rows] = np.einsum("pu,puf->pf", opp, ub[eles])
+        elif self._owner_slots is not None:
             u_dev = self.solver.u           # (n, El, U, F) sharded
             n, El = u_dev.shape[:2]
             sel = u_dev.reshape(n * El, *u_dev.shape[2:])[self._owner_slots]
@@ -169,6 +209,9 @@ class ProbeSet:
                 out.append(vals[:, 1 + ax] / vals[:, 0])
             elif name == "energy":
                 out.append(vals[:, nd + 1])
+            elif name == "specific_total_energy":
+                # ref:src/output.cpp:1516-1521 disu(n_dims+1)/disu(0)
+                out.append(vals[:, nd + 1] / vals[:, 0])
             elif name == "pressure":
                 ke = 0.5 * np.sum(vals[:, 1:1 + nd] ** 2, axis=1) / vals[:, 0]
                 out.append((s.p.gamma - 1.0) * (vals[:, nd + 1] - ke))
@@ -204,6 +247,43 @@ class ProbeHDF5Writer:
             f["time"][nt] = time
             f["data"].resize((nt + 1,) + f["data"].shape[1:])
             f["data"][nt] = vals
+
+
+class ProbeASCIIWriter:
+    """Per-point ASCII probe files, the reference's non-HDF5 probe output
+    mode (ref:src/output.cpp:1403-1548 write_probe_ascii): one
+    ``<set_dir>/probe_<k>.dat`` per owned probe point, each append adding
+    one row of ``time field0 field1 ...`` in %20.10e columns.  Viscous NS
+    rows are re-dimensionalized with the deck's reference scales exactly
+    as the reference does (time*time_ref, rho*rho_ref, u*uvw_ref,
+    p*p_ref, e*uvw_ref^2)."""
+
+    def __init__(self, path: str, probe_set: ProbeSet):
+        self.dir = path
+        self.ps = probe_set
+        os.makedirs(path, exist_ok=True)
+        s = getattr(probe_set.solver, "base", probe_set.solver)
+        p = s.p
+        self._redim = bool(p.viscous) and p.equation == 0
+        self._tref = p.time_ref if self._redim else 1.0
+        scale = {"rho": p.rho_ref, "u": p.uvw_ref, "v": p.uvw_ref,
+                 "w": p.uvw_ref, "pressure": p.p_ref,
+                 "specific_total_energy": p.uvw_ref ** 2,
+                 "energy": p.p_ref}
+        self._scales = np.array(
+            [scale.get(f, 1.0) if self._redim else 1.0
+             for f in probe_set.fields])
+        # truncate (mode w) at setup like the reference's fresh run
+        for k in range(probe_set.owned.size):
+            open(os.path.join(path, f"probe_{k}.dat"), "w").close()
+
+    def append(self, time: float):
+        vals = self.ps.sample() * self._scales[None, :]
+        t = time * self._tref
+        for k in range(vals.shape[0]):
+            with open(os.path.join(self.dir, f"probe_{k}.dat"), "a") as f:
+                f.write("".join(f"{v:20.10e}"
+                                for v in (t, *vals[k])) + "\n")
 
 
 # ----------------------------------------------------------------------
@@ -362,8 +442,12 @@ def setup_probes(run_input, solver, outdir: str) -> ProbeManager:
         sets_pts = read_probe_script(
             p.probe_source_file, getattr(solver, "base", solver).n_dims)
     sets = []
+    ascii_mode = bool(getattr(p, "probe_ascii", 0))
     for name, pts in sets_pts:
         ps = ProbeSet(solver, pts, fields)
-        writer = ProbeHDF5Writer(os.path.join(outdir, f"{name}.h5"), ps)
+        if ascii_mode:
+            writer = ProbeASCIIWriter(os.path.join(outdir, name), ps)
+        else:
+            writer = ProbeHDF5Writer(os.path.join(outdir, f"{name}.h5"), ps)
         sets.append((name, ps, writer))
     return ProbeManager(sets)

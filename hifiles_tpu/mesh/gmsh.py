@@ -25,6 +25,12 @@ _GMSH_TYPES = {
     6: (PRISM, 6, [0, 1, 2, 3, 4, 5]),
     18: (PRISM, 15, [0, 1, 2, 3, 4, 5, 6, 8, 9, 7, 10, 11, 12, 14, 13]),
     5: (HEX, 8, [0, 1, 3, 2, 4, 5, 7, 6]),
+    # 20-node serendipity hex: corners coincide; gmsh edge order
+    # {0,1},{0,3},{0,4},{1,2},{1,5},{2,3},{2,6},{3,7},{4,5},{4,7},{5,6},
+    # {6,7} -> the reference's bottom-ring/verticals/top-ring layout
+    # (mesh/shape.py _HEX20_REF, ref:src/eles_hexas.cpp:1215-1260)
+    17: (HEX, 20, [0, 1, 2, 3, 4, 5, 6, 7,
+                   8, 11, 12, 9, 13, 10, 14, 15, 16, 19, 17, 18]),
 }
 # boundary (face) element types: 1 line, 8 quadratic line, 2/9 tri, 3/16 quad
 _FACE_TYPES = {1: 2, 8: 3, 2: 3, 9: 6, 3: 4, 16: 8}

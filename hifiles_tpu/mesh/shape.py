@@ -89,11 +89,27 @@ def quad_shape_dbasis(locs: np.ndarray, n_spts: int) -> np.ndarray:
     raise NotImplementedError(f"quad shape dbasis with {n_spts} points")
 
 
+# 20-node serendipity hex node layout (corners 0-7 CCW bottom then top,
+# then the 12 edge midpoints; matches the reference's quadratic-hex
+# ordering, ref:src/eles_hexas.cpp:1215-1260 — the 20-node remaps in
+# gambit.py/gmsh.py and corner_vlist_face target this layout)
+_HEX20_REF = np.array([
+    (-1, -1, -1), (1, -1, -1), (1, 1, -1), (-1, 1, -1),
+    (-1, -1, 1), (1, -1, 1), (1, 1, 1), (-1, 1, 1),
+    (0, -1, -1), (1, 0, -1), (0, 1, -1), (-1, 0, -1),
+    (-1, -1, 0), (1, -1, 0), (1, 1, 0), (-1, 1, 0),
+    (0, -1, 1), (1, 0, 1), (0, 1, 1), (-1, 0, 1)], dtype=np.float64)
+
+
 def hex_shape_basis(locs: np.ndarray, n_spts: int) -> np.ndarray:
     """Tensor-product trilinear/tri-quadratic hex shape basis.
 
     Tensor index = i + n1*j + n1*n1*k (x-fastest), matching the c2v remap
-    (ref:src/mesh_reader.cpp:240-243, ref:src/mesh.cpp:536-574)."""
+    (ref:src/mesh_reader.cpp:240-243, ref:src/mesh.cpp:536-574).
+    n_spts == 20 evaluates the standard serendipity basis: corner
+    N = (1+x xi)(1+y yi)(1+z zi)(x xi + y yi + z zi - 2)/8, mid-edge
+    (xi = 0) N = (1-x^2)(1+y yi)(1+z zi)/4
+    (ref:src/eles_hexas.cpp:1215-1260)."""
     locs = np.atleast_2d(locs)
     n1 = int(round(n_spts ** (1.0 / 3.0)))
     if n1**3 == n_spts:
@@ -105,6 +121,21 @@ def hex_shape_basis(locs: np.ndarray, n_spts: int) -> np.ndarray:
                 for i in range(n1):
                     out[:, i + n1 * j + n1 * n1 * k] = (
                         L[0][:, i] * L[1][:, j] * L[2][:, k])
+        return out
+    if n_spts == 20:
+        x, y, z = locs[:, 0], locs[:, 1], locs[:, 2]
+        out = np.empty((locs.shape[0], 20))
+        for m, (xi, yi, zi) in enumerate(_HEX20_REF):
+            if xi and yi and zi:                       # corner
+                out[:, m] = (0.125 * (1 + x * xi) * (1 + y * yi)
+                             * (1 + z * zi)
+                             * (x * xi + y * yi + z * zi - 2.0))
+            elif xi == 0:                              # x-edge midpoint
+                out[:, m] = 0.25 * (1 - x * x) * (1 + y * yi) * (1 + z * zi)
+            elif yi == 0:
+                out[:, m] = 0.25 * (1 + x * xi) * (1 - y * y) * (1 + z * zi)
+            else:
+                out[:, m] = 0.25 * (1 + x * xi) * (1 + y * yi) * (1 - z * z)
         return out
     raise NotImplementedError(f"hex shape basis with {n_spts} points")
 
@@ -124,6 +155,30 @@ def hex_shape_dbasis(locs: np.ndarray, n_spts: int) -> np.ndarray:
                     out[:, m, 0] = D[0][:, i] * L[1][:, j] * L[2][:, k]
                     out[:, m, 1] = L[0][:, i] * D[1][:, j] * L[2][:, k]
                     out[:, m, 2] = L[0][:, i] * L[1][:, j] * D[2][:, k]
+        return out
+    if n_spts == 20:
+        x, y, z = locs[:, 0], locs[:, 1], locs[:, 2]
+        out = np.empty((locs.shape[0], 20, 3))
+        for m, (xi, yi, zi) in enumerate(_HEX20_REF):
+            if xi and yi and zi:
+                out[:, m, 0] = (0.125 * xi * (1 + y * yi) * (1 + z * zi)
+                                * (2 * x * xi + y * yi + z * zi - 1.0))
+                out[:, m, 1] = (0.125 * yi * (1 + x * xi) * (1 + z * zi)
+                                * (x * xi + 2 * y * yi + z * zi - 1.0))
+                out[:, m, 2] = (0.125 * zi * (1 + x * xi) * (1 + y * yi)
+                                * (x * xi + y * yi + 2 * z * zi - 1.0))
+            elif xi == 0:
+                out[:, m, 0] = -0.5 * x * (1 + y * yi) * (1 + z * zi)
+                out[:, m, 1] = 0.25 * yi * (1 - x * x) * (1 + z * zi)
+                out[:, m, 2] = 0.25 * zi * (1 - x * x) * (1 + y * yi)
+            elif yi == 0:
+                out[:, m, 0] = 0.25 * xi * (1 - y * y) * (1 + z * zi)
+                out[:, m, 1] = -0.5 * y * (1 + x * xi) * (1 + z * zi)
+                out[:, m, 2] = 0.25 * zi * (1 + x * xi) * (1 - y * y)
+            else:
+                out[:, m, 0] = 0.25 * xi * (1 + y * yi) * (1 - z * z)
+                out[:, m, 1] = 0.25 * yi * (1 + x * xi) * (1 - z * z)
+                out[:, m, 2] = -0.5 * z * (1 + x * xi) * (1 + y * yi)
         return out
     raise NotImplementedError(f"hex shape dbasis with {n_spts} points")
 
@@ -225,32 +280,76 @@ def tet_shape_dbasis(locs: np.ndarray, n_spts: int) -> np.ndarray:
 
 def prism_shape_basis(locs: np.ndarray, n_spts: int) -> np.ndarray:
     """Linear prism: tri barycentric x linear in z (bottom tri nodes 0,1,2,
-    top tri 3,4,5 per the Gambit order, ref:src/mesh_reader.cpp:230-233)."""
+    top tri 3,4,5 per the Gambit order, ref:src/mesh_reader.cpp:230-233).
+
+    The 15-node quadratic prism is the tri-quadratic x z-quadratic
+    serendipity product (no mid-z nodes on tri edges, no face/volume
+    nodes): corners/tri-edge nodes pair the quadratic tri basis with the
+    end-point quadratic z Lagrange z(z -+ 1)/2; the vertical mid-edge
+    nodes pair the LINEAR tri basis with 1 - z^2.  Ordering: bottom
+    corners 0-2, top corners 3-5, bottom tri edges 6-8 (01,12,02),
+    vertical edges 9-11, top tri edges 12-14
+    (ref:src/eles_pris.cpp:1114-1147)."""
     locs = np.atleast_2d(locs)
-    if n_spts != 6:
-        raise NotImplementedError(f"prism shape basis with {n_spts} points")
-    tri = tri_shape_basis(locs[:, :2], 3)
-    zm = 0.5 * (1.0 - locs[:, 2])
-    zp = 0.5 * (1.0 + locs[:, 2])
-    return np.concatenate([tri * zm[:, None], tri * zp[:, None]], axis=1)
+    if n_spts == 6:
+        tri = tri_shape_basis(locs[:, :2], 3)
+        zm = 0.5 * (1.0 - locs[:, 2])
+        zp = 0.5 * (1.0 + locs[:, 2])
+        return np.concatenate([tri * zm[:, None], tri * zp[:, None]],
+                              axis=1)
+    if n_spts == 15:
+        z = locs[:, 2]
+        t6 = tri_shape_basis(locs[:, :2], 6)   # c0,c1,c2,e01,e12,e02
+        t3 = tri_shape_basis(locs[:, :2], 3)
+        zb = 0.5 * z * (z - 1.0)               # quadratic Lagrange @ z=-1
+        zt = 0.5 * z * (z + 1.0)               # @ z=+1
+        zm = 1.0 - z * z                       # @ z=0
+        cols = ([t6[:, m] * zb for m in range(3)]
+                + [t6[:, m] * zt for m in range(3)]
+                + [t6[:, 3 + e] * zb for e in range(3)]
+                + [t3[:, m] * zm for m in range(3)]
+                + [t6[:, 3 + e] * zt for e in range(3)])
+        return np.stack(cols, axis=1)
+    raise NotImplementedError(f"prism shape basis with {n_spts} points")
 
 
 def prism_shape_dbasis(locs: np.ndarray, n_spts: int) -> np.ndarray:
     locs = np.atleast_2d(locs)
-    if n_spts != 6:
-        raise NotImplementedError(f"prism shape dbasis with {n_spts} points")
-    tri = tri_shape_basis(locs[:, :2], 3)
-    dtri = tri_shape_dbasis(locs[:, :2], 3)
-    zm = 0.5 * (1.0 - locs[:, 2])
-    zp = 0.5 * (1.0 + locs[:, 2])
-    out = np.empty((locs.shape[0], 6, 3))
-    for m in range(3):
-        for ax in range(2):
-            out[:, m, ax] = dtri[:, m, ax] * zm
-            out[:, 3 + m, ax] = dtri[:, m, ax] * zp
-        out[:, m, 2] = -0.5 * tri[:, m]
-        out[:, 3 + m, 2] = 0.5 * tri[:, m]
-    return out
+    if n_spts == 6:
+        tri = tri_shape_basis(locs[:, :2], 3)
+        dtri = tri_shape_dbasis(locs[:, :2], 3)
+        zm = 0.5 * (1.0 - locs[:, 2])
+        zp = 0.5 * (1.0 + locs[:, 2])
+        out = np.empty((locs.shape[0], 6, 3))
+        for m in range(3):
+            for ax in range(2):
+                out[:, m, ax] = dtri[:, m, ax] * zm
+                out[:, 3 + m, ax] = dtri[:, m, ax] * zp
+            out[:, m, 2] = -0.5 * tri[:, m]
+            out[:, 3 + m, 2] = 0.5 * tri[:, m]
+        return out
+    if n_spts == 15:
+        z = locs[:, 2]
+        t6 = tri_shape_basis(locs[:, :2], 6)
+        d6 = tri_shape_dbasis(locs[:, :2], 6)
+        t3 = tri_shape_basis(locs[:, :2], 3)
+        d3 = tri_shape_dbasis(locs[:, :2], 3)
+        zf = [0.5 * z * (z - 1.0), 0.5 * z * (z + 1.0), 1.0 - z * z]
+        dzf = [z - 0.5, z + 0.5, -2.0 * z]
+        # (tri basis column index, tri order, z factor index) per node
+        layout = ([(m, 6, 0) for m in range(3)]
+                  + [(m, 6, 1) for m in range(3)]
+                  + [(3 + e, 6, 0) for e in range(3)]
+                  + [(m, 3, 2) for m in range(3)]
+                  + [(3 + e, 6, 1) for e in range(3)])
+        out = np.empty((locs.shape[0], 15, 3))
+        for n, (col, order, zi) in enumerate(layout):
+            t, d = (t6, d6) if order == 6 else (t3, d3)
+            out[:, n, 0] = d[:, col, 0] * zf[zi]
+            out[:, n, 1] = d[:, col, 1] * zf[zi]
+            out[:, n, 2] = t[:, col] * dzf[zi]
+        return out
+    raise NotImplementedError(f"prism shape dbasis with {n_spts} points")
 
 
 def shape_ref_locs(ctype: int, n_spts: int) -> np.ndarray:
@@ -275,6 +374,8 @@ def shape_ref_locs(ctype: int, n_spts: int) -> np.ndarray:
             return np.array([(nodes[i], nodes[j], nodes[k])
                              for k in range(n1) for j in range(n1)
                              for i in range(n1)])
+        if n_spts == 20:
+            return _HEX20_REF.copy()
     if ctype == TRI:
         v = np.array([(-1.0, -1.0), (1.0, -1.0), (-1.0, 1.0)])
         if n_spts == 3:
@@ -297,6 +398,15 @@ def shape_ref_locs(ctype: int, n_spts: int) -> np.ndarray:
         return np.concatenate(
             [np.column_stack([t, -np.ones(3)]),
              np.column_stack([t, np.ones(3)])], axis=0)
+    if ctype == PRISM and n_spts == 15:
+        t = np.array([(-1.0, -1.0), (1.0, -1.0), (-1.0, 1.0)])
+        e = np.array([(t[a] + t[b]) / 2 for a, b in
+                      ((0, 1), (1, 2), (0, 2))])
+        col = np.column_stack
+        return np.concatenate(
+            [col([t, -np.ones(3)]), col([t, np.ones(3)]),
+             col([e, -np.ones(3)]), col([t, np.zeros(3)]),
+             col([e, np.ones(3)])], axis=0)
     raise NotImplementedError(f"shape ref locs ctype={ctype} n_spts={n_spts}")
 
 
