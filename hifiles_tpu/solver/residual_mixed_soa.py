@@ -560,8 +560,14 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
         blks = {ct: [None] * TA[ct].nf for ct in cts}
         for sh_i, plan in enumerate(asm_plan):
             pr = pool_rows[sh_i]
-            if pr is None or not plan["items"]:
+            if not plan["items"]:
                 continue
+            # a pool with planned face blocks must have produced rows:
+            # a None here would surface later as a confusing concatenate/
+            # None-multiply failure (or a silently None single-type block)
+            assert pr is not None, (
+                f"assemble_all: pool {sh_i} produced no rows but its "
+                f"plan carries {len(plan['items'])} face blocks")
             rem = (pr[:, plan["perm"]] if plan["perm"] is not None
                    else None)
             nfp = T.shapes[sh_i]
