@@ -72,7 +72,16 @@ def main(argv=None):
           f"boundaries {mesh.bc_names}")
 
     dtype = jnp.float64 if f64 else jnp.float32
-    mixed = np.unique(mesh.ctype).size > 1
+    # pure-PRISM meshes ride the mixed per-face-shape machinery: the
+    # single-type SoA paths require uniform per-face fpt counts (prism
+    # tri+quad faces are not), so Solver/ShardedSolver would drop to the
+    # ~20x slot fallback; the mixed path's per-face-shape pools give
+    # prisms a fast path on one device and across devices (round 5;
+    # reference MPI likewise handles prism faces per-inters-type,
+    # ref:src/mpi_inters.cpp:51-90)
+    from . import PRISM
+    cts_present = np.unique(mesh.ctype)
+    mixed = cts_present.size > 1 or int(cts_present[0]) == PRISM
     if mixed:
         from .solver.multiblock import MixedSolver
         io_solver = MixedSolver(p, mesh, dtype=dtype)

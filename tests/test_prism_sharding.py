@@ -49,3 +49,42 @@ def test_sharded_prisms_match_single(viscous):
     sh.run(10, dt=1e-3)
     np.testing.assert_allclose(sh.gather_u(), np.asarray(s1.u),
                                rtol=0, atol=1e-11)
+
+
+def test_prism_only_mixed_path_fast_and_matches(capsys):
+    """Pure-prism meshes ride the mixed per-face-shape machinery (round 5):
+    MixedSolver and ShardedMixedSolver both engage a fast path (the
+    single-type SoA layout cannot express prism tri+quad faces) and match
+    the slot-path Solver to roundoff."""
+    from hifiles_tpu.parallel.mixed_sharding import ShardedMixedSolver
+    from hifiles_tpu.solver.multiblock import MixedSolver
+
+    mesh = periodic_prism_mesh(2, 2, 2)
+    s1 = Solver(prism_input(1), mesh, dtype=jnp.float64)
+    s1.run(5, dt=1e-3)
+    u1 = np.asarray(s1.u)
+
+    sm = MixedSolver(prism_input(1), periodic_prism_mesh(2, 2, 2),
+                     dtype=jnp.float64)
+    assert sm.run_path == "mixed-SoA (fast)", sm.run_path
+    sm.run(5, dt=1e-3)
+    sel = sm.mt.sels[sm.cts[0]]
+    np.testing.assert_allclose(np.asarray(sm.u[0]), u1[sel],
+                               rtol=0, atol=1e-12)
+
+    sh = ShardedMixedSolver(prism_input(1), periodic_prism_mesh(2, 2, 2),
+                            devices=jax.devices()[:4], dtype=jnp.float64)
+    assert sh.run_path.startswith("sharded mixed SoA"), sh.run_path
+    sh.run(5, dt=1e-3)
+    np.testing.assert_allclose(np.asarray(sh.gather_u()[0]), u1[sh.sels[3]],
+                               rtol=0, atol=1e-12)
+
+
+def test_driver_routes_pure_prism_to_mixed():
+    """The driver's dispatch predicate sends prism-only meshes down the
+    mixed path (driver.py routing, round 5)."""
+    from hifiles_tpu import PRISM
+
+    mesh = periodic_prism_mesh(2, 2, 2)
+    cts_present = np.unique(mesh.ctype)
+    assert cts_present.size == 1 and int(cts_present[0]) == PRISM
