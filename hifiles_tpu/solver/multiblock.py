@@ -745,8 +745,11 @@ class MixedSolver:
                         if pre_soa is not None:
                             u = pre_soa(u)
                         return step_soa(u, carry[1], dt_c), None
+                    import os as _os
+                    unroll = int(_os.environ.get("HIFILES_UNROLL", "1"))
                     (us, rs), _ = jax.lax.scan(body, (us, rs), None,
-                                               length=n_steps)
+                                               length=n_steps,
+                                               unroll=unroll)
                     return bk(us), bk(rs)
 
                 (k0, ti0, mdot0_, tsim0, ua0) = (state[2], state[3],

@@ -36,6 +36,8 @@ groups) or coverage holes.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -364,9 +366,16 @@ def make_mixed_residual_soa(mt: MixedMeshTables, cfg: ResidualConfig, dtype,
             for lf in range(T.sel[ct].shape[0]):
                 row = T.sel[ct][lf]
                 cuts = np.where(np.diff(row) != 1)[0] + 1
-                # flat cap: past ~16 runs the per-piece concat DUS writes
-                # cost more than riding the pool's shared permutation
-                if cuts.size + 1 > 16 or row.size == 0:
+                # size-scaled cap (mean run >= 128 lanes): short fragmented
+                # rows ride the pool's shared permutation, but long rows
+                # with a few dozen long runs (tet lf1: 19 runs / 24576,
+                # prism quad ends: 17-27 runs / 8192 on the wm channel)
+                # are pure slices — moving them OUT of the perm shrank the
+                # tri-pool permutation 114688 -> 81920 columns and the
+                # quad-pool one 3x (round-5 profile, PERF.md)
+                cap = int(os.environ.get("HIFILES_INV_RUN_CAP", "0")) or \
+                    max(16, row.size // 128)
+                if cuts.size + 1 > cap or row.size == 0:
                     self.sel_segs.append(None)
                     continue
                 st = np.concatenate([[0], cuts])

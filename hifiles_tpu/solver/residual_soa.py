@@ -323,6 +323,23 @@ class BlockArraysSoa:
                  dtype):
         f = lambda a: jnp.asarray(a, dtype=dtype)
         i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
+
+        def fgeo(a):
+            """Geometry plane with the minor (element/face-column) axis
+            compressed to 1 when every column is identical — affine
+            uniform meshes (the TGV box) then broadcast instead of
+            carrying E copies.  Cuts the 32^3 p=4 jitted chunk's constant
+            payload ~700 MB -> ~1 MB (the axon remote-compile tunnel
+            rejects oversized modules with HTTP 413) and shrinks every
+            uniform-mesh compile.  rtol 1e-12: columns differ only by
+            coordinate-subtraction ulps on a uniform lattice."""
+            a = np.asarray(a)
+            if a.ndim and a.shape[-1] > 1:
+                ref = a[..., :1]
+                scale = np.abs(ref).max()
+                if scale > 0 and np.all(np.abs(a - ref) <= 1e-12 * scale):
+                    return f(np.ascontiguousarray(ref))
+            return f(a)
         d = B.n_dims
         E, Pf = B.n_eles, B.n_fpts
         self.opp_0 = B.opp_0
@@ -358,9 +375,9 @@ class BlockArraysSoa:
         self.opp_5q = [jnp.reshape(B.opp_5_stack[m], (U, nf_, nfp_))
                        for m in range(d)]
         # jginv planes at upts: jg[l][m] (U, 1, E)
-        self.jg_u = [[f(block.jginv_upts[:, :, l, m].T)[:, None, :]
+        self.jg_u = [[fgeo(block.jginv_upts[:, :, l, m].T)[:, None, :]
                       for m in range(d)] for l in range(d)]
-        self.inv_det_u = f(1.0 / block.detjac_upts.T)[:, None, :]
+        self.inv_det_u = fgeo(1.0 / block.detjac_upts.T)[:, None, :]
         # per-group gather tables + column slice into the concatenated
         # all-interior-faces arrays (l-section / pool order)
         self.groups = []
@@ -404,24 +421,24 @@ class BlockArraysSoa:
         norm_all = cat("norm")                      # (nfp, d, Fi)
         jgl = cat("jginv_l")                        # (nfp, d, d, Fi)
         jgr = cat("jginv_r")
-        self.norm = [f(norm_all[:, m]) for m in range(d)]
-        self.jginv_l = [[f(jgl[:, m, l]) for l in range(d)]
+        self.norm = [fgeo(norm_all[:, m]) for m in range(d)]
+        self.jginv_l = [[fgeo(jgl[:, m, l]) for l in range(d)]
                         for m in range(d)]
-        self.jginv_r = [[f(jgr[:, m, l]) for l in range(d)]
+        self.jginv_r = [[fgeo(jgr[:, m, l]) for l in range(d)]
                         for m in range(d)]
-        self.inv_det_l = f(cat("inv_det_l"))
-        self.inv_det_r = f(cat("inv_det_r"))
-        self.delta_l = f(cat("delta_l"))            # (nfp, Fi)
-        self.delta_r = f(cat("delta_r"))
-        self.wdist_l = f(cat("wdist_l"))
-        self.wdist_r = f(cat("wdist_r"))
+        self.inv_det_l = fgeo(cat("inv_det_l"))
+        self.inv_det_r = fgeo(cat("inv_det_r"))
+        self.delta_l = fgeo(cat("delta_l"))         # (nfp, Fi)
+        self.delta_r = fgeo(cat("delta_r"))
+        self.wdist_l = fgeo(cat("wdist_l"))
+        self.wdist_r = fgeo(cat("wdist_r"))
         # LES cutoff length + wall distance planes at upts
         ops = block.ops
         ref_vol = {1: 4.0, 4: 8.0, 0: 2.0, 2: 4.0 / 3.0,
                    3: 4.0}[ops.ele_type]
-        self.delta_u = f(((block.detjac_upts * ref_vol)
+        self.delta_u = fgeo(((block.detjac_upts * ref_vol)
                           ** (1.0 / d) / (ops.order + 1)).T)      # (U, E)
-        self.wdist_u = (f(block.wall_dist_upts.T)
+        self.wdist_u = (fgeo(block.wall_dist_upts.T)
                         if getattr(block, "wall_dist_upts", None) is not None
                         else jnp.full_like(self.delta_u, 1e10))
         # element-side fpt geometry planes (Pf, E): metric, outward normal,
@@ -429,13 +446,13 @@ class BlockArraysSoa:
         # evaluates the viscous NORMAL flux on the element side and gathers
         # one scalar plane per field instead of d gradient planes per side
         jgf = block.jginv_fpts.reshape(E, Pf, d, d)
-        self.jg_f = [[f(jgf[:, :, m, l].T) for l in range(d)]
+        self.jg_f = [[fgeo(jgf[:, :, m, l].T) for l in range(d)]
                      for m in range(d)]
-        self.inv_det_f = f(1.0 / block.detjac_fpts.reshape(E, Pf).T)
+        self.inv_det_f = fgeo(1.0 / block.detjac_fpts.reshape(E, Pf).T)
         nrmf = block.norm_fpts.reshape(E, Pf, d)
-        self.norm_f = [f(nrmf[:, :, m].T) for m in range(d)]
-        self.delta_f = f(T.delta_slot.reshape(E, Pf).T)
-        self.wdist_f = f(T.wdist_slot.reshape(E, Pf).T)
+        self.norm_f = [fgeo(nrmf[:, :, m].T) for m in range(d)]
+        self.delta_f = fgeo(T.delta_slot.reshape(E, Pf).T)
+        self.wdist_f = fgeo(T.wdist_slot.reshape(E, Pf).T)
         # over-integration (de-aliasing) operators in SoA layouts
         if block.jginv_over is not None:
             self.opp_over = f(block.opp_over)                     # (C2, U)
@@ -861,11 +878,14 @@ def make_residual_soa(block: ElementBlock, cfg: ResidualConfig, dtype,
             build_les_filter(block.ops, cfg.filter_type, cfg.filter_ratio),
             dtype=dtype)
     has_wm = getattr(bc_fns, "wm_tables", None) is not None
-    # tdA in face-row order (nf, F, nfp, E): value depends on (lf, fpt)
-    tdA_q = jnp.asarray(
-        np.broadcast_to(
-            block.tdA_fpts.reshape(E, nf, nfp).transpose(1, 2, 0)
-            [:, None, :, :], (nf, nF, nfp, E)), dtype=dtype)
+    # tdA in face-row order (nf, 1, nfp, E): value depends on (lf, fpt);
+    # broadcasts over the field axis, and over E too on affine uniform
+    # meshes (column-compressed like BlockArraysSoa.fgeo)
+    _tdA = block.tdA_fpts.reshape(E, nf, nfp).transpose(1, 2, 0)[:, None]
+    _ref = _tdA[..., :1]
+    if np.all(np.abs(_tdA - _ref) <= 1e-12 * np.abs(_ref).max()):
+        _tdA = np.ascontiguousarray(_ref)
+    tdA_q = jnp.asarray(_tdA, dtype=dtype)
 
     def dg(A, x):
         """(K, U') @ (U', F, E) -> (K, F, E)."""

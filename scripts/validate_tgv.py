@@ -38,6 +38,9 @@ def main():
     order = int(os.environ.get("TGV_ORDER", 4))
     n1 = int(os.environ.get("TGV_MESH", 16))
     t_end = float(os.environ.get("TGV_TEND", 14.0))
+    # CFL: the shipped deck's dt is stable at 16^3 p=4; halve per mesh
+    # doubling (overridable via TGV_DT, physical seconds like the deck)
+    dt_env = os.environ.get("TGV_DT")
 
     # the shipped TGV deck (ref testcases/.../input_TGV_SD_hex)
     p = RunInput()
@@ -57,7 +60,7 @@ def main():
     p.mu_gas = 1.827e-5
     p.L_free_stream = 1.0
     p.Mach_c_ic, p.T_c_ic, p.rho_c_ic = 0.1, 300.0, 0.0008421095852102401
-    p.dt = 1.440389e-5
+    p.dt = float(dt_env) if dt_env else 1.440389e-5 * 16.0 / n1
     p.setup_params()
 
     s = Solver(p, periodic_hex_mesh(n1, n1, n1), dtype=jnp.float32)
@@ -104,8 +107,9 @@ def main():
         "t": tm.tolist(), "dissipation": diss.tolist(),
     }
     os.makedirs(os.path.join(ROOT, "validation"), exist_ok=True)
-    with open(os.path.join(ROOT, "validation", "tgv_re1600.json"),
-              "w") as f:
+    name = ("tgv_re1600.json" if n1 == 16
+            else f"tgv_re1600_{n1}.json")
+    with open(os.path.join(ROOT, "validation", name), "w") as f:
         json.dump(out, f, indent=1)
     print(f"TKE(0) = {tkes[0]:.5f} (theory ~0.125)")
     print(f"peak dissipation {out['peak_dissipation']:.5f} at "
