@@ -333,8 +333,10 @@ class BlockArraysSoa:
             rejects oversized modules with HTTP 413) and shrinks every
             uniform-mesh compile.  rtol 1e-12: columns differ only by
             coordinate-subtraction ulps on a uniform lattice."""
+            import os as _os
             a = np.asarray(a)
-            if a.ndim and a.shape[-1] > 1:
+            if (a.ndim and a.shape[-1] > 1
+                    and not _os.environ.get("HIFILES_NO_GEO_COMPRESS")):
                 ref = a[..., :1]
                 scale = np.abs(ref).max()
                 if scale > 0 and np.all(np.abs(a - ref) <= 1e-12 * scale):

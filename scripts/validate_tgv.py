@@ -65,7 +65,11 @@ def main():
 
     s = Solver(p, periodic_hex_mesh(n1, n1, n1), dtype=jnp.float32)
     dt = p.dt
-    chunk = max(1, int(round(0.05 / dt)))      # sample every 0.05 t_c
+    # KE sample spacing in t_c (TGV_SAMPLE): 0.05 matches the shipped DNS
+    # curve's resolution; 0.1 halves the host-side sampling cost on big
+    # meshes with no visible change to the dissipation-rate comparison
+    samp = float(os.environ.get("TGV_SAMPLE", 0.05))
+    chunk = max(1, int(round(samp / dt)))
     n_chunks = int(round(t_end / (chunk * dt)))
     vol = 8.0 * np.pi ** 3
 
