@@ -469,3 +469,50 @@ def channel_mixed_mesh_2d(nx: int, ny: int,
                 mesh.bc_id[c, k] = 2
     mesh.bc_names = [bc_x, bc_X, "Cyclic"]
     return mesh
+
+
+# 20-node serendipity hex connectivity (mesh/shape.py _HEX20_REF layout):
+# edge endpoints in the quadratic layout's CCW corner numbering, and the
+# tensor 8-node slot of each serendipity corner
+_HEX20_EDGES = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 4), (1, 5), (2, 6),
+                (3, 7), (4, 5), (5, 6), (6, 7), (7, 4)]
+_HEX20_CORNER_FROM_TENSOR = [0, 1, 3, 2, 4, 5, 7, 6]
+
+
+def periodic_curved_hex20_mesh(nx: int, ny: int, nz: int,
+                               amp: float = 0.08) -> MeshData:
+    """Periodic box of quadratic 20-node serendipity hexes whose mid-edge
+    nodes leave the chords — genuinely curved cells, the wall-resolved
+    mesh class the reference reads from Gambit/Gmsh
+    (ref:src/eles_hexas.cpp:1215-1292 quadratic shape basis,
+    ref:src/mesh_reader.cpp:242-243 20-node remap).
+
+    Built from periodic_hex_mesh by inserting one shared vertex per
+    undirected edge, then displacing ALL nodes with a smooth
+    box-periodic field (cyclic faces stay matched)."""
+    mesh = periodic_hex_mesh(nx, ny, nz)
+    C = mesh.n_cells
+    xv = [x for x in mesh.xv]
+    mid_of = {}
+    c2v = -np.ones((C, MAX_V_PER_C), dtype=np.int64)
+    for c in range(C):
+        corners = [int(mesh.c2v[c, s]) for s in _HEX20_CORNER_FROM_TENSOR]
+        c2v[c, :8] = corners
+        for e, (a, b) in enumerate(_HEX20_EDGES):
+            key = frozenset((corners[a], corners[b]))
+            m = mid_of.get(key)
+            if m is None:
+                m = len(xv)
+                xv.append(0.5 * (mesh.xv[corners[a]]
+                                 + mesh.xv[corners[b]]))
+                mid_of[key] = m
+            c2v[c, 8 + e] = m
+    mesh.xv = np.asarray(xv)
+    mesh.c2v = c2v
+    mesh.c2n_v = np.full(C, 20, dtype=np.int64)
+    x = mesh.xv
+    mesh.xv = x + amp * np.stack(
+        [np.sin(x[:, 0]) * np.cos(x[:, 1]),
+         np.sin(x[:, 1]) * np.cos(x[:, 2]),
+         np.sin(x[:, 2]) * np.cos(x[:, 0])], axis=1)
+    return mesh

@@ -130,9 +130,9 @@ def _curve(mesh, L, amp=0.08):
 
 
 def curved_hex20_mesh(n):
-    mesh = periodic_hex_mesh(n, n, n)
-    _insert_midedge(mesh, HEX20_CORNER_FROM_TENSOR, HEX20_EDGES, 20)
-    return _curve(mesh, 2 * np.pi)
+    # library builder (also used by the reference-binary golden case)
+    from hifiles_tpu.mesh.generate import periodic_curved_hex20_mesh
+    return periodic_curved_hex20_mesh(n, n, n)
 
 
 def curved_prism15_mesh(n):
