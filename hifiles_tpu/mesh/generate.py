@@ -516,3 +516,42 @@ def periodic_curved_hex20_mesh(nx: int, ny: int, nz: int,
          np.sin(x[:, 1]) * np.cos(x[:, 2]),
          np.sin(x[:, 2]) * np.cos(x[:, 0])], axis=1)
     return mesh
+
+
+# 15-node quadratic prism edges in the reference layout (mesh/shape.py):
+# bottom tri 01,12,02 -> slots 6-8, verticals -> 9-11, top tri -> 12-14
+_PRI15_EDGES = [(0, 1), (1, 2), (0, 2), (0, 3), (1, 4), (2, 5), (3, 4),
+                (4, 5), (3, 5)]
+
+
+def periodic_curved_prism15_mesh(nx: int, ny: int, nz: int,
+                                 amp: float = 0.05) -> MeshData:
+    """Periodic box of quadratic 15-node prisms with curved mid-edge
+    nodes (ref:src/eles_pris.cpp:1114-1181 quadratic shape basis); same
+    construction as periodic_curved_hex20_mesh."""
+    mesh = periodic_prism_mesh(nx, ny, nz)
+    C = mesh.n_cells
+    xv = [x for x in mesh.xv]
+    mid_of = {}
+    c2v = -np.ones((C, MAX_V_PER_C), dtype=np.int64)
+    for c in range(C):
+        corners = [int(mesh.c2v[c, s]) for s in range(6)]
+        c2v[c, :6] = corners
+        for e, (a, b) in enumerate(_PRI15_EDGES):
+            key = frozenset((corners[a], corners[b]))
+            m = mid_of.get(key)
+            if m is None:
+                m = len(xv)
+                xv.append(0.5 * (mesh.xv[corners[a]]
+                                 + mesh.xv[corners[b]]))
+                mid_of[key] = m
+            c2v[c, 6 + e] = m
+    mesh.xv = np.asarray(xv)
+    mesh.c2v = c2v
+    mesh.c2n_v = np.full(C, 15, dtype=np.int64)
+    x = mesh.xv
+    mesh.xv = x + amp * np.stack(
+        [np.sin(x[:, 0]) * np.cos(x[:, 1]),
+         np.sin(x[:, 1]) * np.cos(x[:, 2]),
+         np.sin(x[:, 2]) * np.cos(x[:, 0])], axis=1)
+    return mesh
